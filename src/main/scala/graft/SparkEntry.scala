@@ -1,13 +1,56 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.queries.Relational
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every implemented operator from SURVEY.md §2 is exposed as a named query
+  * over the testdata parquet tables; each SQL-expressible one has a DuckDB
+  * oracle in [[oracleSql]] with identical column names and ORDER BY.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Relational.q01PricingSummary(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_pricing_summary"   -> (Relational.q01PricingSummary _),
+    "q02_revenue_by_nation" -> (Relational.q02RevenueByNation _),
+    "q03_top_orders"        -> (Relational.q03TopOrders _),
+    "q04_rank_per_customer" -> (Relational.q04TopOrdersPerCustomer _),
+    "q05_running_spend"     -> (Relational.q05RunningSpend _),
+    "q06_order_gaps"        -> (Relational.q06OrderGaps _),
+    "q07_set_ops"           -> (Relational.q07SetOps _),
+    "q08_semi_join"         -> (Relational.q08SemiJoin _),
+    "q09_anti_join"         -> (Relational.q09AntiJoin _),
+    "q10_customer_spend"    -> (Relational.q10CustomerSpend _),
+    "q11_rollup"            -> (Relational.q11Rollup _),
+    "q12_distinct_agg"      -> (Relational.q12DistinctCustomers _),
+    "q13_string_funcs"      -> (Relational.q13StringFuncs _),
+    "q14_date_funcs"        -> (Relational.q14DateFuncs _),
+    "q15_json_extract"      -> (Relational.q15JsonExtract _),
+    "q16_tumbling_window"   -> (Relational.q16TumblingWindow _),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_pricing_summary"   -> Relational.q01Sql,
+    "q02_revenue_by_nation" -> Relational.q02Sql,
+    "q03_top_orders"        -> Relational.q03Sql,
+    "q04_rank_per_customer" -> Relational.q04Sql,
+    "q05_running_spend"     -> Relational.q05Sql,
+    "q06_order_gaps"        -> Relational.q06Sql,
+    "q07_set_ops"           -> Relational.q07Sql,
+    "q08_semi_join"         -> Relational.q08Sql,
+    "q09_anti_join"         -> Relational.q09Sql,
+    "q10_customer_spend"    -> Relational.q10Sql,
+    "q11_rollup"            -> Relational.q11Sql,
+    "q12_distinct_agg"      -> Relational.q12Sql,
+    "q13_string_funcs"      -> Relational.q13Sql,
+    "q14_date_funcs"        -> Relational.q14Sql,
+    "q15_json_extract"      -> Relational.q15Sql,
+    "q16_tumbling_window"   -> Relational.q16Sql,
+  )
 }

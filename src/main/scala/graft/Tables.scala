@@ -23,16 +23,17 @@ object Tables {
   def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
   /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 rejects by
-    * default. Read it as a nanos long (legacy conf) and truncate to
-    * microseconds with integer division (`DIV`, not `/` — double division
-    * would lose precision on epoch-nanos magnitudes), matching DuckDB's
-    * ns→µs truncation so the oracle sees identical timestamps.
+    * default. Sessions must be built with
+    * `spark.sql.legacy.parquet.nanosAsLong=true` (see [[Sessions.builder]])
+    * so the column arrives as a nanos long; we truncate to microseconds with
+    * integer division (`DIV`, not `/` — double division would lose precision
+    * on epoch-nanos magnitudes), matching DuckDB's ns→µs truncation so the
+    * oracle sees identical timestamps. The conf is set at session
+    * construction, not here, to keep this loader side-effect-free.
     */
-  def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  def events(s: SparkSession, d: String): DataFrame =
     table(s, d, "events")
       .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-  }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 }

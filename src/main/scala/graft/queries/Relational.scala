@@ -311,7 +311,7 @@ object Relational {
       .orderBy(col("event_id"))
 
   val q15Sql: String =
-    """SELECT event_id, event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+    """SELECT event_id, event_type, TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
       |FROM events ORDER BY event_id""".stripMargin
 
   /** q16: event-time tumbling window aggregate (batch mode `window()` —

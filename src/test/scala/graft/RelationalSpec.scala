@@ -8,7 +8,7 @@ class RelationalSpec extends SparkTestBase {
     SparkEntry.queries.foreach { case (name, fn) =>
       val df = fn(spark, sf)
       val n  = df.count()
-      assert(n >= 0, s"$name failed to execute")
+      assert(n > 0, s"$name returned an empty result on sf0.001")
       assert(df.columns.nonEmpty, s"$name has no columns")
     }
   }

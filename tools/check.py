@@ -23,6 +23,10 @@ def main():
     out, sf = sys.argv[1], sys.argv[2]
     only = set(sys.argv[3:])
     oracle = json.load(open(os.path.join(out, "oracle_sql.json")))
+    unknown = only - set(oracle)
+    if unknown:
+        sys.exit(f"ERROR: unknown query name(s) {sorted(unknown)}; "
+                 f"known: {sorted(oracle)}")
     con = duckdb.connect()
     for t in TABLES:
         p = f"{sf}/{t}.parquet"
@@ -70,6 +74,8 @@ def main():
         else:
             n_fail += 1
     print(f"== {n_pass} pass, {n_fail} fail ==")
+    if n_pass + n_fail == 0:
+        sys.exit("ERROR: zero queries compared — nothing was checked")
     sys.exit(1 if n_fail else 0)
 
 if __name__ == "__main__":

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.Relational
+import graft.queries.{Dedup, Relational, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -33,6 +33,14 @@ object SparkEntry {
     "q14_date_funcs"        -> (Relational.q14DateFuncs _),
     "q15_json_extract"      -> (Relational.q15JsonExtract _),
     "q16_tumbling_window"   -> (Relational.q16TumblingWindow _),
+    "q17_lang_id"           -> (TextOps.q17LangId _),
+    "q18_text_quality"      -> (TextOps.q18TextQuality _),
+    "q19_token_count"       -> (TextOps.q19TokenCount _),
+    "q20_fingerprint"       -> (TextOps.q20Fingerprint _),
+    "q21_dedup_exact"       -> (Dedup.q21DedupExact _),
+    "q22_ngram_jaccard"     -> (Dedup.q22NgramJaccard _),
+    "q23_minhash_lsh"       -> (Dedup.q23MinHashLsh _),
+    "q24_simhash"           -> (Dedup.q24SimHash _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -52,5 +60,13 @@ object SparkEntry {
     "q14_date_funcs"        -> Relational.q14Sql,
     "q15_json_extract"      -> Relational.q15Sql,
     "q16_tumbling_window"   -> Relational.q16Sql,
+    "q17_lang_id"           -> TextOps.q17Sql,
+    "q18_text_quality"      -> TextOps.q18Sql,
+    "q19_token_count"       -> TextOps.q19Sql,
+    "q20_fingerprint"       -> TextOps.q20Sql,
+    "q21_dedup_exact"       -> Dedup.q21Sql,
+    "q22_ngram_jaccard"     -> Dedup.q22Sql,
+    "q23_minhash_lsh"       -> Dedup.q23Sql,
+    "q24_simhash"           -> Dedup.q24Sql,
   )
 }

@@ -1,0 +1,80 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text/hash building blocks shared by the dedup, similarity, and
+  * text-analysis operators (SURVEY.md §2.4 "LLM-pipeline" row).
+  *
+  * Everything here is a pure Catalyst expression (no UDFs) so it stays
+  * inside whole-stage codegen, and every hash is derived from md5 — the one
+  * cryptographic hash both Spark and DuckDB expose with identical output —
+  * so each operator can ship an exact SQL oracle. The matching DuckDB SQL
+  * fragments live next to each query in [[graft.queries]]; the shared
+  * numeric constants live in [[HashConsts]] so the two sides can never
+  * drift.
+  */
+object TextFns {
+
+  /** Whitespace tokenization. `trim` first so leading/trailing blanks don't
+    * produce empty tokens (split semantics match DuckDB's
+    * `regexp_split_to_array(trim(x), '\s+')`).
+    */
+  def words(text: Column): Column = split(trim(text), "\\s+")
+
+  /** Distinct word-level n-gram shingles, space-joined. Docs shorter than
+    * `n` words get an empty array (guarded: Spark's `sequence(1, 0)` would
+    * count *down*, not produce an empty range).
+    */
+  def shingles(ws: Column, n: Int): Column = {
+    val raw = transform(
+      sequence(lit(1), size(ws) - lit(n - 1)),
+      i => array_join(slice(ws, i, lit(n)), " "))
+    array_distinct(when(size(ws) >= n, raw).otherwise(array()))
+  }
+
+  /** 60-bit positive hash: first 15 hex chars of md5, base-16 → long.
+    * DuckDB oracle: `CAST(concat('0x', substr(md5(x), 1, 15)) AS BIGINT)`.
+    */
+  def hash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** 32-bit positive hash (first 8 hex chars of md5). Small enough that
+    * `a * hash32 + b` never overflows a signed 64-bit for the MinHash
+    * constants in [[HashConsts]] — DuckDB raises on BIGINT overflow, so the
+    * bound is load-bearing for oracle parity, not just hygiene.
+    */
+  def hash32(c: Column): Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+}
+
+/** Shared constants for the hash-family operators. Rendered into BOTH the
+  * Spark expressions and the DuckDB oracle SQL from this single definition.
+  */
+object HashConsts {
+  /** Prime modulus just above 2^32 for MinHash permutations. */
+  val MinHashPrime: Long = 4294967311L
+
+  /** MinHash permutation count (4 bands × 4 rows). */
+  val MinHashK: Int = 16
+  val MinHashBands: Int = 4
+  val MinHashRowsPerBand: Int = MinHashK / MinHashBands
+
+  /** Permutation coefficients h_j(x) = (a_j * x + b_j) mod p. Derived from
+    * a fixed LCG so they're reproducible literals, bounded < 2^28 so
+    * a_j * hash32 < 2^60 (no 64-bit overflow in either engine).
+    */
+  val MinHashA: Seq[Long] = (1 to MinHashK).map(j => (j * 2654435761L + 1L) % (1L << 28) | 1L)
+  val MinHashB: Seq[Long] = (1 to MinHashK).map(j => (j * 40503L * 65537L + 17L) % MinHashPrime)
+
+  /** SimHash signature width (bits) and banding for the hamming join. */
+  val SimHashBits: Int = 48
+  val SimHashBands: Int = 4
+  val SimHashBandBits: Int = SimHashBits / SimHashBands
+  val SimHashMaxHamming: Int = 3 // ≤ bands-1 ⇒ pigeonhole guarantees a matching band
+
+  /** Rolling-hash modulus (2^40) for document fingerprinting: keeps
+    * `acc * 31 + hash60` < 2^61, overflow-safe in both engines.
+    */
+  val RollMod: Long = 1L << 40
+}

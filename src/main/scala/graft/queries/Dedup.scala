@@ -1,0 +1,254 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables._
+import graft.functions.TextFns._
+import graft.functions.HashConsts._
+
+/** Deduplication operators over `documents` (SURVEY.md §2.4 LLM-pipeline
+  * row): exact, n-gram Jaccard similarity join, MinHash+LSH, SimHash.
+  *
+  * Scale design (the whole point of these over naive pairwise):
+  *   - NOTHING here cross-joins the corpus. Candidate pairs come from
+  *     inverted-index / band-bucket equi-joins, which Spark executes as
+  *     ordinary shuffle joins partitioned by the index key — at 100 TB the
+  *     candidate set, not n², bounds the work.
+  *   - Signatures (shingle sets, MinHash, SimHash) are computed in one
+  *     map-only pass (Catalyst higher-order functions, no UDFs).
+  *   - For web-scale corpora you would add frequency-ordered prefix
+  *     filtering (PPJoin) on top of the shingle index; the band-bucket
+  *     plans (q23/q24) already have the property that join fan-out is
+  *     controlled by band width, the standard production knob.
+  *
+  * Every constant is shared with the DuckDB oracle via
+  * [[graft.functions.HashConsts]]; every hash bottoms out in md5, which
+  * both engines compute identically.
+  */
+object Dedup {
+
+  /** q21: exact deduplication. Input is the corpus unioned with itself
+    * (every text has ≥2 copies) so the operator has real work; the plan is
+    * a hash aggregate on the full row — Spark's `dropDuplicates` over all
+    * columns, which partial-aggregates map-side before the shuffle.
+    */
+  def q21DedupExact(s: SparkSession, dir: String): DataFrame = {
+    val d = documents(s, dir)
+    d.union(d).dropDuplicates().orderBy(col("doc_id"))
+  }
+
+  val q21Sql: String =
+    """SELECT DISTINCT * FROM (
+      |  SELECT * FROM documents UNION ALL SELECT * FROM documents)
+      |ORDER BY doc_id""".stripMargin
+
+  /** Per-doc distinct 3-shingle arrays: (doc_id, shingle[] sh, n). */
+  private def shingled(s: SparkSession, dir: String): DataFrame =
+    documents(s, dir)
+      .select(col("doc_id"), shingles(words(col("text")), 3).as("sh"))
+      .withColumn("n", size(col("sh")).cast("long"))
+      .filter(col("n") > 0)
+
+  /** q22: n-gram Jaccard near-dup pairs (J ≥ 0.5 on word 3-shingles) via
+    * an inverted shingle index: explode → self-equi-join on the shingle →
+    * count shared shingles per pair → J = |∩| / (|A|+|B|−|∩|). The only
+    * shuffles are the equi-join on `shingle` and the pair-count aggregate;
+    * candidate pairs (docs sharing ≥1 shingle) bound the cost.
+    */
+  def q22NgramJaccard(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingled(s, dir)
+    val ex = sh.select(col("doc_id"), col("n"), explode(col("sh")).as("shingle"))
+    val pairs = ex.as("a").join(ex.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.n").as("na"), col("b.n").as("nb"))
+      .agg(count(lit(1)).as("inter"))
+    pairs
+      .withColumn("jaccard", round(col("inter").cast("double")
+        / (col("na") + col("nb") - col("inter")).cast("double"), 6))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("doc_a"), col("doc_b"), col("inter"), col("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** DuckDB fragment: distinct (doc_id, shingle) pairs + per-doc size. */
+  private val sqlShingles: String =
+    """w AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, s FROM (
+      |    SELECT doc_id, unnest(CASE WHEN len(w) >= 3
+      |      THEN list_transform(range(1, len(w) - 1), i -> array_to_string(w[i:i+2], ' '))
+      |      ELSE [] END) AS s
+      |    FROM w)),
+      |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY doc_id)""".stripMargin
+
+  val q22Sql: String =
+    s"""WITH $sqlShingles,
+       |inter AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS inter
+       |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b, inter,
+       | ROUND(CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE), 6) AS jaccard
+       |FROM inter
+       | JOIN sz sa ON doc_a = sa.doc_id
+       | JOIN sz sb ON doc_b = sb.doc_id
+       |WHERE ROUND(CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE), 6) >= 0.5
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** q23: MinHash + banded LSH near-dup detection. Per doc: a K-component
+    * MinHash signature (h_j(s) = (a_j·hash32(s) + b_j) mod p over the
+    * 3-shingle set); signatures are banded (4 bands × 4 rows) and docs
+    * sharing any band become candidates via an equi-join on
+    * (band_idx, band_signature). Candidates are then verified with the
+    * exact Jaccard (array_intersect on the shingle sets) — the classic
+    * filter-verify LSH pipeline. Band width trades recall vs candidate
+    * count; at corpus scale the band join replaces the O(n²) comparison
+    * entirely.
+    */
+  def q23MinHashLsh(s: SparkSession, dir: String): DataFrame = {
+    val sig = transform(
+      sequence(lit(0), lit(MinHashK - 1)),
+      j => array_min(transform(col("sh"), sh => {
+        val a = element_at(array(MinHashA.map(lit): _*), j + 1)
+        val b = element_at(array(MinHashB.map(lit): _*), j + 1)
+        (a * hash32(sh) + b) % MinHashPrime
+      })))
+    val base = shingled(s, dir).withColumn("sig", sig)
+    val bands = base.select(col("doc_id"), col("sh"), col("n"), col("sig"),
+      explode(sequence(lit(0), lit(MinHashBands - 1))).as("band"))
+      .withColumn("band_sig",
+        array_join(slice(col("sig"), col("band") * MinHashRowsPerBand + 1, lit(MinHashRowsPerBand)), ","))
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.band_sig") === col("b.band_sig")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"),
+        col("a.sh").as("sh_a"), col("b.sh").as("sh_b"),
+        col("a.n").as("na"), col("b.n").as("nb"))
+      .dropDuplicates("doc_a", "doc_b")
+    cand
+      .withColumn("est_sim", round(
+        size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), b => b))
+          .cast("double") / MinHashK, 6))
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      .withColumn("jaccard", round(col("inter").cast("double")
+        / (col("na") + col("nb") - col("inter")).cast("double"), 6))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("doc_a"), col("doc_b"), col("est_sim"), col("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val q23Sql: String = {
+    val aList = MinHashA.mkString("[", ", ", "]")
+    val bList = MinHashB.mkString("[", ", ", "]")
+    s"""WITH $sqlShingles,
+       |docs AS (
+       |  SELECT doc_id, list(s) AS sh FROM sh GROUP BY doc_id),
+       |sigs AS (
+       |  SELECT doc_id, sh, CAST(len(sh) AS BIGINT) AS n,
+       |   list_transform(range(0, $MinHashK), j ->
+       |     list_min(list_transform(sh, s ->
+       |       (($aList)[j + 1] * CAST(concat('0x', substr(md5(s), 1, 8)) AS BIGINT)
+       |        + ($bList)[j + 1]) % $MinHashPrime))) AS sig
+       |  FROM docs),
+       |bands AS (
+       |  SELECT doc_id, sh, n, sig, band,
+       |   array_to_string(sig[band * $MinHashRowsPerBand + 1 : band * $MinHashRowsPerBand + $MinHashRowsPerBand], ',') AS band_sig
+       |  FROM sigs, unnest(range(0, $MinHashBands)) AS t(band)),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |   a.sig AS sig_a, b.sig AS sig_b, a.sh AS sh_a, b.sh AS sh_b,
+       |   a.n AS na, b.n AS nb
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id),
+       |scored AS (
+       |  SELECT doc_a, doc_b,
+       |   ROUND(CAST(list_sum(list_transform(range(1, $MinHashK + 1),
+       |           i -> CASE WHEN sig_a[i] = sig_b[i] THEN 1 ELSE 0 END)) AS DOUBLE)
+       |         / $MinHashK, 6) AS est_sim,
+       |   CAST(len(list_intersect(sh_a, sh_b)) AS BIGINT) AS inter, na, nb
+       |  FROM cand)
+       |SELECT doc_a, doc_b, est_sim,
+       | ROUND(CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE), 6) AS jaccard
+       |FROM scored
+       |WHERE ROUND(CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE), 6) >= 0.5
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  /** q24: SimHash near-dup detection. Per doc: a 48-bit signature — bit i
+    * is the sign of Σ over the token stream of ±1 (token hash bit i) —
+    * then a banded hamming join: signatures are split into 4×12-bit bands;
+    * pairs sharing any band are candidates (pigeonhole: hamming ≤ 3 ⇒ ≥1
+    * identical band), verified with bit_count(a XOR b) ≤ 3. Frequency-
+    * weighted by construction (repeated tokens add weight), order-
+    * insensitive, one map pass + band equi-join — the Google-style
+    * web-dedup shape.
+    */
+  def q24SimHash(s: SparkSession, dir: String): DataFrame = {
+    // 1L<<i as a literal array: Spark's shiftleft/shiftright only take Int
+    // shift amounts, but the bit index here is a lambda variable.
+    val pow2 = array((0 until SimHashBits).map(b => lit(1L << b)): _*)
+    val hs = transform(words(col("text")), w => hash60(w) % (1L << SimHashBits))
+    val sig = aggregate(
+      sequence(lit(0), lit(SimHashBits - 1)), lit(0L),
+      (acc, i) => acc + when(
+        aggregate(col("hs"), lit(0L),
+          (c, h) => c + when(h.bitwiseAND(element_at(pow2, i + 1)) > 0, 1L).otherwise(-1L)) > 0,
+        element_at(pow2, i + 1)).otherwise(0L))
+    val base = documents(s, dir)
+      .select(col("doc_id"), hs.as("hs"))
+      .filter(size(col("hs")) > 0)
+      .withColumn("simhash", sig)
+    val mask = (1L << SimHashBandBits) - 1
+    val bandStructs = array((0 until SimHashBands).map(k =>
+      struct(lit(k).as("band"),
+        shiftright(col("simhash"), k * SimHashBandBits).bitwiseAND(lit(mask)).as("band_val"))): _*)
+    val bands = base.select(col("doc_id"), col("simhash"),
+      explode(bandStructs).as("bv"))
+      .select(col("doc_id"), col("simhash"),
+        col("bv.band").as("band"), col("bv.band_val").as("band_val"))
+    bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.band_val") === col("b.band_val")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.simhash").as("sim_a"), col("b.simhash").as("sim_b"))
+      .dropDuplicates("doc_a", "doc_b")
+      .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).cast("long"))
+      .filter(col("hamming") <= SimHashMaxHamming)
+      .select(col("doc_a"), col("doc_b"), col("sim_a"), col("sim_b"), col("hamming"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val q24Sql: String = {
+    val mask = (1L << SimHashBandBits) - 1
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |   list_transform(regexp_split_to_array(trim(text), '\\s+'),
+       |     x -> CAST(concat('0x', substr(md5(x), 1, 15)) AS BIGINT) % ${1L << SimHashBits}) AS hs
+       |  FROM documents),
+       |sigs AS (
+       |  SELECT doc_id,
+       |   list_reduce(list_prepend(CAST(0 AS BIGINT), range(0, $SimHashBits)), (acc, i) ->
+       |     acc + CASE WHEN
+       |       list_reduce(list_prepend(CAST(0 AS BIGINT), hs), (c, h) ->
+       |         c + CASE WHEN (h // (CAST(1 AS BIGINT) << i)) % 2 = 1 THEN 1 ELSE -1 END) > 0
+       |     THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS simhash
+       |  FROM t WHERE len(hs) > 0),
+       |bands AS (
+       |  SELECT doc_id, simhash, band,
+       |   (simhash >> (band * $SimHashBandBits)) & $mask AS band_val
+       |  FROM sigs, unnest(range(0, $SimHashBands)) AS u(band)),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |   a.simhash AS sim_a, b.simhash AS sim_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.band_val = b.band_val AND a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b, sim_a, sim_b,
+       | CAST(bit_count(xor(sim_a, sim_b)) AS BIGINT) AS hamming
+       |FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= $SimHashMaxHamming
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+}

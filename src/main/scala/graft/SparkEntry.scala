@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{Dedup, Relational, TextOps}
+import graft.queries.{Dedup, Relational, Similarity, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -41,6 +41,8 @@ object SparkEntry {
     "q22_ngram_jaccard"     -> (Dedup.q22NgramJaccard _),
     "q23_minhash_lsh"       -> (Dedup.q23MinHashLsh _),
     "q24_simhash"           -> (Dedup.q24SimHash _),
+    "q25_cosine_topk"       -> (Similarity.q25CosineTopK _),
+    "q26_ann_lsh"           -> (Similarity.q26AnnLsh _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -68,5 +70,7 @@ object SparkEntry {
     "q22_ngram_jaccard"     -> Dedup.q22Sql,
     "q23_minhash_lsh"       -> Dedup.q23Sql,
     "q24_simhash"           -> Dedup.q24Sql,
+    "q25_cosine_topk"       -> Similarity.q25Sql,
+    "q26_ann_lsh"           -> Similarity.q26Sql,
   )
 }

@@ -1,0 +1,150 @@
+package graft.queries
+
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables._
+
+/** Similarity search over the `embeddings` table (64-dim float vectors):
+  * exact brute-force cosine top-k as the correctness baseline, and a
+  * random-hyperplane LSH bucketed variant as the scale path.
+  *
+  * Determinism/oracle notes: every dot product is a *sequential left fold*
+  * (`aggregate` over `zip_with`) and the DuckDB oracle uses
+  * `list_reduce(list_prepend(0.0, …))` — the identical summation order —
+  * so the doubles agree bit-for-bit; similarities are then rounded to 6dp
+  * and ranked with a vec_id tiebreak, making the top-k stable in both
+  * engines. Floats are widened to double before any arithmetic (exact).
+  */
+object Similarity {
+
+  /** Vectors as doubles plus the precomputed L2 norm. */
+  private def vecs(s: SparkSession, dir: String): DataFrame =
+    embeddings(s, dir)
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+      .withColumn("norm", sqrt(aggregate(col("v"), lit(0.0), (a, x) => a + x * x)))
+
+  /** Sequential-fold dot product of two equal-length double arrays. */
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  /** q25: exact cosine top-k (k=5) for every vector — the brute-force
+    * baseline: an O(n²) pairwise join scored with a fold, then a
+    * per-query-vector window top-k. Correct at any scale but quadratic;
+    * it exists to measure q26's recall and as the small-corpus answer.
+    * The pairwise join broadcasts the smaller side (Spark picks
+    * BroadcastNestedLoopJoin for the non-equi condition).
+    */
+  def q25CosineTopK(s: SparkSession, dir: String): DataFrame = {
+    val e = vecs(s, dir)
+    val pairs = e.as("a").join(e.as("b"), col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("neighbor_id"),
+        round(dot(col("a.v"), col("b.v")) / (col("a.norm") * col("b.norm")), 6).as("sim"))
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("sim").desc, col("neighbor_id"))
+    pairs
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 5)
+      .orderBy(col("vec_id"), col("rnk"))
+  }
+
+  val q25Sql: String =
+    """WITH e AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings),
+      |n AS (
+      |  SELECT vec_id, v,
+      |   sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |     list_transform(v, x -> x * x)), (a, b) -> a + b)) AS norm
+      |  FROM e),
+      |p AS (
+      |  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+      |   ROUND(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |       list_transform(range(1, 65), i -> a.v[i] * b.v[i])), (x, y) -> x + y)
+      |     / (a.norm * b.norm), 6) AS sim
+      |  FROM n a, n b WHERE a.vec_id <> b.vec_id),
+      |r AS (
+      |  SELECT vec_id, neighbor_id, sim,
+      |   CAST(row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rnk
+      |  FROM p)
+      |SELECT vec_id, neighbor_id, sim, rnk FROM r WHERE rnk <= 5
+      |ORDER BY vec_id, rnk""".stripMargin
+
+  /** Hyperplane count for the LSH signature (2^8 = 256 buckets). */
+  val AnnPlanes: Int = 8
+  val AnnDims: Int = 64
+
+  /** Deterministic ±1 hyperplane coefficients from md5 parity of
+    * "p{plane}d{dim}" — reproducible literals shared with the oracle SQL.
+    */
+  val PlaneCoeffs: Seq[Seq[Long]] = {
+    def parity(s: String): Long = {
+      val d = MessageDigest.getInstance("MD5").digest(s.getBytes(StandardCharsets.UTF_8))
+      if ((d(15) & 1) == 1) 1L else -1L
+    }
+    (0 until AnnPlanes).map(p => (0 until AnnDims).map(d => parity(s"p${p}d$d")))
+  }
+
+  /** q26: LSH-bucketed approximate nearest neighbors — the scale path.
+    * Each vector gets an 8-bit signature (sign of the dot product with 8
+    * fixed ±1 hyperplanes); candidates are pairs in the same bucket, so
+    * the join is a plain shuffle equi-join on `bucket` and per-bucket work
+    * is (n/2^planes)² instead of n². More planes → smaller buckets →
+    * cheaper and lower recall: the standard ANN knob. Top-3 per vector
+    * within its bucket.
+    */
+  def q26AnnLsh(s: SparkSession, dir: String): DataFrame = {
+    val planesLit = array(PlaneCoeffs.map(p => array(p.map(c => lit(c.toDouble)): _*)): _*)
+    val pow2 = array((0 until AnnPlanes).map(b => lit(1L << b)): _*)
+    val sig = aggregate(
+      sequence(lit(0), lit(AnnPlanes - 1)), lit(0L),
+      (acc, p) => acc + when(dot(col("v"), element_at(planesLit, p + 1)) > 0,
+        element_at(pow2, p + 1)).otherwise(0L))
+    val e = vecs(s, dir).withColumn("bucket", sig)
+    val pairs = e.as("a").join(e.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("neighbor_id"),
+        col("a.bucket").as("bucket"),
+        round(dot(col("a.v"), col("b.v")) / (col("a.norm") * col("b.norm")), 6).as("sim"))
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("sim").desc, col("neighbor_id"))
+    pairs
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 3)
+      .orderBy(col("vec_id"), col("rnk"))
+  }
+
+  val q26Sql: String = {
+    val planes = PlaneCoeffs.map(_.mkString("[", ", ", "]")).mkString("[", ", ", "]")
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |n AS (
+       |  SELECT vec_id, v,
+       |   sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |     list_transform(v, x -> x * x)), (a, b) -> a + b)) AS norm
+       |  FROM e),
+       |sg AS (
+       |  SELECT vec_id, v, norm,
+       |   CAST(list_sum(list_transform(range(0, $AnnPlanes), p ->
+       |     CASE WHEN list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |            list_transform(range(1, ${AnnDims + 1}), i ->
+       |              CAST((($planes)[p + 1])[i] AS DOUBLE) * v[i])), (x, y) -> x + y) > 0
+       |     THEN (CAST(1 AS BIGINT) << p) ELSE 0 END)) AS BIGINT) AS bucket
+       |  FROM n),
+       |p AS (
+       |  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id, a.bucket AS bucket,
+       |   ROUND(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |       list_transform(range(1, ${AnnDims + 1}), i -> a.v[i] * b.v[i])), (x, y) -> x + y)
+       |     / (a.norm * b.norm), 6) AS sim
+       |  FROM sg a JOIN sg b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+       |r AS (
+       |  SELECT vec_id, neighbor_id, bucket, sim,
+       |   CAST(row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rnk
+       |  FROM p)
+       |SELECT vec_id, neighbor_id, bucket, sim, rnk FROM r WHERE rnk <= 3
+       |ORDER BY vec_id, rnk""".stripMargin
+  }
+}

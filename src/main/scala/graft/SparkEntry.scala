@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{Dedup, Relational, Similarity, TextOps}
+import graft.queries.{Dedup, Relational, Similarity, Streaming, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -43,6 +43,8 @@ object SparkEntry {
     "q24_simhash"           -> (Dedup.q24SimHash _),
     "q25_cosine_topk"       -> (Similarity.q25CosineTopK _),
     "q26_ann_lsh"           -> (Similarity.q26AnnLsh _),
+    "q27_session_window"    -> (Streaming.q27SessionWindow _),
+    "q28_sliding_window"    -> (Streaming.q28SlidingWindow _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -72,5 +74,7 @@ object SparkEntry {
     "q24_simhash"           -> Dedup.q24Sql,
     "q25_cosine_topk"       -> Similarity.q25Sql,
     "q26_ann_lsh"           -> Similarity.q26Sql,
+    "q27_session_window"    -> Streaming.q27Sql,
+    "q28_sliding_window"    -> Streaming.q28Sql,
   )
 }

@@ -1,0 +1,135 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+
+import graft.streaming.EventStreams
+
+/** True-streaming semantics of the EventStreams plans: the same
+  * DataFrame→DataFrame functions the batch queries (q16/q27/q28) register
+  * are driven here from a MemoryStream, exercising watermark late-drop,
+  * bounded-state dedup, custom per-key state, and AvailableNow drain
+  * (the reference consumer's "process backlog then stop" semantics done
+  * right — its own loop never terminates, etl_dags.py:46-49).
+  */
+/** Test event row — top-level so Spark can derive its product encoder. */
+case class Ev(ts: Timestamp, user_id: Long, event_type: String, value: Double)
+
+class StreamingSpec extends SparkTestBase {
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+
+  test("tumbling window with watermark drops late data in append mode") {
+    implicit val sq = spark.sqlContext
+    import sq.implicits._
+    val in = MemoryStream[Ev]
+    val q = EventStreams.tumblingWithWatermark(in.toDF(), "10 minutes", "5 minutes")
+      .writeStream.format("memory").queryName("tumbling_wm")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(Ev(ts(1), 1, "click", 1.0), Ev(ts(4), 1, "click", 2.0))
+      q.processAllAvailable()
+      // advance event time far enough that watermark (max-5m) passes 10:10
+      in.addData(Ev(ts(31), 2, "view", 5.0))
+      q.processAllAvailable()
+      // this row is older than the watermark → must be dropped
+      in.addData(Ev(ts(2), 1, "click", 100.0))
+      q.processAllAvailable()
+      in.addData(Ev(ts(55), 2, "view", 7.0))
+      q.processAllAvailable()
+      val rows = spark.table("tumbling_wm").collect()
+        .map(r => (r.getAs[Timestamp]("w_start"), r.getAs[String]("event_type"),
+          r.getAs[Long]("n_events"), r.getAs[Double]("sum_value"))).toSet
+      // the 10:00 window was finalized with ONLY the 2 on-time clicks
+      assert(rows.contains((ts(0), "click", 2L, 3.0)), s"got $rows")
+      assert(!rows.exists { case (_, _, _, sum) => sum == 103.0 },
+        "late row leaked into a finalized window")
+    } finally q.stop()
+  }
+
+  test("dropDuplicatesWithinWatermark dedups an at-least-once stream") {
+    implicit val sq = spark.sqlContext
+    import sq.implicits._
+    val in = MemoryStream[Ev]
+    val q = EventStreams.dedupWithinWatermark(in.toDF(), "10 minutes",
+        Seq("user_id", "ts"))
+      .writeStream.format("memory").queryName("dedup_wm")
+      .outputMode(OutputMode.Append).start()
+    try {
+      val e = Ev(ts(1), 7, "click", 1.0)
+      in.addData(e, e)          // duplicate delivery in one batch
+      q.processAllAvailable()
+      in.addData(e)             // replay in a later batch, still in watermark
+      q.processAllAvailable()
+      assert(spark.table("dedup_wm").count() === 1)
+    } finally q.stop()
+  }
+
+  test("flatMapGroupsWithState maintains per-key running totals") {
+    implicit val sq = spark.sqlContext
+    import sq.implicits._
+    val in = MemoryStream[Ev]
+    val counted = in.toDS().groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Long, Double), (Long, Long, Double)](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        case (user, evs, state: GroupState[(Long, Double)]) =>
+          val (n0, s0) = state.getOption.getOrElse((0L, 0.0))
+          val batch = evs.toSeq
+          val next = (n0 + batch.size, s0 + batch.map(_.value).sum)
+          state.update(next)
+          Iterator((user, next._1, next._2))
+      }.toDF("user_id", "n", "total")
+    val q = counted.writeStream.format("memory").queryName("fmgws")
+      .outputMode(OutputMode.Update).start()
+    try {
+      in.addData(Ev(ts(1), 1, "c", 1.0), Ev(ts(2), 1, "c", 2.0), Ev(ts(3), 2, "c", 5.0))
+      q.processAllAvailable()
+      in.addData(Ev(ts(4), 1, "c", 4.0))
+      q.processAllAvailable()
+      val last = spark.table("fmgws").collect()
+        .map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2))))
+        .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).maxBy(_._1) }
+      assert(last(1L) === ((3L, 7.0)))
+      assert(last(2L) === ((1L, 5.0)))
+    } finally q.stop()
+  }
+
+  test("AvailableNow drains the backlog and stops (reference E2 fixed)") {
+    implicit val sq = spark.sqlContext
+    import sq.implicits._
+    val in = MemoryStream[Ev]
+    in.addData((1 to 50).map(i => Ev(ts(i % 60), i % 5, "click", i.toDouble)): _*)
+    val q = in.toDF().groupBy(col("user_id")).count()
+      .writeStream.format("memory").queryName("drain")
+      .outputMode(OutputMode.Complete)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    assert(!q.isActive, "AvailableNow query should terminate after draining")
+    assert(spark.table("drain").as[(Long, Long)].collect().map(_._2).sum === 50L)
+  }
+
+  test("batch and streaming tumbling plans agree on the same data") {
+    implicit val sq = spark.sqlContext
+    import sq.implicits._
+    val data = (0 until 40).map(i => Ev(ts(i), i % 3, if (i % 2 == 0) "a" else "b", i.toDouble))
+    // streaming pass
+    val in = MemoryStream[Ev]
+    in.addData(data: _*)
+    val q = EventStreams.tumbling(in.toDF(), "10 minutes")
+      .writeStream.format("memory").queryName("uni")
+      .outputMode(OutputMode.Complete).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val streamed = spark.table("uni").collect()
+      .map(r => (r.getAs[Timestamp]("w_start"), r.getAs[String]("event_type"),
+        r.getAs[Long]("n_events"), r.getAs[Double]("sum_value"))).toSet
+    // batch pass over the identical rows
+    val batch = EventStreams.tumbling(data.toDF(), "10 minutes").collect()
+      .map(r => (r.getAs[Timestamp]("w_start"), r.getAs[String]("event_type"),
+        r.getAs[Long]("n_events"), r.getAs[Double]("sum_value"))).toSet
+    assert(streamed === batch)
+  }
+}

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{Dedup, Relational, Similarity, Streaming, TextOps}
+import graft.queries.{Dedup, Pipeline, Relational, Similarity, Streaming, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -45,6 +45,7 @@ object SparkEntry {
     "q26_ann_lsh"           -> (Similarity.q26AnnLsh _),
     "q27_session_window"    -> (Streaming.q27SessionWindow _),
     "q28_sliding_window"    -> (Streaming.q28SlidingWindow _),
+    "q29_pipeline_roundtrip" -> (Pipeline.q29PipelineRoundtrip _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -76,5 +77,6 @@ object SparkEntry {
     "q26_ann_lsh"           -> Similarity.q26Sql,
     "q27_session_window"    -> Streaming.q27Sql,
     "q28_sliding_window"    -> Streaming.q28Sql,
+    "q29_pipeline_roundtrip" -> Pipeline.q29Sql,
   )
 }

@@ -1,0 +1,91 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
+import org.apache.spark.sql.Row
+
+/** Thin connector adapters for the reference pipeline's three external
+  * systems (MySQL via JDBC, Kafka, object storage). Interface-complete
+  * per SURVEY.md §7 step 2: the sandbox has neither a broker nor a
+  * database (and no spark-sql-kafka connector jar), so these are exercised
+  * through the pure frame-shape functions in [[CustomerPipeline]] plus
+  * MemoryStream tests; on a real cluster they are the production path.
+  *
+  * Scale deltas vs the reference, by design:
+  *   - JDBC reads are range-partitioned (the reference fetchall()s the
+  *     whole table into one process, dags/etl_dags.py:14).
+  *   - JDBC writes are batched per partition (the reference commits per
+  *     row, dags/etl_dags.py:47-49).
+  *   - The consumer drains with Trigger.AvailableNow and checkpoints
+  *     (the reference's consumer loop never terminates and replays raise
+  *     duplicate-key errors, dags/etl_dags.py:46-49).
+  */
+object JdbcIO {
+
+  /** Parallel range-partitioned scan (replaces SELECT * + fetchall). */
+  def read(spark: SparkSession, url: String, table: String,
+           partitionColumn: String = "id", numPartitions: Int = 32,
+           lowerBound: Long = 1L, upperBound: Long = 1000000L): DataFrame =
+    spark.read.format("jdbc")
+      .option("url", url)
+      .option("dbtable", table)
+      .option("partitionColumn", partitionColumn)
+      .option("numPartitions", numPartitions)
+      .option("lowerBound", lowerBound)
+      .option("upperBound", upperBound)
+      .load()
+
+  /** Batched append (replaces per-row INSERT+commit). */
+  def append(df: DataFrame, url: String, table: String, batchSize: Int = 10000): Unit =
+    df.write.format("jdbc")
+      .option("url", url)
+      .option("dbtable", table)
+      .option("batchsize", batchSize)
+      .mode("append")
+      .save()
+}
+
+object KafkaIO {
+
+  /** Batch read of a topic's full retained range. */
+  def readBatch(spark: SparkSession, bootstrap: String, topic: String): DataFrame =
+    spark.read.format("kafka")
+      .option("kafka.bootstrap.servers", bootstrap)
+      .option("subscribe", topic)
+      .option("startingOffsets", "earliest")
+      .option("endingOffsets", "latest")
+      .load()
+
+  /** Streaming read; `minPartitions` decouples Spark parallelism from the
+    * topic's partition count (the reference runs 1 broker / default
+    * partitions, docker-compose.yml:21-26).
+    */
+  def readStream(spark: SparkSession, bootstrap: String, topic: String,
+                 minPartitions: Int = 32): DataFrame =
+    spark.readStream.format("kafka")
+      .option("kafka.bootstrap.servers", bootstrap)
+      .option("subscribe", topic)
+      .option("minPartitions", minPartitions)
+      .load()
+
+  /** Batch produce of a (key, value) frame (K1 shape from
+    * [[CustomerPipeline.toKafkaFrame]]).
+    */
+  def writeBatch(kafkaFrame: DataFrame, bootstrap: String, topic: String): Unit =
+    kafkaFrame.write.format("kafka")
+      .option("kafka.bootstrap.servers", bootstrap)
+      .option("topic", topic)
+      .save()
+
+  /** Drain-then-stop streaming writer: AvailableNow + checkpoint gives
+    * "process the backlog exactly once, then exit" — the semantics the
+    * reference's daily batch DAG wanted from its never-terminating
+    * consumer (E2, SURVEY.md §3).
+    */
+  def drainTo(kafkaFrame: DataFrame, checkpoint: String)(
+      batchFn: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
+    kafkaFrame.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (df: DataFrame, id: Long) => batchFn(df, id) }
+}

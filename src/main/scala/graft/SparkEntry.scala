@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{Dedup, Pipeline, Relational, Similarity, Streaming, TextOps}
+import graft.queries.{Dedup, Pipeline, Relational, RelationalExt, Similarity, Streaming, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -46,6 +46,12 @@ object SparkEntry {
     "q27_session_window"    -> (Streaming.q27SessionWindow _),
     "q28_sliding_window"    -> (Streaming.q28SlidingWindow _),
     "q29_pipeline_roundtrip" -> (Pipeline.q29PipelineRoundtrip _),
+    "q30_cube"              -> (RelationalExt.q30Cube _),
+    "q31_pivot"             -> (RelationalExt.q31Pivot _),
+    "q32_cross_join"        -> (RelationalExt.q32CrossJoin _),
+    "q33_full_outer"        -> (RelationalExt.q33FullOuter _),
+    "q34_udf_surface"       -> (RelationalExt.q34UdfSurface _),
+    "q35_approx_distinct"   -> (RelationalExt.q35ApproxDistinct _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -78,5 +84,13 @@ object SparkEntry {
     "q27_session_window"    -> Streaming.q27Sql,
     "q28_sliding_window"    -> Streaming.q28Sql,
     "q29_pipeline_roundtrip" -> Pipeline.q29Sql,
+    "q30_cube"              -> RelationalExt.q30Sql,
+    "q31_pivot"             -> RelationalExt.q31Sql,
+    "q32_cross_join"        -> RelationalExt.q32Sql,
+    "q33_full_outer"        -> RelationalExt.q33Sql,
+    "q34_udf_surface"       -> RelationalExt.q34Sql,
+    // q35_approx_distinct: intentionally NO oracle — HLL sketches differ
+    // across engines; the driver records a rows-only check and
+    // RelationalExtSpec pins the error bound.
   )
 }

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{Dedup, Pipeline, Relational, RelationalExt, Similarity, Streaming, TextOps}
+import graft.queries.{Dedup, MultimodalQ, Pipeline, Relational, RelationalExt, Similarity, Streaming, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -52,6 +52,7 @@ object SparkEntry {
     "q33_full_outer"        -> (RelationalExt.q33FullOuter _),
     "q34_udf_surface"       -> (RelationalExt.q34UdfSurface _),
     "q35_approx_distinct"   -> (RelationalExt.q35ApproxDistinct _),
+    "q36_multimodal_meta"   -> (MultimodalQ.q36MultimodalMeta _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -92,5 +93,6 @@ object SparkEntry {
     // q35_approx_distinct: intentionally NO oracle — HLL sketches differ
     // across engines; the driver records a rows-only check and
     // RelationalExtSpec pins the error bound.
+    "q36_multimodal_meta"   -> MultimodalQ.q36Sql,
   )
 }

@@ -2,11 +2,20 @@ package graft
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val spark = Sessions.local("graft-bench")
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val queries = SparkEntry.queries.filter { case (n, _) => only.forall(_.contains(n)) }
+    require(queries.nonEmpty, s"no queries match filter $only")
+    // JVM/codegen/shuffle-machinery warmup so the first measured query
+    // doesn't absorb one-time session init; touches no benchmark data.
+    spark.range(1000000).selectExpr("sum(id) s").write.mode("overwrite").format("noop").save()
+    val results = queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      // noop sink: full materialization of every output column (count()
+      // would let Catalyst prune the projections away on map-only queries)
+      try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+      catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

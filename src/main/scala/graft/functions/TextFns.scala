@@ -22,15 +22,18 @@ object TextFns {
     */
   def words(text: Column): Column = split(trim(text), "\\s+")
 
-  /** Distinct word-level n-gram shingles, space-joined. Docs shorter than
-    * `n` words get an empty array (guarded: Spark's `sequence(1, 0)` would
-    * count *down*, not produce an empty range).
+  /** Word-level n-gram shingles, space-joined, in document order (may
+    * contain duplicates — pair with explode+distinct, which runs in the
+    * codegen'd hash-aggregate path, rather than `array_distinct`, whose
+    * interpreted O(k²) scan dominated profiles on long documents). Docs
+    * shorter than `n` words get an empty array (guarded: Spark's
+    * `sequence(1, 0)` would count *down*, not produce an empty range).
     */
   def shingles(ws: Column, n: Int): Column = {
     val raw = transform(
       sequence(lit(1), size(ws) - lit(n - 1)),
       i => array_join(slice(ws, i, lit(n)), " "))
-    array_distinct(when(size(ws) >= n, raw).otherwise(array()))
+    when(size(ws) >= n, raw).otherwise(array())
   }
 
   /** 60-bit positive hash: first 15 hex chars of md5, base-16 → long.

@@ -43,30 +43,34 @@ object Dedup {
       |  SELECT * FROM documents UNION ALL SELECT * FROM documents)
       |ORDER BY doc_id""".stripMargin
 
-  /** Per-doc distinct 3-shingle arrays: (doc_id, shingle[] sh, n). */
-  private def shingled(s: SparkSession, dir: String): DataFrame =
+  /** Distinct (doc_id, shingle) rows on the codegen path: explode +
+    * hash-aggregate dedup (NOT `array_distinct`, which is interpreted and
+    * quadratic per doc). This is the inverted-index base for q22/q23.
+    */
+  private def shingleRows(s: SparkSession, dir: String): DataFrame =
     documents(s, dir)
-      .select(col("doc_id"), shingles(words(col("text")), 3).as("sh"))
-      .withColumn("n", size(col("sh")).cast("long"))
-      .filter(col("n") > 0)
+      .select(col("doc_id"), explode(shingles(words(col("text")), 3)).as("shingle"))
+      .distinct()
 
   /** q22: n-gram Jaccard near-dup pairs (J ≥ 0.5 on word 3-shingles) via
     * an inverted shingle index: explode → self-equi-join on the shingle →
-    * count shared shingles per pair → J = |∩| / (|A|+|B|−|∩|). The only
-    * shuffles are the equi-join on `shingle` and the pair-count aggregate;
-    * candidate pairs (docs sharing ≥1 shingle) bound the cost.
+    * count shared shingles per pair → J = |∩| / (|A|+|B|−|∩|). Per-doc
+    * set sizes are a tiny aggregate broadcast to the pair stream; the only
+    * shuffles are the shingle equi-join and the pair-count aggregate —
+    * candidate pairs (docs sharing ≥1 shingle), not n², bound the cost.
     */
   def q22NgramJaccard(s: SparkSession, dir: String): DataFrame = {
-    val sh = shingled(s, dir)
-    val ex = sh.select(col("doc_id"), col("n"), explode(col("sh")).as("shingle"))
+    val ex = shingleRows(s, dir)
+    val sz = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val pairs = ex.as("a").join(ex.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.n").as("na"), col("b.n").as("nb"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("inter"))
     pairs
+      .join(broadcast(sz.as("sa")), col("doc_a") === col("sa.doc_id"))
+      .join(broadcast(sz.as("sb")), col("doc_b") === col("sb.doc_id"))
       .withColumn("jaccard", round(col("inter").cast("double")
-        / (col("na") + col("nb") - col("inter")).cast("double"), 6))
+        / (col("sa.n") + col("sb.n") - col("inter")).cast("double"), 6))
       .filter(col("jaccard") >= 0.5)
       .select(col("doc_a"), col("doc_b"), col("inter"), col("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
@@ -109,15 +113,17 @@ object Dedup {
     * entirely.
     */
   def q23MinHashLsh(s: SparkSession, dir: String): DataFrame = {
-    val sig = transform(
-      sequence(lit(0), lit(MinHashK - 1)),
-      j => array_min(transform(col("sh"), sh => {
-        val a = element_at(array(MinHashA.map(lit): _*), j + 1)
-        val b = element_at(array(MinHashB.map(lit): _*), j + 1)
-        (a * hash32(sh) + b) % MinHashPrime
-      })))
-    val base = shingled(s, dir).withColumn("sig", sig)
-    val bands = base.select(col("doc_id"), col("sh"), col("n"), col("sig"),
+    // Signature components as 16 codegen'd min-aggregates over the
+    // exploded distinct-shingle rows (one hash-aggregate pass), not an
+    // interpreted fold per document.
+    val ex = shingleRows(s, dir).withColumn("h32", hash32(col("shingle")))
+    val minCols = (0 until MinHashK).map(j =>
+      min((col("h32") * MinHashA(j) + MinHashB(j)) % MinHashPrime).as(s"m$j"))
+    val aggs = minCols :+ count(lit(1)).as("n") :+ collect_list(col("shingle")).as("sh")
+    val base = ex.groupBy(col("doc_id"))
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("sig", array((0 until MinHashK).map(j => col(s"m$j")): _*))
+    val bands = base.select(col("doc_id"), col("sh"), col("n").cast("long").as("n"), col("sig"),
       explode(sequence(lit(0), lit(MinHashBands - 1))).as("band"))
       .withColumn("band_sig",
         array_join(slice(col("sig"), col("band") * MinHashRowsPerBand + 1, lit(MinHashRowsPerBand)), ","))
@@ -188,20 +194,23 @@ object Dedup {
     * web-dedup shape.
     */
   def q24SimHash(s: SparkSession, dir: String): DataFrame = {
-    // 1L<<i as a literal array: Spark's shiftleft/shiftright only take Int
-    // shift amounts, but the bit index here is a lambda variable.
-    val pow2 = array((0 until SimHashBits).map(b => lit(1L << b)): _*)
-    val hs = transform(words(col("text")), w => hash60(w) % (1L << SimHashBits))
-    val sig = aggregate(
-      sequence(lit(0), lit(SimHashBits - 1)), lit(0L),
-      (acc, i) => acc + when(
-        aggregate(col("hs"), lit(0L),
-          (c, h) => c + when(h.bitwiseAND(element_at(pow2, i + 1)) > 0, 1L).otherwise(-1L)) > 0,
-        element_at(pow2, i + 1)).otherwise(0L))
-    val base = documents(s, dir)
-      .select(col("doc_id"), hs.as("hs"))
-      .filter(size(col("hs")) > 0)
+    // Token stream WITH duplicates (frequency weighting), on the codegen
+    // path: explode → one hash-aggregate with 48 sum(±1) columns, then the
+    // signature is assembled from the 48 sign bits. The earlier
+    // formulation (nested interpreted folds per document) was the
+    // dominant cost in the whole bench.
+    val tok = documents(s, dir)
+      .select(col("doc_id"), explode(words(col("text"))).as("w"))
+      .withColumn("h", hash60(col("w")) % (1L << SimHashBits))
+    val bitSums = (0 until SimHashBits).map(i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)).as(s"b$i"))
+    val sig = (0 until SimHashBits)
+      .map(i => when(col(s"b$i") > 0, lit(1L << i)).otherwise(0L))
+      .reduce(_ + _)
+    val base = tok.groupBy(col("doc_id"))
+      .agg(bitSums.head, bitSums.tail: _*)
       .withColumn("simhash", sig)
+      .select(col("doc_id"), col("simhash"))
     val mask = (1L << SimHashBandBits) - 1
     val bandStructs = array((0 until SimHashBands).map(k =>
       struct(lit(k).as("band"),

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{Dedup, MultimodalQ, Pipeline, Relational, RelationalExt, Similarity, Streaming, TextOps}
+import graft.queries.{Dedup, MultimodalQ, Pipeline, Relational, RelationalExt, Similarity, Streaming, Temporal, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -53,6 +53,8 @@ object SparkEntry {
     "q34_udf_surface"       -> (RelationalExt.q34UdfSurface _),
     "q35_approx_distinct"   -> (RelationalExt.q35ApproxDistinct _),
     "q36_multimodal_meta"   -> (MultimodalQ.q36MultimodalMeta _),
+    "q37_asof_join"         -> (Temporal.q37AsofJoin _),
+    "q38_percentiles"       -> (Temporal.q38Percentiles _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -94,5 +96,7 @@ object SparkEntry {
     // across engines; the driver records a rows-only check and
     // RelationalExtSpec pins the error bound.
     "q36_multimodal_meta"   -> MultimodalQ.q36Sql,
+    "q37_asof_join"         -> Temporal.q37Sql,
+    "q38_percentiles"       -> Temporal.q38Sql,
   )
 }

@@ -1,0 +1,83 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables._
+
+/** Temporal operators Spark lacks as builtins, composed scale-correctly
+  * from existing ops (SURVEY.md §2 custom-operator preference (a)).
+  */
+object Temporal {
+
+  /** q37: as-of join — every event matched to the same user's most recent
+    * 'purchase' event at-or-before it.
+    *
+    * Implementation is the union + ordered carry-forward merge, NOT a
+    * range join: tag the probe stream (1) and the build stream (0), union,
+    * then one window pass per user ordered by (ts, tag) carrying the last
+    * non-null build payload forward. Cost is a single shuffle+sort per
+    * side — identical asymptotics to a sort-merge join — where the naive
+    * `l JOIN r ON key AND r.ts <= l.ts` + max() formulation explodes to
+    * O(|l|·|r|) pairs per key at scale. Build rows order before probe rows
+    * at equal ts (tag 0 < 1), giving inclusive `<=` semantics; (user_id,
+    * ts) is unique in the data, so the merge order is total and the
+    * result deterministic. Oracle: DuckDB's native ASOF LEFT JOIN.
+    */
+  def q37AsofJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    val probe = ev.select(
+      col("user_id"), col("ts"), lit(1).as("tag"),
+      col("event_id"), col("event_type"),
+      lit(null).cast("long").as("p_id"), lit(null).cast("timestamp").as("p_ts"))
+    val build = ev.filter(col("event_type") === "purchase").select(
+      col("user_id"), col("ts"), lit(0).as("tag"),
+      lit(null).cast("long").as("event_id"), lit(null).cast("string").as("event_type"),
+      col("event_id").as("p_id"), col("ts").as("p_ts"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("tag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    probe.union(build)
+      .withColumn("last_purchase_id", last(col("p_id"), ignoreNulls = true).over(w))
+      .withColumn("last_purchase_ts", last(col("p_ts"), ignoreNulls = true).over(w))
+      .filter(col("tag") === 1)
+      // matched ts as epoch micros: a NULLABLE timestamp column trips
+      // ns-vs-µs dtype coercion in pandas-based comparators (NaT has no
+      // unit conversion), while longs compare exactly
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"),
+        col("last_purchase_id"), unix_micros(col("last_purchase_ts")).as("last_purchase_us"))
+      .orderBy(col("event_id"))
+  }
+
+  val q37Sql: String =
+    """SELECT e.event_id, e.user_id, e.ts, e.event_type,
+      | p.event_id AS last_purchase_id, epoch_us(p.ts) AS last_purchase_us
+      |FROM events e ASOF LEFT JOIN (
+      |  SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase') p
+      | ON e.user_id = p.user_id AND p.ts <= e.ts
+      |ORDER BY e.event_id""".stripMargin
+
+  /** q38: exact percentiles (linear interpolation) of order value per
+    * status. Exact percentile sorts each group's values — fine per-group
+    * here; at 100 TB with huge groups the sketch-based
+    * `approx_percentile` (cf. q35's HLL pattern) is the scale path.
+    * Rounded to 6dp: both engines interpolate linearly but may differ in
+    * the last ulp of the arithmetic form.
+    */
+  def q38Percentiles(s: SparkSession, dir: String): DataFrame =
+    orders(s, dir)
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        round(expr("percentile(o_totalprice, 0.5D)"), 6).as("p50"),
+        round(expr("percentile(o_totalprice, 0.9D)"), 6).as("p90"),
+        round(expr("percentile(o_totalprice, 0.99D)"), 6).as("p99"))
+      .orderBy(col("o_orderstatus"))
+
+  val q38Sql: String =
+    """SELECT o_orderstatus, COUNT(*) AS n_orders,
+      | ROUND(quantile_cont(o_totalprice, 0.5), 6) AS p50,
+      | ROUND(quantile_cont(o_totalprice, 0.9), 6) AS p90,
+      | ROUND(quantile_cont(o_totalprice, 0.99), 6) AS p99
+      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+}

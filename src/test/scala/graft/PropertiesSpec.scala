@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.functions.TextFns
+import graft.functions.DotFold.dotFold
+import graft.pipeline.CustomerPipeline
+
+/** Property-style laws over ScalaCheck-generated data. Generation is
+  * seeded (deterministic) and batched into one DataFrame per law — one
+  * Spark job per property instead of one per sample.
+  */
+class PropertiesSpec extends SparkTestBase {
+
+  private def draw[A](g: Gen[A], n: Int, seed: Long): List[A] =
+    Gen.listOfN(n, g).apply(Gen.Parameters.default, Seed(seed))
+      .getOrElse(sys.error("gen failed"))
+
+  // printable-ish unicode strings incl. JSON-hostile chars, no surrogates
+  private val hostileString: Gen[String] = Gen.listOf(Gen.frequency(
+    8 -> Gen.alphaNumChar,
+    2 -> Gen.oneOf('"', '\\', '\n', '\t', '{', '}', ',', ':', ' ', 'ñ', '中', '€'),
+  )).map(_.mkString)
+
+  test("law: from_json ∘ to_json = id on hostile strings and balances") {
+    import spark.implicits._
+    val rows = draw(
+      for {
+        nombre <- hostileString; apellido <- hostileString
+        dir <- hostileString; tel <- Gen.numStr.map(_.take(15))
+        pesos <- Gen.chooseNum(0L, 9999999L); dolares <- Gen.chooseNum(0L, 999999L)
+      } yield (nombre, apellido, dir, tel, BigDecimal(pesos, 2), BigDecimal(dolares, 2)),
+      200, seed = 42L)
+    val df = rows.zipWithIndex
+      .map { case ((no, ap, di, te, pe, dl), i) => (i, no, ap, di, te, pe, dl) }
+      .toDF("id", "nombre", "apellido", "direccion", "telefono",
+        "caja_ahorro_pesos", "caja_ahorro_dolares")
+      .select(col("id").cast("int").as("id"), col("nombre"), col("apellido"),
+        col("direccion"), col("telefono"),
+        col("caja_ahorro_pesos").cast("decimal(10,2)").as("caja_ahorro_pesos"),
+        col("caja_ahorro_dolares").cast("decimal(10,2)").as("caja_ahorro_dolares"))
+    val back = CustomerPipeline.roundTrip(df).orderBy("id").collect()
+    assert(back.toSeq === df.orderBy("id").collect().toSeq)
+  }
+
+  test("law: dropDuplicates is idempotent and reaches a fixpoint") {
+    import spark.implicits._
+    val rows = draw(Gen.chooseNum(0, 30), 500, seed = 7L)
+    val df = rows.toDF("x")
+    val once = df.dropDuplicates()
+    val twice = once.dropDuplicates()
+    assert(once.count() === twice.count())
+    assert(once.count() === rows.distinct.size.toLong)
+  }
+
+  test("law: hash60/hash32 land in range and agree with the oracle's definition") {
+    import spark.implicits._
+    val strs = draw(hostileString, 300, seed = 11L)
+    val out = strs.toDF("s")
+      .select(TextFns.hash60(col("s")).as("h60"), TextFns.hash32(col("s")).as("h32"),
+        md5(col("s")).as("m"))
+      .collect()
+    out.foreach { r =>
+      val (h60, h32, m) = (r.getLong(0), r.getLong(1), r.getString(2))
+      assert(h60 >= 0 && h60 < (1L << 60))
+      assert(h32 >= 0 && h32 < (1L << 32))
+      assert(h60 === java.lang.Long.parseLong(m.take(15), 16))
+      assert(h32 === java.lang.Long.parseLong(m.take(8), 16))
+    }
+  }
+
+  test("law: n words yield max(0, n-2) 3-shingles, each of 3 words") {
+    import spark.implicits._
+    val docs = draw(Gen.chooseNum(0, 12).flatMap(n =>
+      Gen.listOfN(n, Gen.identifier.map(_.take(5))).map(_.mkString(" "))), 200, seed = 13L)
+    val out = docs.toDF("text")
+      .select(col("text"), TextFns.shingles(TextFns.words(col("text")), 3).as("sh"))
+      .collect()
+    out.foreach { r =>
+      val nWords = r.getString(0).split("\\s+").count(_.nonEmpty)
+      val sh = r.getSeq[String](1)
+      assert(sh.size === math.max(0, nWords - 2), s"text='${r.getString(0)}'")
+      sh.foreach(s => assert(s.split(" ").length === 3))
+    }
+  }
+
+  test("law: DotFold ≡ sequential left fold, bit for bit") {
+    import spark.implicits._
+    val vecs = draw(Gen.listOfN(16,
+      Gen.chooseNum(-1000000, 1000000).map(_ / 1024.0)), 300, seed = 17L)
+      .map(_.toArray)
+    val pairs = vecs.grouped(2).collect { case List(a, b) => (a, b) }.toList
+    val got = pairs.toDF("a", "b")
+      .select(dotFold(col("a"), col("b")).as("d")).collect().map(_.getDouble(0))
+    val want = pairs.map { case (a, b) =>
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i) * b(i); i += 1 }
+      acc
+    }
+    assert(got.toSeq === want)
+  }
+}

@@ -2,9 +2,11 @@ package graft
 
 import java.sql.Timestamp
 
+import org.apache.spark.sql.Encoders
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
+  StatefulProcessor, TTLConfig, TimeMode, TimerValues, Trigger, ValueState}
 
 import graft.streaming.EventStreams
 
@@ -17,6 +19,23 @@ import graft.streaming.EventStreams
   */
 /** Test event row — top-level so Spark can derive its product encoder. */
 case class Ev(ts: Timestamp, user_id: Long, event_type: String, value: Double)
+
+/** Spark 4 transformWithState processor: running max per user via
+  * ValueState — the modern arbitrary-state API (successor to
+  * flatMapGroupsWithState), with explicit typed state handles.
+  */
+class RunningMax extends StatefulProcessor[Long, Ev, (Long, Double)] {
+  @transient private var maxState: ValueState[Double] = _
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    maxState = getHandle.getValueState[Double]("max", Encoders.scalaDouble, TTLConfig.NONE)
+  override def handleInputRows(key: Long, rows: Iterator[Ev],
+      timerValues: TimerValues): Iterator[(Long, Double)] = {
+    val prev = if (maxState.exists()) maxState.get() else Double.MinValue
+    val mx = rows.foldLeft(prev)((m, e) => math.max(m, e.value))
+    maxState.update(mx)
+    Iterator((key, mx))
+  }
+}
 
 class StreamingSpec extends SparkTestBase {
 
@@ -110,6 +129,38 @@ class StreamingSpec extends SparkTestBase {
     q.awaitTermination(60000)
     assert(!q.isActive, "AvailableNow query should terminate after draining")
     assert(spark.table("drain").as[(Long, Long)].collect().map(_._2).sum === 50L)
+  }
+
+  test("transformWithState (Spark 4 API) keeps per-key running max in RocksDB state") {
+    implicit val sq = spark.sqlContext
+    import sq.implicits._
+    val oldProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    // transformWithState requires the RocksDB state store provider
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val in = MemoryStream[Ev]
+    val out = in.toDS().groupByKey(_.user_id)
+      .transformWithState(new RunningMax, TimeMode.None(), OutputMode.Update())
+      .toDF("user_id", "running_max")
+    val q = out.writeStream.format("memory").queryName("tws")
+      .outputMode(OutputMode.Update).start()
+    try {
+      in.addData(Ev(ts(1), 1, "c", 3.0), Ev(ts(2), 1, "c", 7.0), Ev(ts(3), 2, "c", 5.0))
+      q.processAllAvailable()
+      in.addData(Ev(ts(4), 1, "c", 4.0), Ev(ts(5), 2, "c", 9.0)) // 4.0 must NOT lower user 1's max
+      q.processAllAvailable()
+      val last = spark.table("tws").collect()
+        .map(r => (r.getLong(0), r.getDouble(1)))
+        .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).max }
+      assert(last(1L) === 7.0)
+      assert(last(2L) === 9.0)
+    } finally {
+      q.stop()
+      oldProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
   }
 
   test("batch and streaming tumbling plans agree on the same data") {

@@ -55,6 +55,7 @@ object SparkEntry {
     "q36_multimodal_meta"   -> (MultimodalQ.q36MultimodalMeta _),
     "q37_asof_join"         -> (Temporal.q37AsofJoin _),
     "q38_percentiles"       -> (Temporal.q38Percentiles _),
+    "q39_ann_ivf"           -> (Similarity.q39AnnIvf _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -98,5 +99,6 @@ object SparkEntry {
     "q36_multimodal_meta"   -> MultimodalQ.q36Sql,
     "q37_asof_join"         -> Temporal.q37Sql,
     "q38_percentiles"       -> Temporal.q38Sql,
+    "q39_ann_ivf"           -> Similarity.q39Sql,
   )
 }

@@ -1,0 +1,57 @@
+package graft.pipeline
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.Sessions
+
+/** Runnable end-to-end replacement for the reference's 3-task Airflow DAG
+  * (dags/etl_dags.py:103 — produce >> consume >> upload), with parquet
+  * directories standing in for MySQL/Kafka/S3 (the sandbox has no broker;
+  * swap [[KafkaIO]]/[[JdbcIO]] calls in on a real deployment):
+  *
+  *   E1 produce: seeded generator → wire frame (projection, decimal→
+  *      double, JSON) → "topic".
+  *   E2 consume: streaming drain of the topic with AvailableNow +
+  *      checkpoint (the drain-then-stop semantics the reference's
+  *      never-terminating loop wanted) → decimal re-round → "sink".
+  *   E3 upload: sink → single-JSON-array export (reference K3 semantics).
+  *
+  * Usage: runMain graft.pipeline.EtlJob [nRows] [workDir]
+  */
+object EtlJob {
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toLong).getOrElse(10000L)
+    val work = args.lift(1).getOrElse(Files.createTempDirectory("graft_etl").toString)
+    val (topic, sink, ckpt, export) =
+      (s"$work/topic", s"$work/sink", s"$work/ckpt", s"$work/etl_output")
+    val spark = Sessions.local("graft-etl")
+    spark.sparkContext.setLogLevel("WARN")
+
+    // E1 — produce
+    CustomerPipeline.toKafkaFrame(CustomerPipeline.generate(spark, n))
+      .write.mode("overwrite").parquet(topic)
+
+    // E2 — consume (drain backlog exactly once, then stop)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(topic).schema)
+      .parquet(topic)
+    val q = KafkaIO.drainTo(stream, ckpt) { (batch, _) =>
+      CustomerPipeline.fromKafkaFrame(batch).write.mode("append").parquet(sink)
+    }.trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+
+    // E3 — upload (single JSON array object, like the reference's
+    // put_object of etl_output.json)
+    CustomerPipeline.exportJsonArray(spark.read.parquet(sink))
+      .coalesce(1).write.mode("overwrite").text(export)
+
+    val rows = spark.read.parquet(sink).count()
+    val sample = spark.read.parquet(sink).orderBy(col("id")).limit(3).collect()
+    println(s"[etl] $rows rows drained to $sink; export at $export")
+    sample.foreach(r => println(s"[etl] sample: $r"))
+    spark.stop()
+  }
+}

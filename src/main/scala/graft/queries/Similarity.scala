@@ -120,6 +120,75 @@ object Similarity {
       .orderBy(col("vec_id"), col("rnk"))
   }
 
+  /** IVF cell count (√n-ish for the test corpora). */
+  val IvfCells: Int = 16
+
+  /** q39: IVF-style ANN — the second scale path next to LSH (q26).
+    * Structure matches production IVF exactly: a small centroid table is
+    * broadcast, every vector is assigned to its nearest centroid (one
+    * map-side pass over n×K scores), and queries probe only their own
+    * cell via a shuffle equi-join on `cell` — per-cell work is (n/K)²
+    * instead of n². The one concession to oracle-exactness: centroids are
+    * the K lowest-vec_id vectors rather than k-means-trained (training is
+    * iterative and RNG-seeded; the assignment/probe plan — the part that
+    * matters at scale — is identical either way). nprobe=1; raising it
+    * unions more cells per query, the standard recall knob.
+    */
+  def q39AnnIvf(s: SparkSession, dir: String): DataFrame = {
+    val e = vecs(s, dir)
+    val cents = e.orderBy(col("vec_id")).limit(IvfCells)
+      .select(col("vec_id").as("c_id"), col("v").as("cv"), col("norm").as("cnorm"))
+    val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("cscore").desc, col("c_id"))
+    val assigned = e.crossJoin(broadcast(cents))
+      .withColumn("cscore", round(dot(col("v"), col("cv")) / (col("norm") * col("cnorm")), 6))
+      .withColumn("crn", row_number().over(wAssign))
+      .filter(col("crn") === 1)
+      .select(col("vec_id"), col("v"), col("norm"), col("c_id").as("cell"))
+    val pairs = assigned.as("a").join(assigned.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("neighbor_id"),
+        col("a.cell").as("cell"),
+        round(dot(col("a.v"), col("b.v")) / (col("a.norm") * col("b.norm")), 6).as("sim"))
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("sim").desc, col("neighbor_id"))
+    pairs
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 3)
+      .orderBy(col("vec_id"), col("rnk"))
+  }
+
+  val q39Sql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |n AS (
+       |  SELECT vec_id, v,
+       |   sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |     list_transform(v, x -> x * x)), (a, b) -> a + b)) AS norm
+       |  FROM e),
+       |cents AS (
+       |  SELECT vec_id AS c_id, v AS cv, norm AS cnorm FROM n
+       |  ORDER BY vec_id LIMIT $IvfCells),
+       |assign AS (
+       |  SELECT vec_id, v, norm, c_id AS cell,
+       |   row_number() OVER (PARTITION BY vec_id ORDER BY
+       |     ROUND(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |         list_transform(range(1, ${AnnDims + 1}), i -> n.v[i] * cents.cv[i])), (x, y) -> x + y)
+       |       / (n.norm * cents.cnorm), 6) DESC, c_id) AS crn
+       |  FROM n CROSS JOIN cents),
+       |cells AS (SELECT vec_id, v, norm, cell FROM assign WHERE crn = 1),
+       |p AS (
+       |  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id, a.cell AS cell,
+       |   ROUND(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |       list_transform(range(1, ${AnnDims + 1}), i -> a.v[i] * b.v[i])), (x, y) -> x + y)
+       |     / (a.norm * b.norm), 6) AS sim
+       |  FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id <> b.vec_id),
+       |r AS (
+       |  SELECT vec_id, neighbor_id, cell, sim,
+       |   CAST(row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rnk
+       |  FROM p)
+       |SELECT vec_id, neighbor_id, cell, sim, rnk FROM r WHERE rnk <= 3
+       |ORDER BY vec_id, rnk""".stripMargin
+
   val q26Sql: String = {
     val planes = PlaneCoeffs.map(_.mkString("[", ", ", "]")).mkString("[", ", ", "]")
     s"""WITH e AS (

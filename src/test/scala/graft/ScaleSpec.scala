@@ -39,6 +39,23 @@ class ScaleSpec extends SparkTestBase {
     }
   }
 
+  test("salted two-phase aggregation equals the direct aggregate on skewed keys") {
+    import spark.implicits._
+    // 90% of rows share one hot key — the shape that melts a single
+    // reducer at scale and that salting exists to spread
+    val rows = (1 to 20000).map(i =>
+      (if (i % 10 == 0) s"key${i % 50}" else "HOT", BigDecimal(i % 997, 2)))
+    val df = rows.toDF("k", "v").select(col("k"), col("v").cast("decimal(18,2)").as("v"))
+    val direct = df.groupBy("k").agg(sum("v").as("total"))
+      .orderBy("k").collect().map(r => (r.getString(0), r.getDecimal(1)))
+    val salted = df
+      .withColumn("salt", pmod(xxhash64(monotonically_increasing_id()), lit(16)))
+      .groupBy(col("k"), col("salt")).agg(sum("v").as("partial"))
+      .groupBy(col("k")).agg(sum("partial").as("total"))
+      .orderBy("k").collect().map(r => (r.getString(0), r.getDecimal(1)))
+    assert(salted.toSeq === direct.toSeq)
+  }
+
   test("AvailableNow + checkpoint drains each record exactly once across restarts") {
     val topicDir = Files.createTempDirectory("graft_eo_topic").toString
     val checkpoint = Files.createTempDirectory("graft_eo_ckpt").toString

@@ -56,6 +56,7 @@ object SparkEntry {
     "q37_asof_join"         -> (Temporal.q37AsofJoin _),
     "q38_percentiles"       -> (Temporal.q38Percentiles _),
     "q39_ann_ivf"           -> (Similarity.q39AnnIvf _),
+    "q40_embedding_neardup" -> (Similarity.q40EmbeddingNearDup _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -100,5 +101,6 @@ object SparkEntry {
     "q37_asof_join"         -> Temporal.q37Sql,
     "q38_percentiles"       -> Temporal.q38Sql,
     "q39_ann_ivf"           -> Similarity.q39Sql,
+    "q40_embedding_neardup" -> Similarity.q40Sql,
   )
 }

@@ -29,6 +29,7 @@ object EtlJob {
       (s"$work/topic", s"$work/sink", s"$work/ckpt", s"$work/etl_output")
     val spark = Sessions.local("graft-etl")
     spark.sparkContext.setLogLevel("WARN")
+    val t0 = System.nanoTime()
 
     // E1 — produce
     CustomerPipeline.toKafkaFrame(CustomerPipeline.generate(spark, n))
@@ -49,8 +50,10 @@ object EtlJob {
       .coalesce(1).write.mode("overwrite").text(export)
 
     val rows = spark.read.parquet(sink).count()
+    val secs = (System.nanoTime() - t0) / 1e9
     val sample = spark.read.parquet(sink).orderBy(col("id")).limit(3).collect()
-    println(s"[etl] $rows rows drained to $sink; export at $export")
+    println(f"[etl] $rows rows through produce->consume->export in $secs%.1fs " +
+      f"(${rows / secs}%.0f rows/s end-to-end); sink=$sink export=$export")
     sample.foreach(r => println(s"[etl] sample: $r"))
     spark.stop()
   }

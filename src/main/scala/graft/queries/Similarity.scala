@@ -120,6 +120,46 @@ object Similarity {
       .orderBy(col("vec_id"), col("rnk"))
   }
 
+  /** q40: embedding-cosine near-duplicate detection — the fifth dedup
+    * family member (cf. q21–q24 on text), keyed on semantic similarity
+    * instead of lexical overlap. Emits the canonical mapping a dedup
+    * pipeline consumes: (keep_id, drop_id, sim) with keep = min vec_id.
+    * Threshold is corpus-calibrated (this synthetic corpus's max pairwise
+    * cosine is 0.51; production near-dup runs at ~0.95+ — the plan is
+    * identical). Pairwise scoring here is exact over a < b; at corpus
+    * scale the candidate stream comes from the q26 LSH buckets or q39 IVF
+    * cells instead of the full pair space — at high thresholds those
+    * candidate generators have high recall precisely because near-dup
+    * vectors collide.
+    */
+  def q40EmbeddingNearDup(s: SparkSession, dir: String): DataFrame = {
+    val e = vecs(s, dir)
+    e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("keep_id"), col("b.vec_id").as("drop_id"),
+        round(dot(col("a.v"), col("b.v")) / (col("a.norm") * col("b.norm")), 6).as("sim"))
+      .filter(col("sim") >= 0.45)
+      .orderBy(col("keep_id"), col("drop_id"))
+  }
+
+  val q40Sql: String =
+    """WITH e AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings),
+      |n AS (
+      |  SELECT vec_id, v,
+      |   sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |     list_transform(v, x -> x * x)), (a, b) -> a + b)) AS norm
+      |  FROM e)
+      |SELECT a.vec_id AS keep_id, b.vec_id AS drop_id,
+      | ROUND(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |     list_transform(range(1, 65), i -> a.v[i] * b.v[i])), (x, y) -> x + y)
+      |   / (a.norm * b.norm), 6) AS sim
+      |FROM n a JOIN n b ON a.vec_id < b.vec_id
+      |WHERE ROUND(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |     list_transform(range(1, 65), i -> a.v[i] * b.v[i])), (x, y) -> x + y)
+      |   / (a.norm * b.norm), 6) >= 0.45
+      |ORDER BY keep_id, drop_id""".stripMargin
+
   /** IVF cell count (√n-ish for the test corpora). */
   val IvfCells: Int = 16
 

@@ -1,0 +1,51 @@
+package graft
+
+import graft.queries.{Dedup, Relational}
+
+/** Plan-shape regression tests: the properties that make these queries
+  * scale are plan properties (pushdown, pruning, broadcast, top-k
+  * short-circuit, no accidental cartesians) — pin them so a refactor
+  * that silently degrades the plan fails CI, not production.
+  */
+class PlanSpec extends SparkTestBase {
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("q01: shipdate filter reaches the parquet scan; unused columns pruned") {
+    val p = plan(Relational.q01PricingSummary(spark, sf))
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      s"filter not pushed:\n$p")
+    assert(!p.contains("l_orderkey"), "scan reads columns the query never uses")
+  }
+
+  test("q02: every dimension join is a broadcast hash join") {
+    val p = plan(Relational.q02RevenueByNation(spark, sf))
+    assert(p.split("BroadcastHashJoin").length - 1 >= 4, s"expected 4 BHJs:\n$p")
+    assert(!p.contains("SortMergeJoin"), "dim join degraded to a shuffle join")
+  }
+
+  test("q03: global top-k plans TakeOrderedAndProject, not a full sort") {
+    val p = plan(Relational.q03TopOrders(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"), s"top-k degraded to full sort:\n$p")
+  }
+
+  test("dedup similarity joins never plan a cartesian product") {
+    Seq(Dedup.q22NgramJaccard(spark, sf), Dedup.q23MinHashLsh(spark, sf),
+      Dedup.q24SimHash(spark, sf)).foreach { df =>
+      val p = plan(df)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"candidate generation degraded to all-pairs:\n$p")
+    }
+  }
+
+  test("map-only text queries have no shuffle before the presentation sort") {
+    Seq("q17_lang_id", "q18_text_quality", "q19_token_count", "q20_fingerprint",
+      "q36_multimodal_meta").foreach { name =>
+      val p = plan(SparkEntry.queries(name)(spark, sf))
+      // exactly the sort's range-partitioning exchange, nothing else
+      val exchanges = p.split("Exchange (hashpartitioning|rangepartitioning|SinglePartition)").length - 1
+      assert(exchanges <= 1, s"$name shuffles beyond the output sort:\n$p")
+    }
+  }
+}

@@ -57,6 +57,7 @@ object SparkEntry {
     "q38_percentiles"       -> (Temporal.q38Percentiles _),
     "q39_ann_ivf"           -> (Similarity.q39AnnIvf _),
     "q40_embedding_neardup" -> (Similarity.q40EmbeddingNearDup _),
+    "q41_array_funcs"       -> (RelationalExt.q41ArrayFuncs _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -102,5 +103,6 @@ object SparkEntry {
     "q38_percentiles"       -> Temporal.q38Sql,
     "q39_ann_ivf"           -> Similarity.q39Sql,
     "q40_embedding_neardup" -> Similarity.q40Sql,
+    "q41_array_funcs"       -> RelationalExt.q41Sql,
   )
 }

@@ -136,6 +136,30 @@ object RelationalExt {
       | COUNT(*) AS n_rows
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** q41: array aggregation + array scalar functions — rows collapsed to
+    * per-order part lists (collect_list → sort_array for determinism:
+    * collect order under parallelism is arbitrary), then array_join /
+    * size / membership. Output is the joined string, which compares
+    * exactly through every comparator (nested-array cells don't).
+    */
+  def q41ArrayFuncs(s: SparkSession, dir: String): DataFrame =
+    lineitem(s, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(collect_list(col("l_partkey")).as("parts_raw"),
+        count(lit(1)).as("n_items"))
+      .select(col("l_orderkey"), col("n_items"),
+        size(array_distinct(col("parts_raw"))).cast("long").as("n_distinct_parts"),
+        array_join(sort_array(col("parts_raw")), ",").as("parts_sorted"),
+        array_contains(col("parts_raw"), 1L).as("has_part_1"))
+      .orderBy(col("l_orderkey"))
+
+  val q41Sql: String =
+    """SELECT l_orderkey, COUNT(*) AS n_items,
+      | CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_distinct_parts,
+      | array_to_string(list_sort(list(l_partkey)), ',') AS parts_sorted,
+      | bool_or(l_partkey = 1) AS has_part_1
+      |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin
+
   /** q35: approximate distinct counting (HyperLogLog++). No SQL oracle —
     * DuckDB's approx_count_distinct uses a different sketch, so exact
     * equality is undefined by design; the driver records a rows-only

@@ -10,18 +10,25 @@ object Bench {
     // JVM/codegen/shuffle-machinery warmup so the first measured query
     // doesn't absorb one-time session init; touches no benchmark data.
     spark.range(1000000).selectExpr("sum(id) s").write.mode("overwrite").format("noop").save()
+    var failed = List.empty[String]
     val results = queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop sink: full materialization of every output column (count()
       // would let Catalyst prune the projections away on map-only queries)
       try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-      catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
+      catch { case e: Throwable =>
+        failed ::= name
+        System.err.println(s"[bench] $name failed: $e")
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // failed queries are listed explicitly so a fast failure can never
+    // masquerade as a fast run in the tracked metric
+    val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

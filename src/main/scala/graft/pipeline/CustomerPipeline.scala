@@ -89,9 +89,12 @@ object CustomerPipeline {
       if (f.dataType.isInstanceOf[DecimalType]) col(f.name).cast("double").as(f.name)
       else col(f.name)
     }
+    // collect_list does NOT preserve a prior global sort (the single
+    // reducer concatenates partition partials in fetch order), so order
+    // inside the aggregate: sort_array on array<struct> orders by the
+    // first struct field, which is `id`.
     customers
-      .orderBy(col("id"))
-      .agg(to_json(collect_list(struct(wire: _*))).as("json_array"))
+      .agg(to_json(sort_array(collect_list(struct(wire: _*)))).as("json_array"))
   }
 
   /** The idiomatic, scale-safe export: JSON-lines, written in parallel.
@@ -113,7 +116,7 @@ object CustomerPipeline {
     def pick(xs: Seq[String], h: Column): Column =
       element_at(array(xs.map(lit): _*), (h % xs.size).cast("int") + 1)
     def h(salt: String): Column =
-      conv(substring(md5(concat(lit(salt), col("id"))), 1, 15), 16, 10).cast("long")
+      graft.functions.TextFns.hash60(concat(lit(salt), col("id")))
     spark.range(1, n + 1, 1, partitions)
       .select(
         col("id").cast("int").as("id"),

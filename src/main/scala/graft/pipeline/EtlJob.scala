@@ -41,7 +41,7 @@ object EtlJob {
       .parquet(topic)
     val q = KafkaIO.drainTo(stream, ckpt) { (batch, _) =>
       CustomerPipeline.fromKafkaFrame(batch).write.mode("append").parquet(sink)
-    }.trigger(Trigger.AvailableNow()).start()
+    }.start()
     q.awaitTermination()
 
     // E3 — upload (single JSON array object, like the reference's

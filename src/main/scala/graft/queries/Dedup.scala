@@ -66,9 +66,12 @@ object Dedup {
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("inter"))
+    // no broadcast hint: sz is O(corpus docs) — tiny here, but a forced
+    // broadcast would be wrong at web scale; AQE broadcasts it when it
+    // actually fits
     pairs
-      .join(broadcast(sz.as("sa")), col("doc_a") === col("sa.doc_id"))
-      .join(broadcast(sz.as("sb")), col("doc_b") === col("sb.doc_id"))
+      .join(sz.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sz.as("sb"), col("doc_b") === col("sb.doc_id"))
       .withColumn("jaccard", round(col("inter").cast("double")
         / (col("sa.n") + col("sb.n") - col("inter")).cast("double"), 6))
       .filter(col("jaccard") >= 0.5)

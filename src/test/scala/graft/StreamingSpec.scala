@@ -163,6 +163,35 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("stream-stream inner join with watermarked range condition") {
+    implicit val sq = spark.sqlContext
+    import sq.implicits._
+    val clicks = MemoryStream[Ev]
+    val purchases = MemoryStream[Ev]
+    // attribute each purchase to a click by the same user within 10 min
+    val c = clicks.toDF().select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+      .withWatermark("c_ts", "20 minutes")
+    val p = purchases.toDF().select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("value").as("amount"))
+      .withWatermark("p_ts", "20 minutes")
+    val joined = c.join(p,
+      col("c_user") === col("p_user") &&
+        col("p_ts") >= col("c_ts") && col("p_ts") <= col("c_ts") + expr("INTERVAL 10 MINUTES"))
+    val q = joined.writeStream.format("memory").queryName("ssj")
+      .outputMode(OutputMode.Append).start()
+    try {
+      clicks.addData(Ev(ts(0), 1, "click", 0.0), Ev(ts(30), 2, "click", 0.0))
+      purchases.addData(
+        Ev(ts(5), 1, "purchase", 9.99),   // within 10 min of user 1's click → joins
+        Ev(ts(45), 2, "purchase", 5.0),   // 15 min after user 2's click → no join
+        Ev(ts(7), 3, "purchase", 1.0))    // no click at all → no join
+      q.processAllAvailable()
+      val rows = spark.table("ssj").collect()
+        .map(r => (r.getAs[Long]("c_user"), r.getAs[Double]("amount")))
+      assert(rows.toSeq === Seq((1L, 9.99)))
+    } finally q.stop()
+  }
+
   test("batch and streaming tumbling plans agree on the same data") {
     implicit val sq = spark.sqlContext
     import sq.implicits._

@@ -1,0 +1,45 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.CustomerPipeline
+
+/** File-source coverage (SURVEY.md §2.1 S5): CSV and JSON round-trips
+  * with explicit schemas (schema inference is a scale anti-pattern — it
+  * costs an extra full scan — so the engine always supplies schemas).
+  */
+class SourcesSpec extends SparkTestBase {
+
+  private lazy val customers = CustomerPipeline.generate(spark, 200, partitions = 4)
+
+  test("CSV round-trip with explicit schema preserves every row") {
+    val dir = Files.createTempDirectory("graft_csv").toString
+    customers.write.mode("overwrite").option("header", "true").csv(dir)
+    val back = spark.read.schema(CustomerPipeline.CustomerSchema)
+      .option("header", "true").csv(dir)
+    assert(back.orderBy("id").collect().toSeq === customers.orderBy("id").collect().toSeq)
+  }
+
+  test("JSON-lines round-trip with explicit schema preserves every row") {
+    val dir = Files.createTempDirectory("graft_json").toString
+    CustomerPipeline.exportJsonLines(customers, dir)
+    val back = spark.read.schema(CustomerPipeline.CustomerSchema).json(dir)
+    assert(back.orderBy("id").collect().toSeq === customers.orderBy("id").collect().toSeq)
+  }
+
+  test("JSON read surfaces corrupt records instead of dropping them silently") {
+    val dir = Files.createTempDirectory("graft_badjson").toString
+    import spark.implicits._
+    Seq("""{"id": 1, "nombre": "ok"}""", """{"id": oops not json""")
+      .toDS().write.mode("overwrite").text(dir)
+    val schema = "id INT, nombre STRING, _corrupt_record STRING"
+    val read = spark.read.schema(schema)
+      .option("mode", "PERMISSIVE").option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(dir).cache()
+    assert(read.count() === 2)
+    assert(read.filter(col("_corrupt_record").isNotNull).count() === 1)
+    assert(read.filter(col("id") === 1 && col("nombre") === "ok").count() === 1)
+  }
+}

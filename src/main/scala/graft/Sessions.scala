@@ -1,6 +1,10 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+import graft.functions.DotFold
 
 /** Single place where engine sessions are configured, so every entry point
   * (Verify, Bench, tests) runs with identical semantics:
@@ -25,6 +29,18 @@ object Sessions {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
+      // Engine extensions via the public SparkSessionExtensions hook:
+      // dot_fold(array<double>, array<double>) as a SQL-callable function
+      // backed by the codegen'd DotFold expression.
+      .withExtensions { ext =>
+        ext.injectFunction((
+          FunctionIdentifier("dot_fold"),
+          new ExpressionInfo(classOf[DotFold].getName, "dot_fold"),
+          (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+            require(children.length == 2, "dot_fold takes exactly 2 arguments")
+            DotFold(children.head, children(1))
+          }))
+      }
 
   /** Session for the harness mains: `local[$SPARK_GRAFT_CPUS]`. */
   def local(appName: String): SparkSession = {

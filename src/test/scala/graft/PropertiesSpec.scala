@@ -86,6 +86,13 @@ class PropertiesSpec extends SparkTestBase {
     }
   }
 
+  test("dot_fold is SQL-callable via the injected session extension") {
+    val r = spark.sql("SELECT dot_fold(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d").head()
+    assert(r.getDouble(0) === 11.0)
+    // null propagation on length mismatch, matching the HOF fold
+    assert(spark.sql("SELECT dot_fold(array(1.0D), array(1.0D, 2.0D)) AS d").head().isNullAt(0))
+  }
+
   test("law: DotFold ≡ sequential left fold, bit for bit") {
     import spark.implicits._
     val vecs = draw(Gen.listOfN(16,

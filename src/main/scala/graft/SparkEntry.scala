@@ -60,6 +60,7 @@ object SparkEntry {
     "q41_array_funcs"       -> (RelationalExt.q41ArrayFuncs _),
     "q42_window_features"   -> (WindowsExt.q42WindowFeatures _),
     "q43_subqueries"        -> (WindowsExt.q43Subqueries _),
+    "q44_grouping_sets"     -> (RelationalExt.q44GroupingSets _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -108,5 +109,6 @@ object SparkEntry {
     "q41_array_funcs"       -> RelationalExt.q41Sql,
     "q42_window_features"   -> WindowsExt.q42Sql,
     "q43_subqueries"        -> WindowsExt.q43Sql,
+    "q44_grouping_sets"     -> RelationalExt.q44Sql,
   )
 }

@@ -160,6 +160,36 @@ object RelationalExt {
       | bool_or(l_partkey = 1) AS has_part_1
       |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin
 
+  /** q44: explicit GROUPING SETS with grouping() markers — the general
+    * form of rollup/cube (q11/q30), via the SQL surface (the DataFrame
+    * API only exposes the rollup/cube special cases). Still one Expand +
+    * single-pass hash aggregate. grouping() disambiguates "NULL because
+    * aggregated away" from "NULL in the data" — load-bearing for
+    * downstream consumers of subtotal rows.
+    */
+  def q44GroupingSets(s: SparkSession, dir: String): DataFrame = {
+    lineitem(s, dir).createOrReplaceTempView("lineitem_v")
+    s.sql(
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(grouping(l_returnflag) AS BIGINT) AS g_rf,
+        | CAST(grouping(l_linestatus) AS BIGINT) AS g_ls,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        | COUNT(*) AS n_rows
+        |FROM lineitem_v
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
+        |ORDER BY g_rf, g_ls, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)
+  }
+
+  val q44Sql: String =
+    """SELECT l_returnflag, l_linestatus,
+      | CAST(grouping(l_returnflag) AS BIGINT) AS g_rf,
+      | CAST(grouping(l_linestatus) AS BIGINT) AS g_ls,
+      | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      | COUNT(*) AS n_rows
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
+      |ORDER BY g_rf, g_ls, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
+
   /** q35: approximate distinct counting (HyperLogLog++). No SQL oracle —
     * DuckDB's approx_count_distinct uses a different sketch, so exact
     * equality is undefined by design; the driver records a rows-only

@@ -61,6 +61,7 @@ object SparkEntry {
     "q42_window_features"   -> (WindowsExt.q42WindowFeatures _),
     "q43_subqueries"        -> (WindowsExt.q43Subqueries _),
     "q44_grouping_sets"     -> (RelationalExt.q44GroupingSets _),
+    "q45_dedup_components"  -> (Dedup.q45DedupComponents _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -110,5 +111,6 @@ object SparkEntry {
     "q42_window_features"   -> WindowsExt.q42Sql,
     "q43_subqueries"        -> WindowsExt.q43Sql,
     "q44_grouping_sets"     -> RelationalExt.q44Sql,
+    "q45_dedup_components"  -> Dedup.q45Sql,
   )
 }

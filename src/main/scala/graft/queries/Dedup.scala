@@ -187,6 +187,64 @@ object Dedup {
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  /** q45: connected-components canonicalization of the near-dup graph —
+    * the step a real dedup pipeline runs after pair generation (q22):
+    * transitively-linked docs collapse to one canonical id (the
+    * component's min doc_id), so A≈B≈C dedups to a single keeper even
+    * when A and C were never directly compared.
+    *
+    * Algorithm: min-label propagation to fixpoint. Each round joins the
+    * current labels to the symmetric edge list and takes the min over
+    * self+neighbors — a driver-controlled loop of shuffle joins over the
+    * (tiny relative to the corpus) near-dup node set. Convergence needs
+    * O(diameter) rounds; the fixpoint is unique, so the result is
+    * deterministic regardless of round count. Oracle: DuckDB recursive
+    * CTE computing min reachable id.
+    */
+  def q45DedupComponents(s: SparkSession, dir: String): DataFrame = {
+    val pairs = q22NgramJaccard(s, dir).select(col("doc_a"), col("doc_b"))
+    val edges = pairs
+      .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .cache() // reused every propagation round
+    var labels = edges.select(col("doc_a").as("doc")).distinct()
+      .withColumn("comp", col("doc"))
+      .cache()
+    var converged = false
+    while (!converged) {
+      val viaNeighbors = edges.join(labels, col("doc_a") === col("doc"))
+        .select(col("doc_b").as("doc"), col("comp"))
+      val next = labels.select(col("doc"), col("comp")).union(viaNeighbors)
+        .groupBy(col("doc")).agg(min(col("comp")).as("comp"))
+        .cache()
+      converged = next.join(labels.withColumnRenamed("comp", "prev"), "doc")
+        .filter(col("comp") < col("prev")).isEmpty
+      labels.unpersist()
+      labels = next
+    }
+    labels.orderBy(col("doc"))
+  }
+
+  val q45Sql: String =
+    s"""WITH RECURSIVE $sqlShingles,
+       |inter AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS inter
+       |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |near AS (
+       |  SELECT doc_a, doc_b FROM inter
+       |   JOIN sz sa ON doc_a = sa.doc_id
+       |   JOIN sz sb ON doc_b = sb.doc_id
+       |  WHERE ROUND(CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE), 6) >= 0.5),
+       |edges AS (
+       |  SELECT doc_a, doc_b FROM near
+       |  UNION ALL SELECT doc_b, doc_a FROM near),
+       |reach AS (
+       |  SELECT DISTINCT doc_a AS doc, doc_a AS r FROM edges
+       |  UNION
+       |  SELECT reach.doc, edges.doc_b AS r
+       |  FROM reach JOIN edges ON reach.r = edges.doc_a)
+       |SELECT doc, min(r) AS comp FROM reach GROUP BY doc ORDER BY doc""".stripMargin
+
   /** q24: SimHash near-dup detection. Per doc: a 48-bit signature — bit i
     * is the sign of Σ over the token stream of ±1 (token hash bit i) —
     * then a banded hamming join: signatures are split into 4×12-bit bands;

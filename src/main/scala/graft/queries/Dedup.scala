@@ -202,7 +202,12 @@ object Dedup {
     * CTE computing min reachable id.
     */
   def q45DedupComponents(s: SparkSession, dir: String): DataFrame = {
-    val pairs = q22NgramJaccard(s, dir).select(col("doc_a"), col("doc_b"))
+    // cache the pair generation BEFORE the self-referencing union: both
+    // union branches read `pairs`, and an uncached subtree would run the
+    // whole q22 similarity join twice
+    val pairs = q22NgramJaccard(s, dir).select(col("doc_a"), col("doc_b")).cache()
+    pairs.count() // materialize eagerly: lazy caching under a concurrent
+                  // two-branch union can still compute partitions twice
     val edges = pairs
       .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .cache() // reused every propagation round

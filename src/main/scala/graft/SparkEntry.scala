@@ -62,6 +62,7 @@ object SparkEntry {
     "q43_subqueries"        -> (WindowsExt.q43Subqueries _),
     "q44_grouping_sets"     -> (RelationalExt.q44GroupingSets _),
     "q45_dedup_components"  -> (Dedup.q45DedupComponents _),
+    "q46_gap_fill"          -> (Temporal.q46GapFill _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -112,5 +113,6 @@ object SparkEntry {
     "q43_subqueries"        -> WindowsExt.q43Sql,
     "q44_grouping_sets"     -> RelationalExt.q44Sql,
     "q45_dedup_components"  -> Dedup.q45Sql,
+    "q46_gap_fill"          -> Temporal.q46Sql,
   )
 }

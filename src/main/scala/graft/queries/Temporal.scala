@@ -57,6 +57,48 @@ object Temporal {
       | ON e.user_id = p.user_id AND p.ts <= e.ts
       |ORDER BY e.event_id""".stripMargin
 
+  /** q46: time-spine gap filling — the feature-pipeline primitive that
+    * turns an irregular event stream into a dense per-(user, day) series:
+    * each user gets a complete day spine over their active range
+    * (`sequence` generator — rows multiply where the data lives, no
+    * shuffle), left-joined against observed daily counts with zero-fill.
+    * Sparse→dense is what makes downstream window features (rolling
+    * averages, streak counts) correct on days with no events.
+    */
+  def q46GapFill(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir).select(col("user_id"), to_date(col("ts")).as("day"),
+      col("value"))
+    val daily = ev.groupBy(col("user_id"), col("day"))
+      .agg(count(lit(1)).as("n_events"))
+    val spine = ev.groupBy(col("user_id"))
+      .agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+      .select(col("user_id"),
+        explode(sequence(col("lo"), col("hi"), expr("INTERVAL 1 DAY"))).as("day"))
+    spine.join(daily, Seq("user_id", "day"), "left")
+      // day emitted as midnight timestamp: Spark DATE surfaces as python
+      // date objects in pandas-based comparators while DuckDB dates
+      // become datetime64 — timestamps compare exactly on both sides
+      .select(col("user_id"), col("day").cast("timestamp").as("day"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        col("n_events").isNull.as("was_gap"))
+      .orderBy(col("user_id"), col("day"))
+  }
+
+  val q46Sql: String =
+    """WITH ev AS (
+      |  SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+      |daily AS (
+      |  SELECT user_id, day, COUNT(*) AS n_events FROM ev GROUP BY 1, 2),
+      |spine AS (
+      |  SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS day
+      |  FROM (SELECT user_id, min(day) AS lo, max(day) AS hi FROM ev GROUP BY 1))
+      |SELECT spine.user_id, CAST(spine.day AS TIMESTAMP) AS day,
+      | COALESCE(daily.n_events, 0) AS n_events,
+      | daily.n_events IS NULL AS was_gap
+      |FROM spine LEFT JOIN daily
+      |  ON spine.user_id = daily.user_id AND spine.day = daily.day
+      |ORDER BY spine.user_id, spine.day""".stripMargin
+
   /** q38: exact percentiles (linear interpolation) of order value per
     * status. Exact percentile sorts each group's values — fine per-group
     * here; at 100 TB with huge groups the sketch-based

@@ -3,6 +3,13 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    // fail on ANY unknown name: a typo in a multi-name filter must not
+    // silently bench a subset that masquerades as a fast/passing run
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      require(unknown.isEmpty,
+        s"unknown query names in SPARK_GRAFT_ONLY: ${unknown.toSeq.sorted.mkString(",")}")
+    }
     val spark = Sessions.local("graft-bench")
     spark.sparkContext.setLogLevel("WARN")
     val queries = SparkEntry.queries.filter { case (n, _) => only.forall(_.contains(n)) }

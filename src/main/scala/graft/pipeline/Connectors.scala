@@ -22,10 +22,15 @@ import org.apache.spark.sql.Row
   */
 object JdbcIO {
 
-  /** Parallel range-partitioned scan (replaces SELECT * + fetchall). */
+  /** Parallel range-partitioned scan (replaces SELECT * + fetchall).
+    * Bounds are explicit — no guessed defaults: wrong bounds silently pile
+    * all out-of-range rows into the first/last partition, defeating the
+    * parallel scan this adapter exists for. Use the bound-free overload to
+    * derive them from the table itself.
+    */
   def read(spark: SparkSession, url: String, table: String,
-           partitionColumn: String = "id", numPartitions: Int = 32,
-           lowerBound: Long = 1L, upperBound: Long = 1000000L): DataFrame =
+           partitionColumn: String, numPartitions: Int,
+           lowerBound: Long, upperBound: Long): DataFrame =
     spark.read.format("jdbc")
       .option("url", url)
       .option("dbtable", table)
@@ -34,6 +39,27 @@ object JdbcIO {
       .option("lowerBound", lowerBound)
       .option("upperBound", upperBound)
       .load()
+
+  /** Range-partitioned scan with bounds derived from
+    * `SELECT min/max(partitionColumn)` — one cheap single-partition probe
+    * (index-backed on a PK) before the parallel read, so partitions match
+    * the table's actual key range. Falls back to an unpartitioned read for
+    * an empty table.
+    */
+  def read(spark: SparkSession, url: String, table: String,
+           partitionColumn: String = "id", numPartitions: Int = 32): DataFrame = {
+    val probe = spark.read.format("jdbc")
+      .option("url", url)
+      .option("query",
+        s"SELECT MIN($partitionColumn) AS lo, MAX($partitionColumn) AS hi FROM $table")
+      .load()
+      .collect()(0)
+    if (probe.isNullAt(0))
+      spark.read.format("jdbc").option("url", url).option("dbtable", table).load()
+    else
+      read(spark, url, table, partitionColumn, numPartitions,
+        probe.getAs[Number]("lo").longValue(), probe.getAs[Number]("hi").longValue())
+  }
 
   /** Batched append (replaces per-row INSERT+commit). */
   def append(df: DataFrame, url: String, table: String, batchSize: Int = 10000): Unit =

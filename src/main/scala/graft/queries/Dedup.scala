@@ -205,25 +205,52 @@ object Dedup {
     // cache the pair generation BEFORE the self-referencing union: both
     // union branches read `pairs`, and an uncached subtree would run the
     // whole q22 similarity join twice
-    val pairs = q22NgramJaccard(s, dir).select(col("doc_a"), col("doc_b")).cache()
-    pairs.count() // materialize eagerly: lazy caching under a concurrent
-                  // two-branch union can still compute partitions twice
+    // localCheckpoint (eager) rather than cache throughout this loop, for
+    // two reasons: (a) iterative plans grow a deeper logical tree every
+    // round, and Catalyst re-analyzes the whole lineage per action —
+    // checkpointing truncates it so round N costs the same as round 1
+    // (the standard fix for iterative algorithms; GraphX checkpoints the
+    // same way); (b) checkpointed RDDs are reclaimed by the ContextCleaner
+    // once unreferenced, so nothing leaks executor storage across
+    // invocations (CacheManager entries would persist until an explicit
+    // unpersist).
+    val pairs = q22NgramJaccard(s, dir).select(col("doc_a"), col("doc_b")).localCheckpoint(true)
+    // lazy checkpoints from here on: the next action both materializes and
+    // truncates, so each round costs exactly one job
     val edges = pairs
       .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-      .cache() // reused every propagation round
+      .localCheckpoint(false) // reused every propagation round
     var labels = edges.select(col("doc_a").as("doc")).distinct()
       .withColumn("comp", col("doc"))
-      .cache()
+      .localCheckpoint(false)
+    // Convergence check without an extra join-job: labels are doc ids
+    // (non-negative) and min-propagation is monotone non-increasing per
+    // node, so the label sum strictly decreases until the fixpoint and is
+    // unchanged exactly at it. One scalar aggregate per round.
+    def labelSum(df: org.apache.spark.sql.DataFrame): Long =
+      df.agg(sum(col("comp"))).head.getLong(0)
+    var prevSum = labelSum(labels)
     var converged = false
     while (!converged) {
       val viaNeighbors = edges.join(labels, col("doc_a") === col("doc"))
         .select(col("doc_b").as("doc"), col("comp"))
-      val next = labels.select(col("doc"), col("comp")).union(viaNeighbors)
+      // hash-min step: comp(v) ← min(comp(v), min over neighbors). Eager
+      // checkpoint: the doubling join below reads it from both sides, and a
+      // lazy cache under a two-branch join can compute partitions twice.
+      val half = labels.select(col("doc"), col("comp")).union(viaNeighbors)
         .groupBy(col("doc")).agg(min(col("comp")).as("comp"))
-        .cache()
-      converged = next.join(labels.withColumnRenamed("comp", "prev"), "doc")
-        .filter(col("comp") < col("prev")).isEmpty
-      labels.unpersist()
+        .localCheckpoint(true)
+      // pointer-doubling step: comp(v) ← comp(comp(v)). Every comp value is
+      // itself a node id, so the inner self-join is total. Hash-min alone
+      // needs O(diameter) rounds; with doubling the label horizon doubles
+      // per round, so long duplicate chains converge in O(log d).
+      val ptr = half.select(col("doc").as("p_doc"), col("comp").as("p_comp"))
+      val next = half.join(ptr, col("comp") === col("p_doc"))
+        .select(col("doc"), col("p_comp").as("comp"))
+        .localCheckpoint(false)
+      val nextSum = labelSum(next)
+      converged = nextSum == prevSum
+      prevSum = nextSum
       labels = next
     }
     labels.orderBy(col("doc"))

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{Dedup, MultimodalQ, Pipeline, Relational, RelationalExt, Similarity, Streaming, Temporal, TextOps, WindowsExt}
+import graft.queries.{Dedup, MultimodalQ, Pipeline, Relational, RelationalExt, Similarity, Streaming, Temporal, TextOps, TrainingData, WindowsExt}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -63,6 +63,14 @@ object SparkEntry {
     "q44_grouping_sets"     -> (RelationalExt.q44GroupingSets _),
     "q45_dedup_components"  -> (Dedup.q45DedupComponents _),
     "q46_gap_fill"          -> (Temporal.q46GapFill _),
+    "q47_stratified_sample" -> (TrainingData.q47StratifiedSample _),
+    "q48_split_assign"      -> (TrainingData.q48SplitAssign _),
+    "q49_source_mixture"    -> (TrainingData.q49SourceMixture _),
+    "q50_id_densify"        -> (TrainingData.q50IdDensify _),
+    "q51_repetition_stats"  -> (TrainingData.q51RepetitionStats _),
+    "q52_heavy_hitters"     -> (TrainingData.q52HeavyHitters _),
+    "q53_tfidf"             -> (TrainingData.q53Tfidf _),
+    "q54_range_join"        -> (TrainingData.q54RangeJoin _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -114,5 +122,13 @@ object SparkEntry {
     "q44_grouping_sets"     -> RelationalExt.q44Sql,
     "q45_dedup_components"  -> Dedup.q45Sql,
     "q46_gap_fill"          -> Temporal.q46Sql,
+    "q47_stratified_sample" -> TrainingData.q47Sql,
+    "q48_split_assign"      -> TrainingData.q48Sql,
+    "q49_source_mixture"    -> TrainingData.q49Sql,
+    "q50_id_densify"        -> TrainingData.q50Sql,
+    "q51_repetition_stats"  -> TrainingData.q51Sql,
+    "q52_heavy_hitters"     -> TrainingData.q52Sql,
+    "q53_tfidf"             -> TrainingData.q53Sql,
+    "q54_range_join"        -> TrainingData.q54Sql,
   )
 }

@@ -1,0 +1,365 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables._
+import graft.functions.TextFns._
+
+/** Dataset-curation operators a large-scale training-data pipeline needs
+  * beyond dedup/similarity (SURVEY.md §2.4 LLM-pipeline row): deterministic
+  * sampling (stratified, split assignment, weighted mixture), id
+  * densification, repetition/quality statistics, corpus vocabulary
+  * analytics (heavy hitters, TF-IDF), and event-time range joins.
+  *
+  * Scale design:
+  *   - Sampling is HASH-based, not `rand()`: keep/drop is a pure function
+  *     of the row key and a salt, so it is reproducible across runs,
+  *     engines, partitionings, and retries (a failed task re-samples
+  *     identically), and it needs no shuffle at all — at 100 TB each of
+  *     q47–q49 is a map-only pass over the scan.
+  *   - The corpus-analytics queries (q51–q53) all flow through one
+  *     explode → hash-aggregate shape: partial aggregation runs map-side,
+  *     and the shuffled keyspace is the vocabulary / document set, not the
+  *     token stream.
+  *   - The range join (q54) turns an inequality join into a bucketed
+  *     equi-join + residual filter — the standard way to keep an interval
+  *     join off the nested-loop path at scale.
+  *
+  * Hashes bottom out in md5 ([[graft.functions.TextFns.hash60]]) so every
+  * query ships an exact DuckDB oracle.
+  */
+object TrainingData {
+
+  /** 2^60 as a double: hash60 values are uniform in [0, 2^60), so
+    * `hash60 / 2^60` is a deterministic uniform in [0, 1).
+    */
+  private val HashUnit = 1152921504606846976.0
+
+  /** Deterministic uniform in [0,1) from a key column and a salt. Both
+    * engines compute the identical double: same md5 prefix, same integer,
+    * same IEEE division.
+    */
+  private def uhash(key: Column, salt: String): Column =
+    (hash60(concat(key.cast("string"), lit(":" + salt))).cast("double") / HashUnit)
+
+  private def uhashSql(keyExpr: String, salt: String): String =
+    s"(CAST(concat('0x', substr(md5(concat(CAST($keyExpr AS VARCHAR), ':$salt')), 1, 15)) AS BIGINT) / $HashUnit)"
+
+  // ---------------------------------------------------------------- q47
+
+  /** Per-language sampling rates for the stratified sample. Rendered into
+    * both the Spark plan and the oracle SQL.
+    */
+  val StratRates: Seq[(String, Double)] =
+    Seq("de" -> 0.5, "en" -> 0.25, "es" -> 0.5, "fr" -> 0.75, "zh" -> 1.0)
+
+  /** q47: stratified sampling — each language stratum is kept at its own
+    * rate (downsample the over-represented languages, keep all of the
+    * rare one). Map-only: keep ⇔ uhash(doc_id) < rate(lang); no shuffle,
+    * no state, reproducible under retries.
+    */
+  def q47StratifiedSample(s: SparkSession, dir: String): DataFrame = {
+    val u = uhash(col("doc_id"), "q47")
+    val rate = StratRates.foldRight(lit(0.0): Column) { case ((l, r), els) =>
+      when(col("lang") === l, lit(r)).otherwise(els)
+    }
+    documents(s, dir)
+      .withColumn("u", u)
+      .filter(col("u") < rate)
+      .select(col("doc_id"), col("lang"), col("source"), round(col("u"), 6).as("u"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q47Sql: String = {
+    val rate = StratRates.map { case (l, r) => s"WHEN lang = '$l' THEN $r" }.mkString(" ")
+    s"""SELECT doc_id, lang, source, ROUND(u, 6) AS u FROM (
+       |  SELECT doc_id, lang, source, ${uhashSql("doc_id", "q47")} AS u FROM documents)
+       |WHERE u < CASE $rate ELSE 0.0 END
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q48
+
+  /** q48: train/val/test split assignment + stratification audit. The
+    * split is the same hash-threshold trick (0.8/0.1/0.1 on a per-doc
+    * uniform); the output is the (lang, split) contingency table a
+    * pipeline checks before training. One map pass + one tiny aggregate.
+    */
+  def q48SplitAssign(s: SparkSession, dir: String): DataFrame = {
+    val u = uhash(col("doc_id"), "q48")
+    documents(s, dir)
+      .withColumn("split",
+        when(u < 0.8, "train").when(u < 0.9, "val").otherwise("test"))
+      .groupBy(col("lang"), col("split"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      .orderBy(col("lang"), col("split"))
+  }
+
+  val q48Sql: String =
+    s"""SELECT lang, split, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+       |FROM (
+       |  SELECT lang, n_chars,
+       |   CASE WHEN u < 0.8 THEN 'train' WHEN u < 0.9 THEN 'val' ELSE 'test' END AS split
+       |  FROM (SELECT lang, n_chars, ${uhashSql("doc_id", "q48")} AS u FROM documents))
+       |GROUP BY lang, split ORDER BY lang, split""".stripMargin
+
+  // ---------------------------------------------------------------- q49
+
+  /** q49: weighted source mixture — resample the corpus so source k
+    * contributes with weight w(k) = 0.5 + (k mod 4)·0.75 (∈ {0.5, 1.25,
+    * 2.0, 2.75}; derived from the source id so both engines compute it).
+    * Integer part = hard copies (explode), fractional part = one
+    * hash-sampled extra copy — deterministic fractional upsampling, the
+    * standard way training mixtures realize non-integer epoch weights.
+    * Map-only + explode; fan-out is bounded by ⌈w⌉.
+    */
+  def q49SourceMixture(s: SparkSession, dir: String): DataFrame = {
+    val srcNum = regexp_extract(col("source"), "([0-9]+)", 1).cast("int")
+    val w = lit(0.5) + (srcNum % 4).cast("double") * lit(0.75)
+    val u = uhash(col("doc_id"), "q49")
+    val copies = floor(w).cast("long") + when(u < (w - floor(w)), 1L).otherwise(0L)
+    documents(s, dir)
+      .withColumn("weight", w)
+      .withColumn("copies", copies)
+      .select(col("doc_id"), col("source"), col("weight"), col("copies"),
+        explode(when(col("copies") > 0, sequence(lit(1L), col("copies")))
+          .otherwise(array().cast("array<bigint>"))).as("copy_idx"))
+      .orderBy(col("doc_id"), col("copy_idx"))
+  }
+
+  val q49Sql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, source,
+       |   0.5 + (CAST(regexp_extract(source, '([0-9]+)', 1) AS INTEGER) % 4) * 0.75 AS weight,
+       |   ${uhashSql("doc_id", "q49")} AS u
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, source, CAST(weight AS DOUBLE) AS weight,
+       |   CAST(floor(weight) AS BIGINT)
+       |     + CASE WHEN u < weight - floor(weight) THEN 1 ELSE 0 END AS copies
+       |  FROM t)
+       |SELECT doc_id, source, weight, copies, copy_idx
+       |FROM c, unnest(range(1, copies + 1)) AS r(copy_idx)
+       |ORDER BY doc_id, copy_idx""".stripMargin
+
+  // ---------------------------------------------------------------- q50
+
+  /** q50: id densification + pseudonymization — remap sparse external
+    * user ids to dense contiguous ints (what an embedding table wants)
+    * and to a salted-hash pseudonym (what privacy wants), then carry the
+    * mapping back onto the event stream. The rank runs on the DISTINCT
+    * key set (dimension-sized, not corpus-sized); the join back to events
+    * is an ordinary equi-join AQE turns into a broadcast when the mapping
+    * fits. The unpartitioned window is deliberate and safe here: it sorts
+    * the key dictionary, never the fact table.
+    */
+  def q50IdDensify(s: SparkSession, dir: String): DataFrame = {
+    val mapping = events(s, dir).select(col("user_id")).distinct()
+      .withColumn("uid_dense",
+        row_number().over(Window.orderBy(col("user_id"))).cast("long"))
+      .withColumn("uid_pseudo", md5(concat(lit("uid:"), col("user_id").cast("string"))))
+    events(s, dir).select(col("event_id"), col("user_id"))
+      .join(mapping, "user_id")
+      .select(col("event_id"), col("user_id"), col("uid_dense"), col("uid_pseudo"))
+      .orderBy(col("event_id"))
+  }
+
+  val q50Sql: String =
+    """WITH m AS (
+      |  SELECT user_id,
+      |   row_number() OVER (ORDER BY user_id) AS uid_dense,
+      |   md5(concat('uid:', CAST(user_id AS VARCHAR))) AS uid_pseudo
+      |  FROM (SELECT DISTINCT user_id FROM events))
+      |SELECT e.event_id, e.user_id, m.uid_dense, m.uid_pseudo
+      |FROM events e JOIN m USING (user_id)
+      |ORDER BY event_id""".stripMargin
+
+  // ---------------------------------------------------------------- q51
+
+  /** q51: repetition statistics — the Gopher-style quality signals that
+    * catch template/boilerplate text: top-word dominance (max term
+    * frequency / length) and duplicate 3-gram fraction (1 − distinct/total
+    * 3-grams). Two explode → hash-aggregate passes (tokens, shingles),
+    * joined on doc_id; everything partial-aggregates map-side.
+    */
+  def q51RepetitionStats(s: SparkSession, dir: String): DataFrame = {
+    val d = documents(s, dir)
+    val wc = d.select(col("doc_id"), explode(words(col("text"))).as("w"))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+    val stats = wc.groupBy(col("doc_id")).agg(
+      sum(col("c")).as("n_words"),
+      count(lit(1)).as("n_distinct"),
+      max(col("c")).as("max_tf"))
+    val triTotal = d.select(col("doc_id"),
+      when(size(words(col("text"))) >= 3, (size(words(col("text"))) - 2).cast("long"))
+        .otherwise(0L).as("tri_total"))
+    val triDistinct = d
+      .select(col("doc_id"), explode(shingles(words(col("text")), 3)).as("sh"))
+      .distinct()
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("tri_distinct"))
+    triTotal
+      .join(stats, "doc_id")
+      .join(triDistinct, Seq("doc_id"), "left")
+      .withColumn("tri_distinct", coalesce(col("tri_distinct"), lit(0L)))
+      .withColumn("top_word_ratio",
+        round(col("max_tf").cast("double") / col("n_words").cast("double"), 6))
+      .withColumn("dup_3gram_frac",
+        when(col("tri_total") > 0,
+          round(lit(1.0) - col("tri_distinct").cast("double") / col("tri_total").cast("double"), 6))
+          .otherwise(lit(0.0)))
+      .select(col("doc_id"), col("n_words"), col("n_distinct"), col("max_tf"),
+        col("top_word_ratio"), col("tri_total"), col("tri_distinct"), col("dup_3gram_frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q51Sql: String =
+    """WITH w AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
+      |tok AS (SELECT doc_id, unnest(w) AS t FROM w),
+      |wc AS (SELECT doc_id, t, count(*) AS c FROM tok GROUP BY 1, 2),
+      |stats AS (
+      |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+      |   CAST(count(*) AS BIGINT) AS n_distinct, CAST(max(c) AS BIGINT) AS max_tf
+      |  FROM wc GROUP BY doc_id),
+      |tri AS (
+      |  SELECT doc_id,
+      |   CAST(CASE WHEN len(w) >= 3 THEN len(w) - 2 ELSE 0 END AS BIGINT) AS tri_total
+      |  FROM w),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, s FROM (
+      |    SELECT doc_id, unnest(CASE WHEN len(w) >= 3
+      |      THEN list_transform(range(1, len(w) - 1), i -> array_to_string(w[i:i+2], ' '))
+      |      ELSE [] END) AS s
+      |    FROM w)),
+      |trid AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS tri_distinct FROM sh GROUP BY doc_id)
+      |SELECT tri.doc_id, n_words, n_distinct, max_tf,
+      | ROUND(CAST(max_tf AS DOUBLE) / n_words, 6) AS top_word_ratio,
+      | tri_total, COALESCE(tri_distinct, 0) AS tri_distinct,
+      | CASE WHEN tri_total > 0
+      |   THEN ROUND(1.0 - CAST(COALESCE(tri_distinct, 0) AS DOUBLE) / tri_total, 6)
+      |   ELSE 0.0 END AS dup_3gram_frac
+      |FROM tri JOIN stats USING (doc_id) LEFT JOIN trid USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q52
+
+  /** q52: vocabulary heavy hitters — top-10 tokens per language by
+    * document frequency. Distinct (lang, doc, token) → aggregate on the
+    * vocabulary keyspace → per-language top-k window. The shuffle carries
+    * (lang, token) groups, not the token stream; the window partitions by
+    * language, so no global sort. At extreme cardinality you'd swap the
+    * exact count for a count-min sketch; the exact form is the oracle.
+    */
+  def q52HeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("doc_freq").desc, col("token"))
+    documents(s, dir)
+      .select(col("lang"), col("doc_id"), explode(words(col("text"))).as("token"))
+      .distinct()
+      .groupBy(col("lang"), col("token")).agg(count(lit(1)).as("doc_freq"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 10)
+      .orderBy(col("lang"), col("rn"))
+  }
+
+  val q52Sql: String =
+    """SELECT lang, token, doc_freq, rn FROM (
+      |  SELECT lang, token, doc_freq,
+      |   row_number() OVER (PARTITION BY lang ORDER BY doc_freq DESC, token) AS rn
+      |  FROM (
+      |    SELECT lang, token, CAST(count(*) AS BIGINT) AS doc_freq
+      |    FROM (
+      |      SELECT DISTINCT lang, doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+      |      FROM documents)
+      |    GROUP BY lang, token))
+      |WHERE rn <= 10 ORDER BY lang, rn""".stripMargin
+
+  // ---------------------------------------------------------------- q53
+
+  /** q53: TF-IDF top-5 terms per document. Term frequencies and document
+    * frequencies are two hash-aggregates over the exploded token stream;
+    * the corpus size joins in as a broadcast scalar; the top-k is a
+    * per-document window. idf is rounded to 6dp BEFORE the tf· product so
+    * a last-ulp ln() difference between engines cannot flip the ranking.
+    */
+  def q53Tfidf(s: SparkSession, dir: String): DataFrame = {
+    val d = documents(s, dir)
+    val wc = d.select(col("doc_id"), explode(words(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = wc.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nTotal = d.agg(count(lit(1)).as("n_total"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("term"))
+    wc.join(dfreq, "term")
+      .join(broadcast(nTotal))
+      .withColumn("idf",
+        round(log(col("n_total").cast("double") / col("df").cast("double")), 6))
+      .withColumn("tfidf", round(col("tf").cast("double") * col("idf"), 6))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 5)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"), col("tfidf"), col("rn"))
+      .orderBy(col("doc_id"), col("rn"))
+  }
+
+  val q53Sql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+      |  FROM documents),
+      |wc AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2),
+      |dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM wc GROUP BY term),
+      |n AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM documents),
+      |scored AS (
+      |  SELECT doc_id, term, tf, df,
+      |   ROUND(CAST(tf AS DOUBLE)
+      |         * ROUND(ln(CAST(n_total AS DOUBLE) / df), 6), 6) AS tfidf
+      |  FROM wc JOIN dfreq USING (term) CROSS JOIN n)
+      |SELECT doc_id, term, tf, df, tfidf, rn FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rn
+      |  FROM scored)
+      |WHERE rn <= 5 ORDER BY doc_id, rn""".stripMargin
+
+  // ---------------------------------------------------------------- q54
+
+  /** q54: event-time range join — for every event, how many events the
+    * same user produced in the preceding hour. The inequality join is
+    * executed as a bucketed equi-join: both sides bucket ts into 1-hour
+    * cells, the probe side fans out to (cell, cell+1) so every candidate
+    * pair shares a bucket, and the exact [ts−1h, ts) predicate filters
+    * residuals. Spark plans an ordinary shuffle hash join on
+    * (user_id, bucket) — no nested-loop, no cross product; fan-out is a
+    * constant 2×. The left join back preserves zero-count events.
+    */
+  def q54RangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val HourUs = 3600000000L
+    val e = events(s, dir).select(col("event_id"), col("user_id"), col("ts"),
+      unix_micros(col("ts")).as("t_us"))
+      .withColumn("bucket", (col("t_us") / HourUs).cast("long"))
+    val p = events(s, dir).select(col("user_id").as("p_user"),
+      unix_micros(col("ts")).as("p_us"))
+      .withColumn("p_bucket", (col("p_us") / HourUs).cast("long"))
+      .select(col("p_user"), col("p_us"),
+        explode(array(col("p_bucket"), col("p_bucket") + 1)).as("probe_bucket"))
+    val counts = e.join(p,
+        col("user_id") === col("p_user") && col("bucket") === col("probe_bucket")
+          && col("p_us") >= col("t_us") - HourUs && col("p_us") < col("t_us"))
+      .groupBy(col("event_id")).agg(count(lit(1)).as("n"))
+    e.join(counts, Seq("event_id"), "left")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        coalesce(col("n"), lit(0L)).as("n_prev_1h"))
+      .orderBy(col("event_id"))
+  }
+
+  val q54Sql: String =
+    """SELECT e.event_id, e.user_id, e.ts,
+      | CAST(COALESCE(c.n, 0) AS BIGINT) AS n_prev_1h
+      |FROM events e LEFT JOIN (
+      |  SELECT e.event_id, count(*) AS n
+      |  FROM events e JOIN events p
+      |    ON p.user_id = e.user_id
+      |   AND epoch_us(p.ts) >= epoch_us(e.ts) - 3600000000
+      |   AND epoch_us(p.ts) < epoch_us(e.ts)
+      |  GROUP BY e.event_id) c USING (event_id)
+      |ORDER BY event_id""".stripMargin
+}

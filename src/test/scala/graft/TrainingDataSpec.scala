@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.queries.TrainingData
+import graft.queries.TrainingData._
+
+/** Invariants of the training-data curation operators (q47–q54) beyond the
+  * DuckDB oracle: sampling determinism and rate semantics, mixture fan-out
+  * bounds, id-mapping bijectivity, statistic ranges, top-k shape, and the
+  * bucketed range join against a brute-force non-equi join.
+  */
+class TrainingDataSpec extends SparkTestBase {
+
+  test("q47: kept rows satisfy the per-language threshold; zh stratum is kept whole") {
+    val out = TrainingData.q47StratifiedSample(spark, sf).cache()
+    val rates = StratRates.toMap
+    val bad = out.collect().filter(r => r.getAs[Double]("u") >= rates(r.getAs[String]("lang")) + 1e-6)
+    assert(bad.isEmpty)
+    val zhTotal = Tables.documents(spark, sf).filter(col("lang") === "zh").count()
+    assert(out.filter(col("lang") === "zh").count() === zhTotal, "rate 1.0 keeps everything")
+    // hash sampling is deterministic: identical output on re-evaluation
+    assert(TrainingData.q47StratifiedSample(spark, sf).collect()
+      .sameElements(out.orderBy(col("doc_id")).collect()))
+    out.unpersist()
+  }
+
+  test("q48: split assignment partitions the corpus exactly") {
+    val out = TrainingData.q48SplitAssign(spark, sf)
+    val total = out.agg(sum(col("n_docs"))).head.getLong(0)
+    assert(total === Tables.documents(spark, sf).count())
+    val splits = out.select("split").distinct().collect().map(_.getString(0)).toSet
+    assert(splits.subsetOf(Set("train", "val", "test")))
+  }
+
+  test("q49: mixture fan-out is bounded by the weight ceiling and matches the copies column") {
+    val out = TrainingData.q49SourceMixture(spark, sf).cache()
+    // weight ∈ {0.5, 1.25, 2.0, 2.75} ⇒ copies ∈ [0, 3]; copy_idx ≤ copies
+    assert(out.filter(col("copy_idx") > col("copies") || col("copies") > 3).isEmpty)
+    val perDoc = out.groupBy(col("doc_id"), col("copies")).agg(count(lit(1)).as("n"))
+      .filter(col("n") =!= col("copies"))
+    assert(perDoc.isEmpty, "each doc appears exactly `copies` times")
+    out.unpersist()
+  }
+
+  test("q50: dense ids are a contiguous bijection over the user dictionary") {
+    val out = TrainingData.q50IdDensify(spark, sf).cache()
+    val users = out.select("user_id", "uid_dense", "uid_pseudo").distinct().cache()
+    val n = users.count()
+    assert(n === Tables.events(spark, sf).select("user_id").distinct().count())
+    assert(users.agg(max(col("uid_dense"))).head.getLong(0) === n)
+    assert(users.agg(min(col("uid_dense"))).head.getLong(0) === 1L)
+    assert(users.select("uid_pseudo").distinct().count() === n)
+    assert(out.count() === Tables.events(spark, sf).count(), "every event keeps its row")
+    users.unpersist(); out.unpersist()
+  }
+
+  test("q51: repetition statistics stay in range") {
+    val out = TrainingData.q51RepetitionStats(spark, sf)
+    val bad = out.filter(
+      col("n_distinct") > col("n_words") ||
+      col("tri_distinct") > col("tri_total") ||
+      col("top_word_ratio") < 0 || col("top_word_ratio") > 1 ||
+      col("dup_3gram_frac") < 0 || col("dup_3gram_frac") > 1)
+    assert(bad.isEmpty)
+    assert(out.count() === Tables.documents(spark, sf).count())
+  }
+
+  test("q52: per-language top-k is at most 10 and ordered by doc_freq") {
+    val out = TrainingData.q52HeavyHitters(spark, sf).cache()
+    assert(out.groupBy("lang").agg(count(lit(1)).as("n"))
+      .filter(col("n") > 10).isEmpty)
+    // rn order must agree with doc_freq order inside each language
+    val disordered = out.as("a").join(out.as("b"),
+        col("a.lang") === col("b.lang") && col("a.rn") < col("b.rn")
+          && col("a.doc_freq") < col("b.doc_freq"))
+    assert(disordered.isEmpty)
+    out.unpersist()
+  }
+
+  test("q53: at most 5 terms per doc, tfidf non-increasing within a doc") {
+    val out = TrainingData.q53Tfidf(spark, sf).cache()
+    assert(out.groupBy("doc_id").agg(count(lit(1)).as("n")).filter(col("n") > 5).isEmpty)
+    val disordered = out.as("a").join(out.as("b"),
+        col("a.doc_id") === col("b.doc_id") && col("a.rn") < col("b.rn")
+          && col("a.tfidf") < col("b.tfidf"))
+    assert(disordered.isEmpty)
+    out.unpersist()
+  }
+
+  test("q54: bucketed range join equals the brute-force non-equi join") {
+    val out = TrainingData.q54RangeJoin(spark, sf)
+    val ev = Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("t"))
+    val probe = ev.select(col("user_id").as("pu"), col("t").as("pt"))
+    val brute = ev.join(probe,
+        col("user_id") === col("pu")
+          && col("pt") >= col("t") - 3600000000L && col("pt") < col("t"), "left")
+      .groupBy(col("event_id")).agg(count(col("pu")).as("n_prev_1h"))
+    val diff = out.select("event_id", "n_prev_1h").as("a")
+      .join(brute.as("b"), "event_id")
+      .filter(col("a.n_prev_1h") =!= col("b.n_prev_1h"))
+    assert(diff.isEmpty)
+  }
+}

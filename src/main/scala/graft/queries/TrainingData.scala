@@ -188,19 +188,19 @@ object TrainingData {
     val d = documents(s, dir)
     val wc = d.select(col("doc_id"), explode(words(col("text"))).as("w"))
       .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+    // tri_total derives from n_words (Σ tf = token count), so the shingle
+    // pass below is the only second scan — no third pass over the corpus
     val stats = wc.groupBy(col("doc_id")).agg(
       sum(col("c")).as("n_words"),
       count(lit(1)).as("n_distinct"),
       max(col("c")).as("max_tf"))
-    val triTotal = d.select(col("doc_id"),
-      when(size(words(col("text"))) >= 3, (size(words(col("text"))) - 2).cast("long"))
-        .otherwise(0L).as("tri_total"))
+      .withColumn("tri_total",
+        when(col("n_words") >= 3, col("n_words") - 2).otherwise(0L))
     val triDistinct = d
       .select(col("doc_id"), explode(shingles(words(col("text")), 3)).as("sh"))
       .distinct()
       .groupBy(col("doc_id")).agg(count(lit(1)).as("tri_distinct"))
-    triTotal
-      .join(stats, "doc_id")
+    stats
       .join(triDistinct, Seq("doc_id"), "left")
       .withColumn("tri_distinct", coalesce(col("tri_distinct"), lit(0L)))
       .withColumn("top_word_ratio",
@@ -221,12 +221,9 @@ object TrainingData {
       |wc AS (SELECT doc_id, t, count(*) AS c FROM tok GROUP BY 1, 2),
       |stats AS (
       |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
-      |   CAST(count(*) AS BIGINT) AS n_distinct, CAST(max(c) AS BIGINT) AS max_tf
+      |   CAST(count(*) AS BIGINT) AS n_distinct, CAST(max(c) AS BIGINT) AS max_tf,
+      |   CAST(CASE WHEN sum(c) >= 3 THEN sum(c) - 2 ELSE 0 END AS BIGINT) AS tri_total
       |  FROM wc GROUP BY doc_id),
-      |tri AS (
-      |  SELECT doc_id,
-      |   CAST(CASE WHEN len(w) >= 3 THEN len(w) - 2 ELSE 0 END AS BIGINT) AS tri_total
-      |  FROM w),
       |sh AS (
       |  SELECT DISTINCT doc_id, s FROM (
       |    SELECT doc_id, unnest(CASE WHEN len(w) >= 3
@@ -234,13 +231,13 @@ object TrainingData {
       |      ELSE [] END) AS s
       |    FROM w)),
       |trid AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS tri_distinct FROM sh GROUP BY doc_id)
-      |SELECT tri.doc_id, n_words, n_distinct, max_tf,
+      |SELECT stats.doc_id, n_words, n_distinct, max_tf,
       | ROUND(CAST(max_tf AS DOUBLE) / n_words, 6) AS top_word_ratio,
       | tri_total, COALESCE(tri_distinct, 0) AS tri_distinct,
       | CASE WHEN tri_total > 0
       |   THEN ROUND(1.0 - CAST(COALESCE(tri_distinct, 0) AS DOUBLE) / tri_total, 6)
       |   ELSE 0.0 END AS dup_3gram_frac
-      |FROM tri JOIN stats USING (doc_id) LEFT JOIN trid USING (doc_id)
+      |FROM stats LEFT JOIN trid USING (doc_id)
       |ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------- q52

@@ -28,6 +28,12 @@ object Sessions {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      // ObjectHashAggregate (TypedImperativeAggregates like TopKPairs)
+      // falls back to SORT-based aggregation after this many in-memory
+      // keys — the default 128 silently turns a bounded-heap top-k into
+      // a full sort. Our object buffers are tiny (k pairs), so a large
+      // in-memory key budget is safe.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1000000")
       .config("spark.ui.enabled", "false")
       // Engine extensions via the public SparkSessionExtensions hook:
       // dot_fold(array<double>, array<double>) as a SQL-callable function

@@ -9,6 +9,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables._
 import graft.functions.DotFold.dotFold
+import graft.functions.TopKPairs.topKPairs
 
 /** Similarity search over the `embeddings` table (64-dim float vectors):
   * exact brute-force cosine top-k as the correctness baseline, and a
@@ -38,20 +39,30 @@ object Similarity {
 
   /** q25: exact cosine top-k (k=5) for every vector — the brute-force
     * baseline: an O(n²) pairwise join scored with a fold, then a
-    * per-query-vector window top-k. Correct at any scale but quadratic;
-    * it exists to measure q26's recall and as the small-corpus answer.
+    * per-query-vector top-k. Correct at any scale but quadratic; it
+    * exists to measure q26's recall and as the small-corpus answer.
     * The pairwise join broadcasts the smaller side (Spark picks
     * BroadcastNestedLoopJoin for the non-equi condition).
+    *
+    * The top-k is the [[graft.functions.TopKPairs]] bounded aggregate,
+    * not `row_number().over(window) <= 5`: the window form would shuffle
+    * and sort the whole O(n²) scored pair stream; the aggregate keeps a
+    * k-element heap per vector map-side, so the exchange carries ≤
+    * k·partitions rows per vector. Order (sim DESC, id ASC) is total —
+    * the output is row-identical to the window formulation the oracle
+    * mirrors.
     */
   def q25CosineTopK(s: SparkSession, dir: String): DataFrame = {
     val e = vecs(s, dir)
     val pairs = e.as("a").join(e.as("b"), col("a.vec_id") =!= col("b.vec_id"))
       .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("neighbor_id"),
         round(dot(col("a.v"), col("b.v")) / (col("a.norm") * col("b.norm")), 6).as("sim"))
-    val w = Window.partitionBy(col("vec_id")).orderBy(col("sim").desc, col("neighbor_id"))
     pairs
-      .withColumn("rnk", row_number().over(w).cast("long"))
-      .filter(col("rnk") <= 5)
+      .groupBy(col("vec_id"))
+      .agg(topKPairs(col("sim"), col("neighbor_id"), 5).as("nb"))
+      .select(col("vec_id"), posexplode(col("nb")).as(Seq("pos", "nb")))
+      .select(col("vec_id"), col("nb.id").as("neighbor_id"),
+        col("nb.score").as("sim"), (col("pos") + 1).cast("long").as("rnk"))
       .orderBy(col("vec_id"), col("rnk"))
   }
 

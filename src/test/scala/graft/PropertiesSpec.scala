@@ -108,4 +108,30 @@ class PropertiesSpec extends SparkTestBase {
     }
     assert(got.toSeq === want)
   }
+
+  test("law: TopKPairs ≡ row_number window top-k, including score ties") {
+    import spark.implicits._
+    // scores drawn from a SMALL value set so ties are common — the id
+    // tiebreak is what's under test; groups of uneven size incl. < k
+    val rows = draw(
+      for {
+        g <- Gen.chooseNum(0L, 20L)
+        id <- Gen.chooseNum(0L, 100000L)
+        s <- Gen.chooseNum(0, 9).map(_ / 10.0)
+      } yield (g, id, s), 2000, seed = 23L).distinct
+    val df = rows.toDF("g", "id", "s").repartition(7).cache()
+    val viaAgg = df.groupBy(col("g"))
+      .agg(graft.functions.TopKPairs.topKPairs(col("s"), col("id"), 3).as("nb"))
+      .select(col("g"), posexplode(col("nb")).as(Seq("pos", "nb")))
+      .select(col("g"), col("nb.id").as("id"), col("nb.score").as("s"),
+        (col("pos") + 1).cast("long").as("rnk"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("g")).orderBy(col("s").desc, col("id"))
+    val viaWindow = df
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 3)
+      .select(col("g"), col("id"), col("s"), col("rnk"))
+    assert(viaAgg.exceptAll(viaWindow).isEmpty && viaWindow.exceptAll(viaAgg).isEmpty)
+    df.unpersist()
+  }
 }

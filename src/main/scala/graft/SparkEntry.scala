@@ -71,6 +71,7 @@ object SparkEntry {
     "q52_heavy_hitters"     -> (TrainingData.q52HeavyHitters _),
     "q53_tfidf"             -> (TrainingData.q53Tfidf _),
     "q54_range_join"        -> (TrainingData.q54RangeJoin _),
+    "q55_approx_quantiles"  -> (Temporal.q55ApproxQuantiles _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -130,5 +131,7 @@ object SparkEntry {
     "q52_heavy_hitters"     -> TrainingData.q52Sql,
     "q53_tfidf"             -> TrainingData.q53Sql,
     "q54_range_join"        -> TrainingData.q54Sql,
+    // q55_approx_quantiles: intentionally NO oracle — GK sketches differ
+    // across engines; rows-only check + TemporalSpec error bound (cf. q35).
   )
 }

@@ -122,4 +122,24 @@ object Temporal {
       | ROUND(quantile_cont(o_totalprice, 0.9), 6) AS p90,
       | ROUND(quantile_cont(o_totalprice, 0.99), 6) AS p99
       |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
+  /** q55: sketch-based quantiles — q38's scale path. `approx_percentile`
+    * is Spark's Greenwald–Khanna sketch: mergeable fixed-size per-group
+    * state, so huge groups aggregate in one pass with map-side partials
+    * instead of sorting each group. Exact values ride along to expose the
+    * error. Like q35 (HLL), intentionally NO DuckDB oracle — sketch
+    * internals differ across engines; the driver records a rows-only
+    * check and TemporalSpec pins the accuracy bound (1/accuracy = 1%
+    * max rank error at accuracy=100).
+    */
+  def q55ApproxQuantiles(s: SparkSession, dir: String): DataFrame =
+    orders(s, dir)
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        expr("approx_percentile(o_totalprice, 0.5D, 100)").as("approx_p50"),
+        expr("approx_percentile(o_totalprice, 0.99D, 100)").as("approx_p99"),
+        round(expr("percentile(o_totalprice, 0.5D)"), 6).as("exact_p50"),
+        round(expr("percentile(o_totalprice, 0.99D)"), 6).as("exact_p99"))
+      .orderBy(col("o_orderstatus"))
 }

@@ -72,6 +72,9 @@ object SparkEntry {
     "q53_tfidf"             -> (TrainingData.q53Tfidf _),
     "q54_range_join"        -> (TrainingData.q54RangeJoin _),
     "q55_approx_quantiles"  -> (Temporal.q55ApproxQuantiles _),
+    "q56_chunk_documents"   -> (TrainingData.q56ChunkDocuments _),
+    "q57_corpus_shuffle"    -> (TrainingData.q57CorpusShuffle _),
+    "q58_curation_funnel"   -> (TrainingData.q58CurationFunnel _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -133,5 +136,8 @@ object SparkEntry {
     "q54_range_join"        -> TrainingData.q54Sql,
     // q55_approx_quantiles: intentionally NO oracle — GK sketches differ
     // across engines; rows-only check + TemporalSpec error bound (cf. q35).
+    "q56_chunk_documents"   -> TrainingData.q56Sql,
+    "q57_corpus_shuffle"    -> TrainingData.q57Sql,
+    "q58_curation_funnel"   -> TrainingData.q58Sql,
   )
 }

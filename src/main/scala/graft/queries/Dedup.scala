@@ -256,8 +256,13 @@ object Dedup {
     labels.orderBy(col("doc"))
   }
 
-  val q45Sql: String =
-    s"""WITH RECURSIVE $sqlShingles,
+  /** Recursive-CTE block computing per-doc connected-component labels
+    * (`labels(doc, comp)`) of the near-dup graph — shared between q45's
+    * oracle and downstream pipeline oracles (q58). Must be placed in a
+    * `WITH RECURSIVE`.
+    */
+  val sqlComponentsCtes: String =
+    s"""$sqlShingles,
        |inter AS (
        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS inter
        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
@@ -274,8 +279,12 @@ object Dedup {
        |  SELECT DISTINCT doc_a AS doc, doc_a AS r FROM edges
        |  UNION
        |  SELECT reach.doc, edges.doc_b AS r
-       |  FROM reach JOIN edges ON reach.r = edges.doc_a)
-       |SELECT doc, min(r) AS comp FROM reach GROUP BY doc ORDER BY doc""".stripMargin
+       |  FROM reach JOIN edges ON reach.r = edges.doc_a),
+       |labels AS (SELECT doc, min(r) AS comp FROM reach GROUP BY doc)""".stripMargin
+
+  val q45Sql: String =
+    s"""WITH RECURSIVE $sqlComponentsCtes
+       |SELECT doc, comp FROM labels ORDER BY doc""".stripMargin
 
   /** q24: SimHash near-dup detection. Per doc: a 48-bit signature — bit i
     * is the sign of Σ over the token stream of ±1 (token hash bit i) —

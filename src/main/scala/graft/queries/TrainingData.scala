@@ -55,6 +55,13 @@ object TrainingData {
   val StratRates: Seq[(String, Double)] =
     Seq("de" -> 0.5, "en" -> 0.25, "es" -> 0.5, "fr" -> 0.75, "zh" -> 1.0)
 
+  private def rateExpr: Column = StratRates.foldRight(lit(0.0): Column) {
+    case ((l, r), els) => when(col("lang") === l, lit(r)).otherwise(els)
+  }
+
+  private def rateSqlCase: String =
+    "CASE " + StratRates.map { case (l, r) => s"WHEN lang = '$l' THEN $r" }.mkString(" ") + " ELSE 0.0 END"
+
   /** q47: stratified sampling — each language stratum is kept at its own
     * rate (downsample the over-represented languages, keep all of the
     * rare one). Map-only: keep ⇔ uhash(doc_id) < rate(lang); no shuffle,
@@ -62,23 +69,18 @@ object TrainingData {
     */
   def q47StratifiedSample(s: SparkSession, dir: String): DataFrame = {
     val u = uhash(col("doc_id"), "q47")
-    val rate = StratRates.foldRight(lit(0.0): Column) { case ((l, r), els) =>
-      when(col("lang") === l, lit(r)).otherwise(els)
-    }
     documents(s, dir)
       .withColumn("u", u)
-      .filter(col("u") < rate)
+      .filter(col("u") < rateExpr)
       .select(col("doc_id"), col("lang"), col("source"), round(col("u"), 6).as("u"))
       .orderBy(col("doc_id"))
   }
 
-  val q47Sql: String = {
-    val rate = StratRates.map { case (l, r) => s"WHEN lang = '$l' THEN $r" }.mkString(" ")
+  val q47Sql: String =
     s"""SELECT doc_id, lang, source, ROUND(u, 6) AS u FROM (
        |  SELECT doc_id, lang, source, ${uhashSql("doc_id", "q47")} AS u FROM documents)
-       |WHERE u < CASE $rate ELSE 0.0 END
+       |WHERE u < $rateSqlCase
        |ORDER BY doc_id""".stripMargin
-  }
 
   // ---------------------------------------------------------------- q48
 
@@ -359,4 +361,145 @@ object TrainingData {
       |   AND epoch_us(p.ts) < epoch_us(e.ts)
       |  GROUP BY e.event_id) c USING (event_id)
       |ORDER BY event_id""".stripMargin
+
+  // ---------------------------------------------------------------- q56
+
+  /** Chunk geometry: window of [[ChunkSize]] tokens advancing by
+    * [[ChunkStride]] (overlap = size − stride), the standard
+    * RAG/pretraining chunking shape.
+    */
+  val ChunkSize: Int = 50
+  val ChunkStride: Int = 40
+
+  /** q56: document chunking — split each document's token stream into
+    * fixed-size overlapping windows (short docs → one whole-doc chunk).
+    * Pure map + generator (`sequence` + `slice` + explode): rows multiply
+    * where the data lives, no shuffle except the presentation sort; the
+    * per-doc fan-out is ⌈max(n−size,0)/stride⌉+1, bounded by doc length.
+    */
+  def q56ChunkDocuments(s: SparkSession, dir: String): DataFrame = {
+    val ws = words(col("text"))
+    // number of chunks c ≥ 1 such that (c-1)·stride + size covers n:
+    // c = floor((max(n - size, 0) + stride - 1) / stride) + 1
+    // (Column./ is double division; floor+cast recovers the integer form)
+    val nChunks = floor(
+      (greatest(size(ws) - ChunkSize, lit(0)) + (ChunkStride - 1)) / ChunkStride
+    ).cast("long") + 1L
+    documents(s, dir)
+      .select(col("doc_id"), ws.as("ws"), nChunks.as("n_chunks"))
+      .select(col("doc_id"), col("ws"),
+        explode(sequence(lit(0L), col("n_chunks") - 1L)).as("chunk_idx"))
+      .select(col("doc_id"), col("chunk_idx"),
+        array_join(slice(col("ws"), (col("chunk_idx") * ChunkStride + 1).cast("int"),
+          lit(ChunkSize)), " ").as("chunk_text"),
+        size(slice(col("ws"), (col("chunk_idx") * ChunkStride + 1).cast("int"),
+          lit(ChunkSize))).cast("long").as("n_tokens"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
+  val q56Sql: String =
+    s"""WITH w AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws FROM documents),
+       |c AS (
+       |  SELECT doc_id, ws,
+       |   (greatest(len(ws) - $ChunkSize, 0) + ${ChunkStride - 1}) // $ChunkStride + 1 AS n_chunks
+       |  FROM w)
+       |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+       | array_to_string(ws[chunk_idx * $ChunkStride + 1 : chunk_idx * $ChunkStride + $ChunkSize], ' ') AS chunk_text,
+       | CAST(len(ws[chunk_idx * $ChunkStride + 1 : chunk_idx * $ChunkStride + $ChunkSize]) AS BIGINT) AS n_tokens
+       |FROM c, unnest(range(0, n_chunks)) AS r(chunk_idx)
+       |ORDER BY doc_id, chunk_idx""".stripMargin
+
+  // ---------------------------------------------------------------- q57
+
+  /** q57: deterministic corpus shuffle — training pipelines need the
+    * example order randomized but REPRODUCIBLE; `ORDER BY
+    * md5(key‖salt)` gives a salt-keyed pseudorandom permutation that is
+    * identical across runs, engines, and partitionings. Spark executes
+    * the total order as a range-partitioned distributed sort (sampled
+    * range exchange, per-partition sort) — the scale-correct global
+    * shuffle, no single-partition window anywhere.
+    */
+  def q57CorpusShuffle(s: SparkSession, dir: String): DataFrame =
+    documents(s, dir)
+      .select(col("doc_id"), col("lang"), col("source"),
+        md5(concat(col("doc_id").cast("string"), lit(":q57"))).as("shuffle_key"))
+      .orderBy(col("shuffle_key"), col("doc_id"))
+
+  val q57Sql: String =
+    """SELECT doc_id, lang, source,
+      | md5(concat(CAST(doc_id AS VARCHAR), ':q57')) AS shuffle_key
+      |FROM documents
+      |ORDER BY shuffle_key, doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q58
+
+  /** q58: the end-to-end curation funnel — the composition a real corpus
+    * pipeline runs, with per-language counts at every stage for audit:
+    *
+    *   raw → quality filter (q18's composite ≥ 0.5)
+    *       → near-dup removal (q45's connected components; a doc is
+    *         dropped when its component canon is a different doc)
+    *       → stratified sample (q47's per-language rates, fresh salt)
+    *
+    * The stages compose as column flags over one corpus scan joined to
+    * the (tiny, near-dup-graph-sized) component labels — no stage
+    * re-reads the corpus, and the funnel aggregate is a single group-by.
+    */
+  def q58CurationFunnel(s: SparkSession, dir: String): DataFrame = {
+    val ws = words(col("text"))
+    val nw = size(ws).cast("double")
+    val nc = length(col("text")).cast("double")
+    val np = (length(col("text"))
+      - length(regexp_replace(col("text"), "[^a-z0-9\\s]", ""))).cast("double")
+    val nd = size(array_distinct(ws)).cast("double")
+    // q18's composite quality, identically rounded in the oracle
+    val quality = round(
+      least(nw / 50.0, lit(1.0)) * (lit(1.0) - np / nc)
+        * (lit(0.5) + lit(0.5) * (nd / nw)), 4)
+    val labels = Dedup.q45DedupComponents(s, dir)
+      .select(col("doc").as("l_doc"), col("comp"))
+    def cnt(c: Column, name: String): Column = sum(when(c, 1L).otherwise(0L)).as(name)
+    documents(s, dir)
+      .withColumn("quality", quality)
+      .withColumn("u", uhash(col("doc_id"), "q58"))
+      .join(labels, col("doc_id") === col("l_doc"), "left")
+      .withColumn("qok", col("quality") >= 0.5)
+      .withColumn("dropped", col("comp").isNotNull && col("comp") =!= col("doc_id"))
+      .withColumn("samp", col("u") < rateExpr)
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_raw"),
+        cnt(col("qok"), "n_quality"),
+        cnt(col("qok") && !col("dropped"), "n_deduped"),
+        cnt(col("qok") && !col("dropped") && col("samp"), "n_sampled"))
+      .orderBy(col("lang"))
+  }
+
+  val q58Sql: String =
+    s"""WITH RECURSIVE ${Dedup.sqlComponentsCtes},
+       |qd AS (
+       |  SELECT doc_id, lang, text, regexp_split_to_array(trim(text), '\\s+') AS ww,
+       |   ${uhashSql("doc_id", "q58")} AS u
+       |  FROM documents),
+       |qs AS (
+       |  SELECT doc_id, lang, u,
+       |   ROUND(least(CAST(len(ww) AS DOUBLE) / 50.0, 1.0)
+       |     * (1.0 - CAST(length(text)
+       |          - length(regexp_replace(text, '[^a-z0-9\\s]', '', 'g')) AS DOUBLE)
+       |        / length(text))
+       |     * (0.5 + 0.5 * CAST(len(list_distinct(ww)) AS DOUBLE) / len(ww)), 4) AS quality
+       |  FROM qd),
+       |flags AS (
+       |  SELECT qs.doc_id, lang,
+       |   quality >= 0.5 AS qok,
+       |   (l.comp IS NOT NULL AND l.comp <> qs.doc_id) AS dropped,
+       |   u < $rateSqlCase AS samp
+       |  FROM qs LEFT JOIN labels l ON qs.doc_id = l.doc)
+       |SELECT lang,
+       | CAST(COUNT(*) AS BIGINT) AS n_raw,
+       | CAST(SUM(CASE WHEN qok THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+       | CAST(SUM(CASE WHEN qok AND NOT dropped THEN 1 ELSE 0 END) AS BIGINT) AS n_deduped,
+       | CAST(SUM(CASE WHEN qok AND NOT dropped AND samp THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
+       |FROM flags GROUP BY lang ORDER BY lang""".stripMargin
 }

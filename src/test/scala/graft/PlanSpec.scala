@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{Dedup, Relational}
+import graft.queries.{Dedup, Relational, TrainingData}
 
 /** Plan-shape regression tests: the properties that make these queries
   * scale are plan properties (pushdown, pruning, broadcast, top-k
@@ -47,5 +47,33 @@ class PlanSpec extends SparkTestBase {
       val exchanges = p.split("Exchange (hashpartitioning|rangepartitioning|SinglePartition)").length - 1
       assert(exchanges <= 1, s"$name shuffles beyond the output sort:\n$p")
     }
+  }
+
+  test("hash sampling and chunking are map-only: no shuffle before the output sort") {
+    Seq(TrainingData.q47StratifiedSample(spark, sf),
+      TrainingData.q49SourceMixture(spark, sf),
+      TrainingData.q56ChunkDocuments(spark, sf)).foreach { df =>
+      val p = plan(df)
+      val exchanges = p.split("Exchange (hashpartitioning|rangepartitioning|SinglePartition)").length - 1
+      assert(exchanges <= 1, s"sampling/chunking shuffles beyond the output sort:\n$p")
+    }
+  }
+
+  test("q54 range join is a bucketed equi-join, not a nested loop") {
+    val p = plan(TrainingData.q54RangeJoin(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoopJoin"),
+      s"interval join degraded to all-pairs:\n$p")
+  }
+
+  test("q57 corpus shuffle is a distributed range sort, no single-partition stage") {
+    val p = plan(TrainingData.q57CorpusShuffle(spark, sf))
+    assert(p.contains("rangepartitioning"), s"expected a range-partitioned sort:\n$p")
+    assert(!p.contains("SinglePartition"), s"global shuffle collapsed to one partition:\n$p")
+  }
+
+  test("q25 top-k aggregates map-side (ObjectHashAggregate), no window over the pair stream") {
+    val p = plan(graft.queries.Similarity.q25CosineTopK(spark, sf))
+    assert(p.contains("ObjectHashAggregate"), s"TopKPairs not aggregating:\n$p")
+    assert(!p.contains("Window"), s"pair stream still flows through a window sort:\n$p")
   }
 }

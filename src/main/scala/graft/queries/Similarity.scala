@@ -124,10 +124,15 @@ object Similarity {
       .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("neighbor_id"),
         col("a.bucket").as("bucket"),
         round(dot(col("a.v"), col("b.v")) / (col("a.norm") * col("b.norm")), 6).as("sim"))
-    val w = Window.partitionBy(col("vec_id")).orderBy(col("sim").desc, col("neighbor_id"))
+    // bounded top-k aggregate (cf. q25): map-side partials instead of a
+    // window sort over the candidate stream; bucket is constant per
+    // vector, so it rides in the grouping key
     pairs
-      .withColumn("rnk", row_number().over(w).cast("long"))
-      .filter(col("rnk") <= 3)
+      .groupBy(col("vec_id"), col("bucket"))
+      .agg(topKPairs(col("sim"), col("neighbor_id"), 3).as("nb"))
+      .select(col("vec_id"), col("bucket"), posexplode(col("nb")).as(Seq("pos", "nb")))
+      .select(col("vec_id"), col("nb.id").as("neighbor_id"), col("bucket"),
+        col("nb.score").as("sim"), (col("pos") + 1).cast("long").as("rnk"))
       .orderBy(col("vec_id"), col("rnk"))
   }
 
@@ -200,10 +205,13 @@ object Similarity {
       .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("neighbor_id"),
         col("a.cell").as("cell"),
         round(dot(col("a.v"), col("b.v")) / (col("a.norm") * col("b.norm")), 6).as("sim"))
-    val w = Window.partitionBy(col("vec_id")).orderBy(col("sim").desc, col("neighbor_id"))
+    // bounded top-k aggregate (cf. q25); cell is constant per vector
     pairs
-      .withColumn("rnk", row_number().over(w).cast("long"))
-      .filter(col("rnk") <= 3)
+      .groupBy(col("vec_id"), col("cell"))
+      .agg(topKPairs(col("sim"), col("neighbor_id"), 3).as("nb"))
+      .select(col("vec_id"), col("cell"), posexplode(col("nb")).as(Seq("pos", "nb")))
+      .select(col("vec_id"), col("nb.id").as("neighbor_id"), col("cell"),
+        col("nb.score").as("sim"), (col("pos") + 1).cast("long").as("rnk"))
       .orderBy(col("vec_id"), col("rnk"))
   }
 

@@ -75,6 +75,7 @@ object SparkEntry {
     "q56_chunk_documents"   -> (TrainingData.q56ChunkDocuments _),
     "q57_corpus_shuffle"    -> (TrainingData.q57CorpusShuffle _),
     "q58_curation_funnel"   -> (TrainingData.q58CurationFunnel _),
+    "q59_sequence_packing"  -> (TrainingData.q59SequencePacking _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -139,5 +140,6 @@ object SparkEntry {
     "q56_chunk_documents"   -> TrainingData.q56Sql,
     "q57_corpus_shuffle"    -> TrainingData.q57Sql,
     "q58_curation_funnel"   -> TrainingData.q58Sql,
+    "q59_sequence_packing"  -> TrainingData.q59Sql,
   )
 }

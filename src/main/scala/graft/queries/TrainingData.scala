@@ -432,6 +432,56 @@ object TrainingData {
       |FROM documents
       |ORDER BY shuffle_key, doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q59
+
+  /** Token budget per packed training sequence. */
+  val PackBudget: Int = 512
+
+  /** q59: sequence packing — lay the q56 chunks end-to-end per language
+    * and cut packs every [[PackBudget]] tokens (a chunk belongs to the
+    * pack where it STARTS, so packs are contiguous and deterministic;
+    * boundary chunks overflow their pack, which real packers then
+    * truncate/pad — the assignment, the distributed part, is what's
+    * computed here). One prefix-sum window per language partition + one
+    * aggregate; at 100 TB you pack within (shard, language) partitions —
+    * the window key is the sharding key, never a global order.
+    */
+  def q59SequencePacking(s: SparkSession, dir: String): DataFrame = {
+    val langs = documents(s, dir).select(col("doc_id").as("d_id"), col("lang"))
+    val chunks = q56ChunkDocuments(s, dir)
+      .join(langs, col("doc_id") === col("d_id"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"), col("chunk_idx"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    chunks
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .withColumn("pack_id",
+        floor((col("cum_tokens") - col("n_tokens")) / PackBudget).cast("long"))
+      .groupBy(col("lang"), col("pack_id"))
+      .agg(count(lit(1)).as("n_chunks"), sum(col("n_tokens")).as("sum_tokens"))
+      .orderBy(col("lang"), col("pack_id"))
+  }
+
+  val q59Sql: String =
+    s"""WITH w AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws FROM documents),
+       |c AS (
+       |  SELECT doc_id, ws,
+       |   (greatest(len(ws) - $ChunkSize, 0) + ${ChunkStride - 1}) // $ChunkStride + 1 AS n_chunks
+       |  FROM w),
+       |ch AS (
+       |  SELECT doc_id, chunk_idx,
+       |   CAST(len(ws[chunk_idx * $ChunkStride + 1 : chunk_idx * $ChunkStride + $ChunkSize]) AS BIGINT) AS n_tokens
+       |  FROM c, unnest(range(0, n_chunks)) AS r(chunk_idx)),
+       |packed AS (
+       |  SELECT d.lang, ch.doc_id, ch.chunk_idx, ch.n_tokens,
+       |   SUM(ch.n_tokens) OVER (PARTITION BY d.lang ORDER BY ch.doc_id, ch.chunk_idx
+       |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+       |  FROM ch JOIN documents d USING (doc_id))
+       |SELECT lang, CAST((cum_tokens - n_tokens) // $PackBudget AS BIGINT) AS pack_id,
+       | CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       | CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
+       |FROM packed GROUP BY 1, 2 ORDER BY lang, pack_id""".stripMargin
+
   // ---------------------------------------------------------------- q58
 
   /** q58: the end-to-end curation funnel — the composition a real corpus

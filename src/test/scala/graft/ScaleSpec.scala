@@ -39,6 +39,34 @@ class ScaleSpec extends SparkTestBase {
     }
   }
 
+  test("runtime bloom filter prunes the probe side of a selective join") {
+    // At 100 TB the fact-side scan dominates; Spark's runtime row-level
+    // filtering injects a bloom filter built from the selective dim side
+    // into the fact scan. Local thresholds are sized for petabyte plans,
+    // so lower them to prove the rewrite fires on the test corpus.
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "10GB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      val joined = Tables.lineitem(spark, sf)
+        .join(Tables.orders(spark, sf).filter(col("o_orderstatus") === "P"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderstatus")).agg(sum(col("l_quantity")).as("q"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("bloom_filter") || plan.contains("BloomFilter"),
+        s"no runtime bloom filter injected into the probe side:\n$plan")
+    } finally {
+      saved.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+    }
+  }
+
   test("salted two-phase aggregation equals the direct aggregate on skewed keys") {
     import spark.implicits._
     // 90% of rows share one hot key — the shape that melts a single

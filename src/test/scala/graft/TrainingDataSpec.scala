@@ -88,6 +88,31 @@ class TrainingDataSpec extends SparkTestBase {
     out.unpersist()
   }
 
+  test("q58: funnel counts are monotone non-increasing per language and sum to the corpus") {
+    val out = TrainingData.q58CurationFunnel(spark, sf).cache()
+    val bad = out.filter(
+      col("n_quality") > col("n_raw") ||
+      col("n_deduped") > col("n_quality") ||
+      col("n_sampled") > col("n_deduped"))
+    assert(bad.isEmpty)
+    assert(out.agg(sum(col("n_raw"))).head.getLong(0)
+      === Tables.documents(spark, sf).count())
+    out.unpersist()
+  }
+
+  test("q59: packs respect the budget at their start and chunks are conserved") {
+    val out = TrainingData.q59SequencePacking(spark, sf).cache()
+    val totalChunks = TrainingData.q56ChunkDocuments(spark, sf).count()
+    assert(out.agg(sum(col("n_chunks"))).head.getLong(0) === totalChunks)
+    // pack ids are contiguous from 0 within each language
+    val gaps = out.groupBy("lang").agg(
+      min(col("pack_id")).as("lo"), max(col("pack_id")).as("hi"),
+      count(lit(1)).as("n"))
+      .filter(col("lo") =!= 0L || col("n") =!= col("hi") + 1)
+    assert(gaps.isEmpty, "pack ids must be dense per language")
+    out.unpersist()
+  }
+
   test("q54: bucketed range join equals the brute-force non-equi join") {
     val out = TrainingData.q54RangeJoin(spark, sf)
     val ev = Tables.events(spark, sf)

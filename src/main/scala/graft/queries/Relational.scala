@@ -25,8 +25,17 @@ object Relational {
   /** Exact, order-independent sum of a 2-decimal-place double column. */
   private def dsum2(c: Column): Column = sum(c.cast(DecimalType(18, 2))).cast("double")
 
-  /** Exact sum of a computed double expression, rounded per-row to 8dp. */
-  private def dsum8(c: Column): Column = sum(c.cast(DecimalType(28, 8))).cast("double")
+  /** Exact sum of a computed double expression at 8dp, ROUNDED to 2dp
+    * before the final double cast. The round is load-bearing for oracle
+    * parity, not cosmetics: at bench scale the 8dp sum's unscaled value
+    * (Σ·10⁸ ≈ 10¹⁸) exceeds 2⁵³, and DuckDB's decimal→double conversion
+    * rounds the unscaled integer to a double BEFORE the scale division —
+    * up to ~10⁻⁶ off the correctly-rounded result Spark produces. At
+    * scale 2 the unscaled value stays < 2⁵³, both engines correctly round
+    * the same rational, and the doubles agree bit-for-bit at any SF.
+    */
+  private def dsum8(c: Column): Column =
+    round(sum(c.cast(DecimalType(28, 8))), 2).cast("double")
 
   /** q01: scan → filter (pushed to parquet) → hash agg → sort. TPC-H Q1 shape.
     * Partial aggregation is map-side; the shuffle carries only 6 grouped rows
@@ -51,8 +60,8 @@ object Relational {
     """SELECT l_returnflag, l_linestatus,
       | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
       | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-      | CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(28,8))) AS DOUBLE) AS sum_disc_price,
-      | CAST(SUM(CAST(l_extendedprice*(1-l_discount)*(1+l_tax) AS DECIMAL(28,8))) AS DOUBLE) AS sum_charge,
+      | CAST(ROUND(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(28,8))), 2) AS DOUBLE) AS sum_disc_price,
+      | CAST(ROUND(SUM(CAST(l_extendedprice*(1-l_discount)*(1+l_tax) AS DECIMAL(28,8))), 2) AS DOUBLE) AS sum_charge,
       | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)/COUNT(*) AS avg_qty,
       | COUNT(*) AS count_order
       |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -72,13 +81,14 @@ object Relational {
       .join(broadcast(region(s, dir).filter(col("r_name") === "ASIA")),
         col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("n_name"))
-      .agg(sum(rev).cast("double").as("revenue"), count(lit(1)).as("n_items"))
+      // round-to-2 before the double cast: see dsum8 — same 2^53 hazard
+      .agg(round(sum(rev), 2).cast("double").as("revenue"), count(lit(1)).as("n_items"))
       .orderBy(col("revenue").desc, col("n_name"))
   }
 
   val q02Sql: String =
     """SELECT n_name,
-      | CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(28,8))) AS DOUBLE) AS revenue,
+      | CAST(ROUND(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(28,8))), 2) AS DOUBLE) AS revenue,
       | COUNT(*) AS n_items
       |FROM lineitem
       | JOIN orders ON l_orderkey = o_orderkey

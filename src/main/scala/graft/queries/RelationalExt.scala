@@ -122,7 +122,10 @@ object RelationalExt {
     lineitem(s, dir)
       .groupBy(col("l_returnflag"))
       .agg(
-        sum(revenue(col("l_extendedprice"), col("l_discount")).cast(DecimalType(28, 8)))
+        // round-to-2 before the double cast: see Relational.dsum8 — at
+        // bench scale the 8dp sum's unscaled value exceeds 2^53 and
+        // DuckDB's decimal→double conversion diverges from Spark's
+        round(sum(revenue(col("l_extendedprice"), col("l_discount")).cast(DecimalType(28, 8))), 2)
           .cast("double").as("revenue"),
         countAbove(col("l_quantity")).as("n_big"),
         count(lit(1)).as("n_rows"))
@@ -131,7 +134,7 @@ object RelationalExt {
 
   val q34Sql: String =
     """SELECT l_returnflag,
-      | CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,8))) AS DOUBLE) AS revenue,
+      | CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,8))), 2) AS DOUBLE) AS revenue,
       | CAST(COUNT(*) FILTER (WHERE l_quantity > 25.0) AS BIGINT) AS n_big,
       | COUNT(*) AS n_rows
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin

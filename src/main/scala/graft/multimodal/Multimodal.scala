@@ -85,6 +85,35 @@ object Multimodal {
     media.mapPartitions(_.map(DecodeStub.decode))
   }
 
+  /** A resized payload: original length kept for audit. */
+  case class ResizedRow(doc_id: Long, media_type: String,
+                        orig_len: Long, bytes: Array[Byte])
+
+  /** Resize: nearest-neighbor resampling of the payload to a fixed
+    * target length — the per-axis primitive image/audio resize performs
+    * (real pixel resize applies it per row/column after decode; the
+    * sandbox's stub payloads are 1-D, so it applies once). Runs as the
+    * same partition-local typed kernel as [[decodeAll]]: iterator in,
+    * iterator out, no shuffle, output size fixed per row — the shape
+    * that makes a downstream fixed-size model batch packable.
+    */
+  def resizeAll(media: Dataset[MediaRow], targetLen: Int): Dataset[ResizedRow] = {
+    import media.sparkSession.implicits._
+    require(targetLen > 0, "targetLen must be positive")
+    media.mapPartitions(_.map { r =>
+      val n = r.bytes.length
+      val out = new Array[Byte](targetLen)
+      if (n > 0) {
+        var i = 0
+        while (i < targetLen) {
+          out(i) = r.bytes((i.toLong * n / targetLen).toInt)
+          i += 1
+        }
+      }
+      ResizedRow(r.doc_id, r.media_type, n.toLong, out)
+    })
+  }
+
   /** Frame sampling for "video" payloads: split the byte stream into
     * `frames` equal chunks (one row per frame). Pure expression — the
     * generator (posexplode) multiplies rows without a shuffle, and the

@@ -65,4 +65,20 @@ class MultimodalSpec extends SparkTestBase {
           s"doc ${r.getLong(0)} lost bytes in frame sampling")
       }
   }
+
+  test("resize produces fixed-length payloads, deterministically, endpoints preserved") {
+    import spark.implicits._
+    val ds = media.select(col("doc_id"), col("media_type"), col("media").as("bytes"))
+      .as[Multimodal.MediaRow]
+    val out = Multimodal.resizeAll(ds, 64).collect().sortBy(_.doc_id)
+    assert(out.length === media.count())
+    out.foreach { r =>
+      assert(r.bytes.length === 64, s"doc ${r.doc_id}: wrong target length")
+    }
+    // nearest-neighbor keeps the first byte; repartitioning changes nothing
+    val orig = ds.collect().map(r => r.doc_id -> r.bytes).toMap
+    out.foreach(r => assert(r.bytes(0) === orig(r.doc_id)(0)))
+    val again = Multimodal.resizeAll(ds.repartition(7), 64).collect().sortBy(_.doc_id)
+    assert(out.zip(again).forall { case (a, b) => a.bytes.sameElements(b.bytes) })
+  }
 }

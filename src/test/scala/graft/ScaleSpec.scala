@@ -39,6 +39,24 @@ class ScaleSpec extends SparkTestBase {
     }
   }
 
+  test("hive-partitioned layout prunes partitions at plan time") {
+    val dir = Files.createTempDirectory("graft_part").toString
+    Tables.documents(spark, sf)
+      .write.mode("overwrite").partitionBy("lang").parquet(dir)
+    val q = spark.read.parquet(dir).filter(col("lang") === "en")
+    val plan = q.queryExecution.executedPlan.toString
+    // the lang predicate must become a partition filter on the scan, not
+    // a data filter evaluated after reading every partition
+    assert(plan.contains("PartitionFilters") && plan.contains("isnotnull(lang"),
+      s"lang filter did not reach PartitionFilters:\n$plan")
+    // and only the en partition's files are read
+    val scanned = q.queryExecution.executedPlan.collectLeaves()
+      .collectFirst { case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.selectedPartitions.partitionCount }
+    assert(scanned.contains(1), s"expected exactly 1 partition scanned, got $scanned")
+    assert(q.count() === Tables.documents(spark, sf).filter(col("lang") === "en").count())
+  }
+
   test("runtime bloom filter prunes the probe side of a selective join") {
     // At 100 TB the fact-side scan dominates; Spark's runtime row-level
     // filtering injects a bloom filter built from the selective dim side

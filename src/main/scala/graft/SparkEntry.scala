@@ -76,6 +76,7 @@ object SparkEntry {
     "q57_corpus_shuffle"    -> (TrainingData.q57CorpusShuffle _),
     "q58_curation_funnel"   -> (TrainingData.q58CurationFunnel _),
     "q59_sequence_packing"  -> (TrainingData.q59SequencePacking _),
+    "q60_decontamination"   -> (TrainingData.q60Decontamination _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -141,5 +142,6 @@ object SparkEntry {
     "q57_corpus_shuffle"    -> TrainingData.q57Sql,
     "q58_curation_funnel"   -> TrainingData.q58Sql,
     "q59_sequence_packing"  -> TrainingData.q59Sql,
+    "q60_decontamination"   -> TrainingData.q60Sql,
   )
 }

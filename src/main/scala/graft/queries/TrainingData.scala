@@ -432,6 +432,55 @@ object TrainingData {
       |FROM documents
       |ORDER BY shuffle_key, doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q60
+
+  /** Decontamination shingle width (word n-grams; 13 in the GPT-3 recipe,
+    * 5 here because the synthetic docs are ~40 words).
+    */
+  val DecontamN: Int = 5
+
+  /** q60: benchmark decontamination — flag training documents sharing any
+    * word [[DecontamN]]-gram with the held-out eval set (stand-in: every
+    * 10th doc), the overlap check run before any benchmark number is
+    * trusted. Both sides explode to distinct (doc, shingle) rows and meet
+    * in one equi-join on the shingle — an inverted-index membership test
+    * like q22's, so cost is bounded by shared shingles, not |train|×|eval|.
+    * At 100 TB the eval side is tiny: Spark broadcasts it and the check
+    * degenerates to a map-side bloom/hash lookup per training shingle.
+    */
+  def q60Decontamination(s: SparkSession, dir: String): DataFrame = {
+    val d = documents(s, dir)
+    def grams(df: DataFrame): DataFrame = df
+      .select(col("doc_id"), explode(shingles(words(col("text")), DecontamN)).as("g"))
+      .distinct()
+    val evalGrams = grams(d.filter(col("doc_id") % 10 === 0))
+      .select(col("g").as("eval_g"), col("doc_id").as("eval_doc"))
+    val trainGrams = grams(d.filter(col("doc_id") % 10 =!= 0))
+    trainGrams
+      .join(evalGrams, col("g") === col("eval_g"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hits"),
+        countDistinct(col("eval_doc")).as("n_eval_docs"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q60Sql: String =
+    s"""WITH w AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents),
+       |g AS (
+       |  SELECT DISTINCT doc_id, s FROM (
+       |    SELECT doc_id, unnest(CASE WHEN len(w) >= $DecontamN
+       |      THEN list_transform(range(1, len(w) - ${DecontamN - 2}),
+       |             i -> array_to_string(w[i:i+${DecontamN - 1}], ' '))
+       |      ELSE [] END) AS s
+       |    FROM w)),
+       |ev AS (SELECT doc_id AS eval_doc, s FROM g WHERE doc_id % 10 = 0),
+       |tr AS (SELECT doc_id, s FROM g WHERE doc_id % 10 <> 0)
+       |SELECT tr.doc_id, CAST(count(*) AS BIGINT) AS n_hits,
+       | CAST(count(DISTINCT ev.eval_doc) AS BIGINT) AS n_eval_docs
+       |FROM tr JOIN ev ON tr.s = ev.s
+       |GROUP BY tr.doc_id ORDER BY tr.doc_id""".stripMargin
+
   // ---------------------------------------------------------------- q59
 
   /** Token budget per packed training sequence. */

@@ -77,6 +77,7 @@ object SparkEntry {
     "q58_curation_funnel"   -> (TrainingData.q58CurationFunnel _),
     "q59_sequence_packing"  -> (TrainingData.q59SequencePacking _),
     "q60_decontamination"   -> (TrainingData.q60Decontamination _),
+    "q61_embedding_quantize" -> (Similarity.q61EmbeddingQuantize _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -143,5 +144,6 @@ object SparkEntry {
     "q58_curation_funnel"   -> TrainingData.q58Sql,
     "q59_sequence_packing"  -> TrainingData.q59Sql,
     "q60_decontamination"   -> TrainingData.q60Sql,
+    "q61_embedding_quantize" -> Similarity.q61Sql,
   )
 }

@@ -228,7 +228,7 @@ object Dedup {
     // node, so the label sum strictly decreases until the fixpoint and is
     // unchanged exactly at it. One scalar aggregate per round.
     def labelSum(df: org.apache.spark.sql.DataFrame): Long =
-      df.agg(sum(col("comp"))).head.getLong(0)
+      df.agg(sum(col("comp"))).head().getLong(0)
     var prevSum = labelSum(labels)
     var converged = false
     while (!converged) {

@@ -279,4 +279,35 @@ object Similarity {
        |SELECT vec_id, neighbor_id, bucket, sim, rnk FROM r WHERE rnk <= 3
        |ORDER BY vec_id, rnk""".stripMargin
   }
+
+  /** q61: int8 max-abs quantization of the embedding column — the
+    * storage/IO lever for petabyte embedding tables (4× smaller than
+    * float32, 8× than float64; ANN candidate scoring then runs on int8
+    * with a per-vector scale). Map-only: per vector, scale = max|xᵢ|,
+    * qᵢ = round(xᵢ/scale·127) ∈ [−127, 127]. Output renders the code
+    * vector as a joined string (nested-array cells don't compare exactly
+    * through pandas-based comparators; strings do — cf. q41).
+    */
+  def q61EmbeddingQuantize(s: SparkSession, dir: String): DataFrame = {
+    val v = transform(col("embedding"), x => x.cast("double"))
+    val scale = array_max(transform(v, x => abs(x)))
+    val codes = transform(v, x =>
+      when(lit(0.0) === scale, lit(0L)).otherwise(round(x / scale * 127.0)).cast("long"))
+    embeddings(s, dir)
+      .select(col("vec_id"),
+        round(scale, 6).as("scale"),
+        array_join(transform(codes, _.cast("string")), ",").as("q_codes"))
+      .orderBy(col("vec_id"))
+  }
+
+  val q61Sql: String =
+    """WITH e AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings),
+      |sc AS (
+      |  SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS scale FROM e)
+      |SELECT vec_id, ROUND(scale, 6) AS scale,
+      | array_to_string(list_transform(v, x ->
+      |   CAST(CASE WHEN scale = 0 THEN 0 ELSE round(x / scale * 127.0) END AS BIGINT)), ',') AS q_codes
+      |FROM sc ORDER BY vec_id""".stripMargin
 }

@@ -212,4 +212,29 @@ class StreamingSpec extends SparkTestBase {
         r.getAs[Long]("n_events"), r.getAs[Double]("sum_value"))).toSet
     assert(streamed === batch)
   }
+
+  test("hash-threshold sampling is stream-applicable and agrees with batch") {
+    // deterministic sampling is a stateless map — the same filter runs
+    // unchanged on an unbounded stream (curation-on-ingest), and because
+    // keep/drop is a pure function of the key it selects the SAME rows
+    // it would in batch, regardless of arrival order or micro-batching
+    implicit val sq = spark.sqlContext
+    import sq.implicits._
+    val docs = (0L until 300L).map(i => (i, s"lang${i % 3}"))
+    def sampled(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("u", conv(substring(md5(
+        concat(col("doc_id").cast("string"), lit(":spar"))), 1, 15), 16, 10)
+        .cast("long").cast("double") / 1152921504606846976.0)
+      .filter(col("u") < 0.4)
+    val in = MemoryStream[(Long, String)]
+    in.addData(docs: _*)
+    val q = sampled(in.toDF().toDF("doc_id", "lang"))
+      .writeStream.format("memory").queryName("samp")
+      .outputMode(OutputMode.Append).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val streamed = spark.table("samp").select("doc_id").collect().map(_.getLong(0)).toSet
+    val batch = sampled(docs.toDF("doc_id", "lang"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(streamed === batch && batch.nonEmpty)
+  }
 }

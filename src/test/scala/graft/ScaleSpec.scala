@@ -102,6 +102,41 @@ class ScaleSpec extends SparkTestBase {
     assert(salted.toSeq === direct.toSeq)
   }
 
+  test("AQE splits skewed join partitions at runtime") {
+    import spark.implicits._
+    // production defaults detect skew at 256MB partitions; scale the
+    // thresholds to the test corpus so the same machinery fires here
+    val confs = Seq(
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "65536",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "32768",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      // one hot key owns ~95% of the left side — the shape that melts a
+      // single reducer without runtime splitting
+      val left = spark.range(0, 100000).select(
+        when(col("id") % 20 =!= 0, 0L).otherwise(col("id")).as("k"),
+        concat(lit("pad" * 20), col("id")).as("pad"))
+      val right = spark.range(0, 2000).select(col("id").as("rk"))
+      val j = left.join(right, col("k") === col("rk"))
+      // execute through THIS Dataset's QueryExecution (a write would plan
+      // a fresh one, leaving this plan un-finalized by AQE)
+      val qe = j.queryExecution
+      qe.toRdd.count()
+      val plan = qe.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"AQE did not split the skewed partition:\n$plan")
+    } finally {
+      saved.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+    }
+  }
+
   test("AvailableNow + checkpoint drains each record exactly once across restarts") {
     val topicDir = Files.createTempDirectory("graft_eo_topic").toString
     val checkpoint = Files.createTempDirectory("graft_eo_ckpt").toString

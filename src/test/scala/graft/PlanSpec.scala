@@ -76,4 +76,21 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("ObjectHashAggregate"), s"TopKPairs not aggregating:\n$p")
     assert(!p.contains("Window"), s"pair stream still flows through a window sort:\n$p")
   }
+
+  test("ANN candidate joins (LSH bucket, IVF cell) are equi-joins, not all-pairs") {
+    def bnljCount(p: String) = p.split("BroadcastNestedLoopJoin").length - 1
+    def hasEquiJoin(p: String) =
+      p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") || p.contains("BroadcastHashJoin")
+    val lsh = plan(graft.queries.Similarity.q26AnnLsh(spark, sf))
+    assert(!lsh.contains("CartesianProduct") && bnljCount(lsh) === 0 && hasEquiJoin(lsh),
+      s"LSH bucket join degraded to all-pairs:\n$lsh")
+    // q39's centroid ASSIGNMENT is a broadcast nested loop by design
+    // (every vector scores 16 broadcast centroids), and the assignment
+    // subtree appears once per self-join side (Spark doesn't CSE across
+    // join branches) — so up to two BNLJs; the cell PAIR join itself
+    // must still be an equi-join
+    val ivf = plan(graft.queries.Similarity.q39AnnIvf(spark, sf))
+    assert(!ivf.contains("CartesianProduct") && bnljCount(ivf) <= 2 && hasEquiJoin(ivf),
+      s"IVF cell join degraded to all-pairs:\n$ivf")
+  }
 }

@@ -192,6 +192,43 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("stream-stream LEFT OUTER join emits null rows only after the watermark closes the match window") {
+    implicit val sq = spark.sqlContext
+    import sq.implicits._
+    val clicks = MemoryStream[Ev]
+    val purchases = MemoryStream[Ev]
+    val c = clicks.toDF().select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+      .withWatermark("c_ts", "5 minutes")
+    val p = purchases.toDF().select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("value").as("amount"))
+      .withWatermark("p_ts", "5 minutes")
+    val joined = c.join(p,
+      col("c_user") === col("p_user") &&
+        col("p_ts") >= col("c_ts") && col("p_ts") <= col("c_ts") + expr("INTERVAL 10 MINUTES"),
+      "left_outer")
+    val q = joined.writeStream.format("memory").queryName("ssj_left")
+      .outputMode(OutputMode.Append).start()
+    try {
+      clicks.addData(Ev(ts(0), 1, "click", 0.0), Ev(ts(1), 2, "click", 0.0))
+      purchases.addData(Ev(ts(5), 1, "purchase", 9.99))
+      q.processAllAvailable()
+      // user 2's null-extended row must NOT appear yet: its match window
+      // is still open (a purchase could still arrive)
+      val early = spark.table("ssj_left").collect().map(_.getAs[Long]("c_user"))
+      assert(!early.contains(2L),
+        "left join emitted the unmatched row before the watermark closed it")
+      // advance event time far past user 2's window + watermark delay
+      clicks.addData(Ev(ts(40), 9, "click", 0.0))
+      purchases.addData(Ev(ts(40), 8, "purchase", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("ssj_left").collect()
+        .map(r => (r.getAs[Long]("c_user"), Option(r.get(r.fieldIndex("amount")))))
+      assert(rows.contains((1L, Some(9.99))), "matched row missing")
+      assert(rows.contains((2L, None)),
+        "null-extended row not emitted after watermark passed the window")
+    } finally q.stop()
+  }
+
   test("batch and streaming tumbling plans agree on the same data") {
     implicit val sq = spark.sqlContext
     import sq.implicits._

@@ -12,7 +12,10 @@ object Bench {
     }
     val spark = Sessions.local("graft-bench")
     spark.sparkContext.setLogLevel("WARN")
-    val queries = SparkEntry.queries.filter { case (n, _) => only.forall(_.contains(n)) }
+    // deterministic (alphabetical) execution order: per-query times are
+    // comparable across rounds instead of shifting with Map hash order
+    val queries = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
     require(queries.nonEmpty, s"no queries match filter $only")
     // JVM/codegen/shuffle-machinery warmup so the first measured query
     // doesn't absorb one-time session init; touches no benchmark data.
@@ -31,7 +34,7 @@ object Bench {
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     // failed queries are listed explicitly so a fast failure can never
     // masquerade as a fast run in the tracked metric
     val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")

@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables._
 import graft.functions.TextFns._
+import graft.functions.TopKPairs.topKPairs
 
 /** Dataset-curation operators a large-scale training-data pipeline needs
   * beyond dedup/similarity (SURVEY.md §2.4 LLM-pipeline row): deterministic
@@ -431,6 +432,93 @@ object TrainingData {
       | md5(concat(CAST(doc_id AS VARCHAR), ':q57')) AS shuffle_key
       |FROM documents
       |ORDER BY shuffle_key, doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q65
+
+  /** Fixed per-stratum sample size. */
+  val FixedK: Int = 20
+
+  /** q65: fixed-budget stratified sampling — exactly [[FixedK]] docs per
+    * language (rate-based q47 gives a BINOMIAL count per stratum; eval
+    * sets and ablation budgets need an exact one). Selection = the k
+    * smallest salted hashes per stratum, which is a uniform without-
+    * replacement draw, reproducible across runs/engines/retries. Runs on
+    * the [[graft.functions.TopKPairs]] bounded-heap aggregate (score =
+    * −u), so each map partition contributes ≤ k candidates per stratum
+    * to the shuffle — no per-stratum sort of the corpus.
+    */
+  def q65FixedSample(s: SparkSession, dir: String): DataFrame = {
+    val u = uhash(col("doc_id"), "q65")
+    documents(s, dir)
+      .select(col("lang"), col("doc_id"), (-u).as("neg_u"))
+      .groupBy(col("lang"))
+      .agg(topKPairs(col("neg_u"), col("doc_id"), FixedK).as("picks"))
+      .select(col("lang"), posexplode(col("picks")).as(Seq("pos", "p")))
+      .select(col("lang"), col("p.id").as("doc_id"),
+        round(-col("p.score"), 6).as("u"), (col("pos") + 1).cast("long").as("rnk"))
+      .orderBy(col("lang"), col("rnk"))
+  }
+
+  val q65Sql: String =
+    s"""SELECT lang, doc_id, ROUND(u, 6) AS u, rnk FROM (
+       |  SELECT lang, doc_id, u,
+       |   row_number() OVER (PARTITION BY lang ORDER BY u, doc_id) AS rnk
+       |  FROM (SELECT lang, doc_id, ${uhashSql("doc_id", "q65")} AS u FROM documents))
+       |WHERE rnk <= $FixedK ORDER BY lang, rnk""".stripMargin
+
+  // ---------------------------------------------------------------- q66
+
+  /** Cosine threshold for semantic contamination. */
+  val SemanticThreshold: Double = 0.30
+
+  /** q66: semantic decontamination — the embedding-space counterpart of
+    * q60's lexical check: flag training vectors whose cosine similarity
+    * to ANY eval vector (every 10th id, mirroring q60's split) exceeds
+    * the threshold. The eval side is tiny by construction, so Spark
+    * broadcasts it and the scan of the training side is map-only — the
+    * same shape at 100 TB. Threshold is corpus-calibrated (cf. q40);
+    * production paraphrase-contamination runs at ~0.9+.
+    */
+  def q66SemanticDecontam(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.DotFold.dotFold
+    def side(f: Column => Column) = embeddings(s, dir)
+      .filter(f(col("vec_id") % 10))
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .withColumn("norm", sqrt(dotFold(col("v"), col("v"))))
+    val evalSide = side(_ === 0)
+      .select(col("vec_id").as("e_id"), col("v").as("ev"), col("norm").as("enorm"))
+    side(_ =!= 0)
+      .join(broadcast(evalSide),
+        round(dotFold(col("v"), col("ev")) / (col("norm") * col("enorm")), 6)
+          >= SemanticThreshold)
+      .groupBy(col("vec_id"))
+      .agg(count(lit(1)).as("n_eval_hits"),
+        max(round(dotFold(col("v"), col("ev")) / (col("norm") * col("enorm")), 6))
+          .as("max_sim"))
+      .orderBy(col("vec_id"))
+  }
+
+  val q66Sql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |n AS (
+       |  SELECT vec_id, v,
+       |   sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |     list_transform(v, x -> x * x)), (a, b) -> a + b)) AS norm
+       |  FROM e),
+       |ev AS (SELECT vec_id AS e_id, v AS evec, norm AS enorm FROM n WHERE vec_id % 10 = 0),
+       |tr AS (SELECT vec_id, v, norm FROM n WHERE vec_id % 10 <> 0),
+       |hits AS (
+       |  SELECT tr.vec_id,
+       |   ROUND(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |       list_transform(range(1, 65), i -> tr.v[i] * ev.evec[i])), (x, y) -> x + y)
+       |     / (tr.norm * ev.enorm), 6) AS sim
+       |  FROM tr JOIN ev ON TRUE)
+       |SELECT vec_id, CAST(count(*) AS BIGINT) AS n_eval_hits, max(sim) AS max_sim
+       |FROM hits WHERE sim >= $SemanticThreshold
+       |GROUP BY vec_id ORDER BY vec_id""".stripMargin
 
   // ---------------------------------------------------------------- q60
 

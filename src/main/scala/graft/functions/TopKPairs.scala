@@ -110,9 +110,16 @@ final class TopKBuffer(k: Int) {
 
   def size: Int = n
 
-  /** a=(s1,i1) is worse than b=(s2,i2) under (score DESC, id ASC). */
-  @inline private def worse(s1: Double, i1: Long, s2: Double, i2: Long): Boolean =
-    s1 < s2 || (s1 == s2 && i1 > i2)
+  /** a=(s1,i1) is worse than b=(s2,i2) under (score DESC, id ASC).
+    * Scores compare via java.lang.Double.compare — the same total order
+    * Spark uses for double ORDER BY — so NaN sorts as the greatest score
+    * (first under DESC) instead of being dropped by IEEE comparisons,
+    * and -0.0 < 0.0 ties break identically to the window formulation.
+    */
+  @inline private def worse(s1: Double, i1: Long, s2: Double, i2: Long): Boolean = {
+    val c = java.lang.Double.compare(s1, s2)
+    c < 0 || (c == 0 && i1 > i2)
+  }
 
   def offer(s: Double, i: Long): Unit = {
     if (n < k) {
@@ -162,7 +169,10 @@ final class TopKBuffer(k: Int) {
     val out = new Array[(Double, Long)](n)
     var j = 0
     while (j < n) { out(j) = (scores(j), ids(j)); j += 1 }
-    out.sortWith { case ((s1, i1), (s2, i2)) => s1 > s2 || (s1 == s2 && i1 < i2) }
+    out.sortWith { case ((s1, i1), (s2, i2)) =>
+      val c = java.lang.Double.compare(s1, s2)
+      c > 0 || (c == 0 && i1 < i2)
+    }
   }
 }
 

@@ -83,6 +83,7 @@ object SparkEntry {
     "q64_large_orders"      -> (RelationalTpch.q64LargeOrders _),
     "q65_fixed_sample"      -> (TrainingData.q65FixedSample _),
     "q66_semantic_decontam" -> (TrainingData.q66SemanticDecontam _),
+    "q67_neardup_lsh"       -> (Similarity.q67NearDupLsh _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -155,5 +156,10 @@ object SparkEntry {
     "q64_large_orders"      -> RelationalTpch.q64Sql,
     "q65_fixed_sample"      -> TrainingData.q65Sql,
     "q66_semantic_decontam" -> TrainingData.q66Sql,
+    // q67's oracle IS q40's brute-force SQL: the banded-LSH candidate
+    // generator has measured recall 1.0 at the calibrated threshold on
+    // every fixture scale (pinned by the q67 ≡ q40 unit test), so the
+    // exact-verified output is the identical pair set.
+    "q67_neardup_lsh"       -> Similarity.q40Sql,
   )
 }

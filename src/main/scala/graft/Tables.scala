@@ -36,4 +36,20 @@ object Tables {
       .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+
+  /** Adaptive re-split for CPU-heavy map stages over sources Spark can't
+    * split: a single parquet row group (these fixtures) or a gzip'd file
+    * scans as ONE task, so an expensive per-row stage (tokenization,
+    * vector scoring) runs on one core no matter the cluster size. When the
+    * scan yields fewer splits than cores, shuffle the (narrow, projected)
+    * rows round-robin across the cluster BEFORE the expensive work; on a
+    * properly chunked corpus (row groups ≫ cores — any real 100 TB table)
+    * this is a structural no-op, so the shuffle can never become the
+    * bottleneck at scale. Call it on the projection feeding the hot
+    * expression, never on a wide row.
+    */
+  def resplit(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+  }
 }

@@ -111,13 +111,14 @@ final class TopKBuffer(k: Int) {
   def size: Int = n
 
   /** a=(s1,i1) is worse than b=(s2,i2) under (score DESC, id ASC).
-    * Scores compare via java.lang.Double.compare — the same total order
-    * Spark uses for double ORDER BY — so NaN sorts as the greatest score
-    * (first under DESC) instead of being dropped by IEEE comparisons,
-    * and -0.0 < 0.0 ties break identically to the window formulation.
+    * Score comparison matches Spark's double ORDER BY exactly
+    * (SQLOrderingUtil.compareDoubles, SPARK-32110): -0.0 and 0.0 compare
+    * EQUAL (raw Double.compare would order -0.0 < 0.0) and fall through to
+    * the id tiebreak, while NaN still sorts as the greatest score — so the
+    * kept rows are identical to the row_number window formulation.
     */
   @inline private def worse(s1: Double, i1: Long, s2: Double, i2: Long): Boolean = {
-    val c = java.lang.Double.compare(s1, s2)
+    val c = if (s1 == s2) 0 else java.lang.Double.compare(s1, s2)
     c < 0 || (c == 0 && i1 > i2)
   }
 
@@ -164,13 +165,13 @@ final class TopKBuffer(k: Int) {
     while (j < n) { f(scores(j), ids(j)); j += 1 }
   }
 
-  /** Entries best-first: (score DESC, id ASC). */
+  /** Entries best-first: (score DESC, id ASC); ±0.0 tie like [[worse]]. */
   def sortedDescending: Array[(Double, Long)] = {
     val out = new Array[(Double, Long)](n)
     var j = 0
     while (j < n) { out(j) = (scores(j), ids(j)); j += 1 }
     out.sortWith { case ((s1, i1), (s2, i2)) =>
-      val c = java.lang.Double.compare(s1, s2)
+      val c = if (s1 == s2) 0 else java.lang.Double.compare(s1, s2)
       c > 0 || (c == 0 && i1 < i2)
     }
   }

@@ -48,17 +48,24 @@ object JdbcIO {
     */
   def read(spark: SparkSession, url: String, table: String,
            partitionColumn: String = "id", numPartitions: Int = 32): DataFrame = {
+    // quote via the url's JdbcDialect (backticks on MySQL, double quotes
+    // ANSI) so a keyword-named column can't break or inject into the probe
+    // SQL; read the bounds POSITIONALLY — alias-uppercasing databases
+    // (Derby, Oracle, DB2) return column "LO" for `AS lo`, so a
+    // name-keyed getAs would throw (pinned by the Derby round-trip test)
+    val qcol = org.apache.spark.sql.jdbc.JdbcDialects.get(url)
+      .quoteIdentifier(partitionColumn)
     val probe = spark.read.format("jdbc")
       .option("url", url)
-      .option("query",
-        s"SELECT MIN($partitionColumn) AS lo, MAX($partitionColumn) AS hi FROM $table")
+      .option("query", s"SELECT MIN($qcol) AS lo, MAX($qcol) AS hi FROM $table")
       .load()
       .collect()(0)
     if (probe.isNullAt(0))
       spark.read.format("jdbc").option("url", url).option("dbtable", table).load()
     else
       read(spark, url, table, partitionColumn, numPartitions,
-        probe.getAs[Number]("lo").longValue(), probe.getAs[Number]("hi").longValue())
+        probe.get(0).asInstanceOf[Number].longValue(),
+        probe.get(1).asInstanceOf[Number].longValue())
   }
 
   /** Batched append (replaces per-row INSERT+commit). */

@@ -1,6 +1,9 @@
 package graft.queries
 
+import scala.collection.concurrent.TrieMap
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables._
@@ -17,10 +20,11 @@ import graft.functions.HashConsts._
   *     candidate set, not n², bounds the work.
   *   - Signatures (shingle sets, MinHash, SimHash) are computed in one
   *     map-only pass (Catalyst higher-order functions, no UDFs).
-  *   - For web-scale corpora you would add frequency-ordered prefix
-  *     filtering (PPJoin) on top of the shingle index; the band-bucket
-  *     plans (q23/q24) already have the property that join fan-out is
-  *     controlled by band width, the standard production knob.
+  *   - The Jaccard join (q22) indexes only each document's rarest-first
+  *     PREFIX (All-Pairs/PPJoin prefix filtering), so one viral shingle
+  *     cannot quadratically blow a single index key's bucket; the
+  *     band-bucket plans (q23/q24) control join fan-out with band width,
+  *     the standard production knob.
   *
   * Every constant is shared with the DuckDB oracle via
   * [[graft.functions.HashConsts]]; every hash bottoms out in md5, which
@@ -46,38 +50,114 @@ object Dedup {
   /** Distinct (doc_id, shingle) rows on the codegen path: explode +
     * hash-aggregate dedup (NOT `array_distinct`, which is interpreted and
     * quadratic per doc). This is the inverted-index base for q22/q23.
+    * The scan is re-split ([[graft.Tables.resplit]]) so shingle
+    * construction parallelizes even when the source arrives as one split.
     */
   private def shingleRows(s: SparkSession, dir: String): DataFrame =
-    documents(s, dir)
+    resplit(documents(s, dir).select(col("doc_id"), col("text")))
       .select(col("doc_id"), explode(shingles(words(col("text")), 3)).as("shingle"))
       .distinct()
 
-  /** q22: n-gram Jaccard near-dup pairs (J ≥ 0.5 on word 3-shingles) via
-    * an inverted shingle index: explode → self-equi-join on the shingle →
-    * count shared shingles per pair → J = |∩| / (|A|+|B|−|∩|). Per-doc
-    * set sizes are a tiny aggregate broadcast to the pair stream; the only
-    * shuffles are the shingle equi-join and the pair-count aggregate —
-    * candidate pairs (docs sharing ≥1 shingle), not n², bound the cost.
+  /** Jaccard threshold for the q22 near-dup join. */
+  val JaccardT: Double = 0.5
+
+  /** q22: n-gram Jaccard near-dup pairs (J ≥ [[JaccardT]] on word
+    * 3-shingles) via a PREFIX-FILTERED inverted index (Bayardo All-Pairs /
+    * PPJoin): shingles get a global rarest-first total order (document
+    * frequency ASC, shingle ASC), and each document indexes only its first
+    * p = n − ⌈t·n⌉ + 1 shingles in that order. Any pair with J ≥ t shares
+    * ≥ ⌈t·max(|A|,|B|)⌉ shingles, so its RAREST shared shingle provably
+    * falls in both prefixes — candidate generation is exact, never a
+    * heuristic. Candidates from the prefix equi-join are then verified
+    * against the FULL shingle sets (array_intersect), so scores are exact
+    * too.
+    *
+    * Scale property this buys over the plain inverted index: a viral
+    * shingle (df ≈ corpus) sorts LAST in the global order, falls outside
+    * every large document's prefix, and therefore generates no candidate
+    * pairs at all — the df² blow-up of a skewed index key is structurally
+    * impossible (pinned by the skew test in RelationalSpec and the parity
+    * test against the un-filtered join).
     */
-  def q22NgramJaccard(s: SparkSession, dir: String): DataFrame = {
-    val ex = shingleRows(s, dir)
-    val sz = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val pairs = ex.as("a").join(ex.as("b"),
+  /** Per-doc shingle sets in the global rarest-first order (document
+    * frequency ASC, shingle ASC): (doc_id, ord: array<struct<df,shingle>>,
+    * n). Document frequency is a hash-aggregate (map-side partials) joined
+    * back on the shingle; the per-doc order is a `sort_array` over each
+    * doc's own (tiny) set inside one hash-aggregate — no window sort of
+    * the whole index. One frame serves BOTH the prefix index and the
+    * exact-verify sets in [[q22Fresh]].
+    */
+  private def orderedSets(ex: DataFrame): DataFrame = {
+    val dfreq = ex.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    ex.join(dfreq, "shingle")
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("df"), col("shingle")))).as("ord"))
+      .withColumn("n", size(col("ord")).cast("long"))
+  }
+
+  /** Prefix-filtered index rows: of each doc's distinct shingles in the
+    * global rarest-first order, keep only the first n − ⌈t·n⌉ + 1.
+    * Package-visible so the skew test can pin the candidate bound.
+    */
+  private[graft] def jaccardPrefix(ex: DataFrame): DataFrame =
+    jaccardPrefixOf(orderedSets(ex))
+
+  private def jaccardPrefixOf(ordered: DataFrame): DataFrame = {
+    val p = (col("n") - ceil(col("n") * JaccardT) + 1).cast("int")
+    ordered.select(col("doc_id"),
+      explode(transform(slice(col("ord"), lit(1), p), _.getField("shingle"))).as("shingle"))
+  }
+
+  /** The q22 pipeline, built fresh (no memo): prefix-filtered candidate
+    * generation + exact verify. Package-visible so PlanSpec pins the join
+    * shapes of the real computation, not a memoized RDD scan. Output is
+    * UNSORTED — consumers order or join as they need.
+    */
+  private[graft] def q22Fresh(s: SparkSession, dir: String): DataFrame = {
+    // ONE eager localCheckpoint on the ordered per-doc sets: Spark does
+    // not CSE across self-join branches, so without it the tokenize +
+    // index + aggregate subtree would be recomputed for both prefix sides
+    // and both verify sides. Doc-count-sized, not corpus-text-sized; the
+    // ContextCleaner reclaims it when unreferenced.
+    val ordered = orderedSets(shingleRows(s, dir)).localCheckpoint(true)
+    val pref = jaccardPrefixOf(ordered)
+    // checkpoint THEN resplit before the verify: candidate verification is
+    // CPU-bound (set intersection per pair), and AQE's size-based
+    // coalescing would schedule the tiny-by-bytes candidate list onto a
+    // couple of cores. The checkpoint first means resplit's partition
+    // probe reads a materialized RDD instead of re-executing the join.
+    val cand = resplit(pref.as("a").join(pref.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("inter"))
-    // no broadcast hint: sz is O(corpus docs) — tiny here, but a forced
-    // broadcast would be wrong at web scale; AQE broadcasts it when it
-    // actually fits
-    pairs
-      .join(sz.as("sa"), col("doc_a") === col("sa.doc_id"))
-      .join(sz.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+      .localCheckpoint(true))
+    // exact verification on the full sets (same checkpointed frame as the
+    // prefix); sets is O(corpus docs) — no broadcast hint (AQE broadcasts
+    // it when it actually fits)
+    val sets = ordered.select(col("doc_id"),
+      transform(col("ord"), _.getField("shingle")).as("sh"), col("n"))
+    cand
+      .join(sets.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sets.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .withColumn("inter", size(array_intersect(col("sa.sh"), col("sb.sh"))).cast("long"))
       .withColumn("jaccard", round(col("inter").cast("double")
         / (col("sa.n") + col("sb.n") - col("inter")).cast("double"), 6))
-      .filter(col("jaccard") >= 0.5)
+      .filter(col("jaccard") >= JaccardT)
       .select(col("doc_a"), col("doc_b"), col("inter"), col("jaccard"))
-      .orderBy(col("doc_a"), col("doc_b"))
   }
+
+  /** Memoized materialization of [[q22Fresh]] per (session, sfDir): the
+    * near-dup pair list is the intermediate every downstream dedup stage
+    * consumes (q45's graph, hence q58's funnel), exactly like the label
+    * memo below — one pair generation per session, not one per consumer.
+    */
+  private val q22Memo = TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private def q22Cached(s: SparkSession, dir: String): DataFrame =
+    q22Memo.getOrElseUpdate((s, dir), q22Fresh(s, dir).localCheckpoint(true))
+
+  def q22NgramJaccard(s: SparkSession, dir: String): DataFrame =
+    q22Cached(s, dir).orderBy(col("doc_a"), col("doc_b"))
 
   /** DuckDB fragment: distinct (doc_id, shingle) pairs + per-doc size. */
   private val sqlShingles: String =
@@ -201,7 +281,23 @@ object Dedup {
     * deterministic regardless of round count. Oracle: DuckDB recursive
     * CTE computing min reachable id.
     */
-  def q45DedupComponents(s: SparkSession, dir: String): DataFrame = {
+  def q45DedupComponents(s: SparkSession, dir: String): DataFrame =
+    componentLabels(s, dir).orderBy(col("doc"))
+
+  /** Memoized per (session, sfDir): q45 is the canonical consumer, but the
+    * curation funnel (q58) needs the same labels — without the memo a
+    * bench/verify session would run the whole pair generation +
+    * propagation loop twice (it was ⅓ of the round-4 bench). Holding the
+    * frame here also keeps a live reference to its checkpointed RDDs, so
+    * the ContextCleaner can't reclaim them between consumers; entries die
+    * with the session.
+    */
+  private val labelsMemo = TrieMap.empty[(SparkSession, String), DataFrame]
+
+  def componentLabels(s: SparkSession, dir: String): DataFrame =
+    labelsMemo.getOrElseUpdate((s, dir), computeComponentLabels(s, dir))
+
+  private def computeComponentLabels(s: SparkSession, dir: String): DataFrame = {
     // cache the pair generation BEFORE the self-referencing union: both
     // union branches read `pairs`, and an uncached subtree would run the
     // whole q22 similarity join twice
@@ -213,8 +309,8 @@ object Dedup {
     // same way); (b) checkpointed RDDs are reclaimed by the ContextCleaner
     // once unreferenced, so nothing leaks executor storage across
     // invocations (CacheManager entries would persist until an explicit
-    // unpersist).
-    val pairs = q22NgramJaccard(s, dir).select(col("doc_a"), col("doc_b")).localCheckpoint(true)
+    // unpersist) — the memos pin only the shared frames.
+    val pairs = q22Cached(s, dir).select(col("doc_a"), col("doc_b"))
     // lazy checkpoints from here on: the next action both materializes and
     // truncates, so each round costs exactly one job
     val edges = pairs
@@ -226,9 +322,13 @@ object Dedup {
     // Convergence check without an extra join-job: labels are doc ids
     // (non-negative) and min-propagation is monotone non-increasing per
     // node, so the label sum strictly decreases until the fixpoint and is
-    // unchanged exactly at it. One scalar aggregate per round.
-    def labelSum(df: org.apache.spark.sql.DataFrame): Long =
-      df.agg(sum(col("comp"))).head().getLong(0)
+    // unchanged exactly at it. One scalar aggregate per round. The sum runs
+    // in decimal(38,0) — summing 64-bit ids in a Long overflows at corpus
+    // id ranges — and coalesces to 0 so an EMPTY near-dup graph (zero q22
+    // pairs) converges on the first round instead of NPE-ing on a null sum.
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(coalesce(sum(col("comp").cast("decimal(38,0)")),
+        lit(0).cast("decimal(38,0)"))).head().getDecimal(0)
     var prevSum = labelSum(labels)
     var converged = false
     while (!converged) {
@@ -249,11 +349,11 @@ object Dedup {
         .select(col("doc"), col("p_comp").as("comp"))
         .localCheckpoint(false)
       val nextSum = labelSum(next)
-      converged = nextSum == prevSum
+      converged = nextSum.compareTo(prevSum) == 0
       prevSum = nextSum
       labels = next
     }
-    labels.orderBy(col("doc"))
+    labels
   }
 
   /** Recursive-CTE block computing per-doc connected-component labels
@@ -301,7 +401,7 @@ object Dedup {
     // signature is assembled from the 48 sign bits. The earlier
     // formulation (nested interpreted folds per document) was the
     // dominant cost in the whole bench.
-    val tok = documents(s, dir)
+    val tok = resplit(documents(s, dir).select(col("doc_id"), col("text")))
       .select(col("doc_id"), explode(words(col("text"))).as("w"))
       .withColumn("h", hash60(col("w")) % (1L << SimHashBits))
     val bitSums = (0 until SimHashBits).map(i =>

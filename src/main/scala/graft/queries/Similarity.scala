@@ -24,9 +24,14 @@ import graft.functions.TopKPairs.topKPairs
   */
 object Similarity {
 
-  /** Vectors as doubles plus the precomputed L2 norm. */
+  /** Vectors as doubles plus the precomputed L2 norm. Re-split
+    * ([[graft.Tables.resplit]]): the widen + norm + downstream pair
+    * scoring are the CPU cost here, and a single-split source would pin
+    * them all to one core (q25/q40's pairwise stream runs in the scan
+    * stage).
+    */
   private def vecs(s: SparkSession, dir: String): DataFrame =
-    embeddings(s, dir)
+    resplit(embeddings(s, dir).select(col("vec_id"), col("embedding")))
       .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
       .withColumn("norm", sqrt(dotFold(col("v"), col("v"))))
 
@@ -136,24 +141,89 @@ object Similarity {
       .orderBy(col("vec_id"), col("rnk"))
   }
 
+  /** Cosine threshold shared by q40 (brute-force) and q67 (LSH-bucketed).
+    * Corpus-calibrated: this synthetic corpus's max pairwise cosine is
+    * 0.51; production near-dup runs at ~0.95+ — the plans are identical.
+    */
+  val NearDupThreshold: Double = 0.45
+
   /** q40: embedding-cosine near-duplicate detection — the fifth dedup
     * family member (cf. q21–q24 on text), keyed on semantic similarity
     * instead of lexical overlap. Emits the canonical mapping a dedup
     * pipeline consumes: (keep_id, drop_id, sim) with keep = min vec_id.
-    * Threshold is corpus-calibrated (this synthetic corpus's max pairwise
-    * cosine is 0.51; production near-dup runs at ~0.95+ — the plan is
-    * identical). Pairwise scoring here is exact over a < b; at corpus
-    * scale the candidate stream comes from the q26 LSH buckets or q39 IVF
-    * cells instead of the full pair space — at high thresholds those
-    * candidate generators have high recall precisely because near-dup
-    * vectors collide.
+    * Pairwise scoring here is exact over a < b — the recall yardstick; the
+    * EXECUTED scale path is q67, which generates candidates from banded
+    * LSH buckets and provably finds the same pair set at the calibrated
+    * threshold (pinned by the q67 ≡ q40 unit test).
     */
   def q40EmbeddingNearDup(s: SparkSession, dir: String): DataFrame = {
     val e = vecs(s, dir)
     e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("keep_id"), col("b.vec_id").as("drop_id"),
         round(dot(col("a.v"), col("b.v")) / (col("a.norm") * col("b.norm")), 6).as("sim"))
-      .filter(col("sim") >= 0.45)
+      .filter(col("sim") >= NearDupThreshold)
+      .orderBy(col("keep_id"), col("drop_id"))
+  }
+
+  /** Banded-LSH geometry for q67: OR over [[NdBands]] bands, each an AND
+    * of [[NdPlanesPerBand]] random hyperplanes — q23's band construction
+    * transplanted to embedding space (q26 is a single 8-plane AND: right
+    * for top-k bucketing, far too low-recall for near-dup detection). A
+    * pair at angle θ collides in one band with (1−θ/π)^planes and is a
+    * candidate with 1−(1−(1−θ/π)^p)^bands; at this corpus's calibrated
+    * threshold (cos 0.45 ⇒ θ≈63°) the measured recall vs brute-force q40
+    * is 1.0 at every fixture scale (the q67 ≡ q40 test), while at a
+    * production threshold (0.95 ⇒ θ≈18°) the same construction is sharply
+    * selective — bands/planes are the standard recall-vs-cost knobs.
+    */
+  val NdBands: Int = 24
+  val NdPlanesPerBand: Int = 3
+
+  /** Deterministic ±1 coefficients per (band, plane, dim) — md5 parity,
+    * reproducible in both engines (cf. [[PlaneCoeffs]]).
+    */
+  val NdPlaneCoeffs: Seq[Seq[Seq[Long]]] = {
+    def parity(s: String): Long = {
+      val d = MessageDigest.getInstance("MD5").digest(s.getBytes(StandardCharsets.UTF_8))
+      if ((d(15) & 1) == 1) 1L else -1L
+    }
+    (0 until NdBands).map(b => (0 until NdPlanesPerBand).map(p =>
+      (0 until AnnDims).map(d => parity(s"nd${b}p${p}d$d"))))
+  }
+
+  /** q67: embedding near-dup detection at scale — q40's declared candidate
+    * generator, executed: banded random-hyperplane LSH produces candidate
+    * pairs via a (band, band_sig) equi-join, then candidates are verified
+    * EXACTLY against the full vectors. Candidates are deduped to bare id
+    * pairs BEFORE the verify joins, so the band shuffle carries ids and
+    * small signatures — the 64-dim vectors travel only into the final
+    * per-candidate verify join, never through the band fan-out. No
+    * nested-loop join anywhere (pinned in PlanSpec); per-band bucket work
+    * is (n/2^planes)², and the verified output is exactly q40's pair set
+    * at the calibrated threshold.
+    */
+  def q67NearDupLsh(s: SparkSession, dir: String): DataFrame = {
+    val e = vecs(s, dir)
+    val bandStructs = array((0 until NdBands).map { b =>
+      val sig = (0 until NdPlanesPerBand).map { p =>
+        val plane = array(NdPlaneCoeffs(b)(p).map(c => lit(c.toDouble)): _*)
+        when(dot(col("v"), plane) > 0, lit(1L << p)).otherwise(lit(0L))
+      }.reduce(_ + _)
+      struct(lit(b).as("band"), sig.as("band_sig"))
+    }: _*)
+    val bands = e.select(col("vec_id"), explode(bandStructs).as("bs"))
+      .select(col("vec_id"), col("bs.band").as("band"), col("bs.band_sig").as("band_sig"))
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.band_sig") === col("b.band_sig")
+          && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("keep_id"), col("b.vec_id").as("drop_id"))
+      .distinct()
+    cand
+      .join(e.select(col("vec_id").as("keep_id"), col("v").as("va"), col("norm").as("na")), "keep_id")
+      .join(e.select(col("vec_id").as("drop_id"), col("v").as("vb"), col("norm").as("nb")), "drop_id")
+      .select(col("keep_id"), col("drop_id"),
+        round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6).as("sim"))
+      .filter(col("sim") >= NearDupThreshold)
       .orderBy(col("keep_id"), col("drop_id"))
   }
 
@@ -293,7 +363,7 @@ object Similarity {
     val scale = array_max(transform(v, x => abs(x)))
     val codes = transform(v, x =>
       when(lit(0.0) === scale, lit(0L)).otherwise(round(x / scale * 127.0)).cast("long"))
-    embeddings(s, dir)
+    resplit(embeddings(s, dir).select(col("vec_id"), col("embedding")))
       .select(col("vec_id"),
         round(scale, 6).as("scale"),
         array_join(transform(codes, _.cast("string")), ",").as("q_codes"))

@@ -188,7 +188,7 @@ object TrainingData {
     * joined on doc_id; everything partial-aggregates map-side.
     */
   def q51RepetitionStats(s: SparkSession, dir: String): DataFrame = {
-    val d = documents(s, dir)
+    val d = resplit(documents(s, dir).select(col("doc_id"), col("text")))
     val wc = d.select(col("doc_id"), explode(words(col("text"))).as("w"))
       .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
     // tri_total derives from n_words (Σ tf = token count), so the shingle
@@ -255,7 +255,7 @@ object TrainingData {
   def q52HeavyHitters(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("lang"))
       .orderBy(col("doc_freq").desc, col("token"))
-    documents(s, dir)
+    resplit(documents(s, dir).select(col("lang"), col("doc_id"), col("text")))
       .select(col("lang"), col("doc_id"), explode(words(col("text"))).as("token"))
       .distinct()
       .groupBy(col("lang"), col("token")).agg(count(lit(1)).as("doc_freq"))
@@ -286,7 +286,8 @@ object TrainingData {
     */
   def q53Tfidf(s: SparkSession, dir: String): DataFrame = {
     val d = documents(s, dir)
-    val wc = d.select(col("doc_id"), explode(words(col("text"))).as("term"))
+    val wc = resplit(d.select(col("doc_id"), col("text")))
+      .select(col("doc_id"), explode(words(col("text"))).as("term"))
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
     val dfreq = wc.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val nTotal = d.agg(count(lit(1)).as("n_total"))
@@ -333,12 +334,19 @@ object TrainingData {
     */
   def q54RangeJoin(s: SparkSession, dir: String): DataFrame = {
     val HourUs = 3600000000L
+    // floor(), not a bare long cast: the cast truncates TOWARD ZERO, so
+    // pre-1970 (negative-µs) timestamps land one cell high and "bucket"
+    // stops meaning a true hour cell. (The ±1 probe fan-out below happens
+    // to compensate — both sides shift together, so no pair was actually
+    // lost — but correctness then rests on that accident instead of the
+    // invariant; floor restores the invariant, pinned by the pre-1970
+    // case in TrainingDataSpec.)
     val e = events(s, dir).select(col("event_id"), col("user_id"), col("ts"),
       unix_micros(col("ts")).as("t_us"))
-      .withColumn("bucket", (col("t_us") / HourUs).cast("long"))
+      .withColumn("bucket", floor(col("t_us") / HourUs).cast("long"))
     val p = events(s, dir).select(col("user_id").as("p_user"),
       unix_micros(col("ts")).as("p_us"))
-      .withColumn("p_bucket", (col("p_us") / HourUs).cast("long"))
+      .withColumn("p_bucket", floor(col("p_us") / HourUs).cast("long"))
       .select(col("p_user"), col("p_us"),
         explode(array(col("p_bucket"), col("p_bucket") + 1)).as("probe_bucket"))
     val counts = e.join(p,
@@ -481,11 +489,12 @@ object TrainingData {
     */
   def q66SemanticDecontam(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.DotFold.dotFold
-    def side(f: Column => Column) = embeddings(s, dir)
-      .filter(f(col("vec_id") % 10))
-      .select(col("vec_id"),
-        transform(col("embedding"), x => x.cast("double")).as("v"))
-      .withColumn("norm", sqrt(dotFold(col("v"), col("v"))))
+    def side(f: Column => Column) =
+      resplit(embeddings(s, dir).filter(f(col("vec_id") % 10))
+          .select(col("vec_id"), col("embedding")))
+        .select(col("vec_id"),
+          transform(col("embedding"), x => x.cast("double")).as("v"))
+        .withColumn("norm", sqrt(dotFold(col("v"), col("v"))))
     val evalSide = side(_ === 0)
       .select(col("vec_id").as("e_id"), col("v").as("ev"), col("norm").as("enorm"))
     side(_ =!= 0)
@@ -538,7 +547,7 @@ object TrainingData {
     */
   def q60Decontamination(s: SparkSession, dir: String): DataFrame = {
     val d = documents(s, dir)
-    def grams(df: DataFrame): DataFrame = df
+    def grams(df: DataFrame): DataFrame = resplit(df.select(col("doc_id"), col("text")))
       .select(col("doc_id"), explode(shingles(words(col("text")), DecontamN)).as("g"))
       .distinct()
     val evalGrams = grams(d.filter(col("doc_id") % 10 === 0))
@@ -644,10 +653,13 @@ object TrainingData {
     val quality = round(
       least(nw / 50.0, lit(1.0)) * (lit(1.0) - np / nc)
         * (lit(0.5) + lit(0.5) * (nd / nw)), 4)
-    val labels = Dedup.q45DedupComponents(s, dir)
+    // shared with q45 via the memo: one component computation per
+    // (session, sfDir), not one per consumer — re-running the propagation
+    // loop here was ⅓ of the round-4 bench
+    val labels = Dedup.componentLabels(s, dir)
       .select(col("doc").as("l_doc"), col("comp"))
     def cnt(c: Column, name: String): Column = sum(when(c, 1L).otherwise(0L)).as(name)
-    documents(s, dir)
+    resplit(documents(s, dir).select(col("doc_id"), col("lang"), col("text")))
       .withColumn("quality", quality)
       .withColumn("u", uhash(col("doc_id"), "q58"))
       .join(labels, col("doc_id") === col("l_doc"), "left")

@@ -1,0 +1,97 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFns
+import graft.queries.Dedup
+
+/** Invariants of the dedup operators beyond the DuckDB oracle: the prefix
+  * filter's exactness (≡ the un-filtered inverted-index join), its skew
+  * bound (a corpus-wide viral shingle generates zero candidates), the
+  * empty-graph edge case of the component loop, and the q45/q58 label
+  * sharing.
+  */
+class DedupSpec extends SparkTestBase {
+
+  /** Write a documents.parquet with the real table's schema into a fresh
+    * temp dir, so the (SparkSession, dir)-keyed code paths (incl. the q45
+    * label memo) see an isolated corpus.
+    */
+  private def docsDir(texts: Seq[String]): String = {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_dedup").toString
+    texts.zipWithIndex
+      .map { case (t, i) => (i.toLong + 1, t, "en", s"src${i % 3}", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("q22: prefix-filtered join ≡ un-filtered inverted-index join on the fixture") {
+    val d = Tables.documents(spark, sf)
+    val ex = d.select(col("doc_id"),
+      explode(TextFns.shingles(TextFns.words(col("text")), 3)).as("shingle")).distinct()
+    val sz = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val naive = ex.as("a").join(ex.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sz.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sz.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .withColumn("jaccard", round(col("inter").cast("double")
+        / (col("sa.n") + col("sb.n") - col("inter")).cast("double"), 6))
+      .filter(col("jaccard") >= Dedup.JaccardT)
+      .select(col("doc_a"), col("doc_b"), col("inter"), col("jaccard"))
+    assert(Dedup.q22NgramJaccard(spark, sf).collect().toSet === naive.collect().toSet)
+  }
+
+  test("q22 skew: a shingle present in EVERY doc generates no candidate pairs") {
+    // 10 docs sharing exactly one viral 3-shingle ("v1 v2 v3") plus a
+    // unique tail each (J = 1/15 pairwise), and one true duplicate pair
+    val unique = (1 to 10).map(i =>
+      s"v1 v2 v3 u${i}a u${i}b u${i}c u${i}d u${i}e u${i}f u${i}g")
+    val dup = "v1 v2 v3 z1 z2 z3 z4 z5 z6 z7"
+    val dir = docsDir(unique ++ Seq(dup, dup)) // doc_ids 11 and 12
+    val ex = Tables.documents(spark, dir).select(col("doc_id"),
+      explode(TextFns.shingles(TextFns.words(col("text")), 3)).as("shingle")).distinct()
+    val pref = Dedup.jaccardPrefix(ex).cache()
+    // the viral shingle has maximal df ⇒ sorts last in the rarest-first
+    // order ⇒ falls outside every 8-shingle doc's 5-element prefix
+    assert(pref.filter(col("shingle") === "v1 v2 v3").count() === 0)
+    // candidate pairs collapse from the naive C(12,2)=66 to exactly the
+    // duplicate pair — the df² skew blow-up is structurally gone
+    val cand = pref.as("a").join(pref.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id")).distinct().collect()
+    assert(cand.toSeq.map(r => (r.getLong(0), r.getLong(1))) === Seq((11L, 12L)))
+    pref.unpersist()
+    // and the query's answer on the skewed corpus is exactly that pair
+    val out = Dedup.q22NgramJaccard(spark, dir).collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+      === Seq((11L, 12L, 8L, 1.0)))
+  }
+
+  test("q45: an empty near-dup graph yields empty labels, not an NPE") {
+    // pairwise-disjoint vocabularies ⇒ q22 finds zero pairs
+    val dir = docsDir((1 to 5).map(i => s"a${i}1 a${i}2 a${i}3 a${i}4 a${i}5"))
+    val out = Dedup.q45DedupComponents(spark, dir)
+    assert(out.columns.toSeq === Seq("doc", "comp"))
+    assert(out.count() === 0)
+  }
+
+  test("q45/q58 share one component computation per (session, dir)") {
+    assert(Dedup.componentLabels(spark, sf) eq Dedup.componentLabels(spark, sf))
+    // and the labels are a fixpoint: every comp is the min id of its
+    // component, i.e. re-propagating changes nothing
+    val labels = Dedup.componentLabels(spark, sf)
+    val pairs = Dedup.q22NgramJaccard(spark, sf).select(col("doc_a"), col("doc_b"))
+    val edges = pairs.union(pairs.select(col("doc_b"), col("doc_a")).toDF("doc_a", "doc_b"))
+    val viaN = edges.join(labels, col("doc_a") === col("doc"))
+      .select(col("doc_b").as("doc"), col("comp"))
+    val re = labels.select(col("doc"), col("comp")).union(viaN)
+      .groupBy(col("doc")).agg(min(col("comp")).as("comp"))
+    assert(re.exceptAll(labels).isEmpty && labels.exceptAll(re).isEmpty)
+  }
+}

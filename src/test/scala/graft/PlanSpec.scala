@@ -31,7 +31,9 @@ class PlanSpec extends SparkTestBase {
   }
 
   test("dedup similarity joins never plan a cartesian product") {
-    Seq(Dedup.q22NgramJaccard(spark, sf), Dedup.q23MinHashLsh(spark, sf),
+    // q22Fresh, not the memoized q22: the pin must see the real join tree,
+    // not a checkpointed-RDD scan
+    Seq(Dedup.q22Fresh(spark, sf), Dedup.q23MinHashLsh(spark, sf),
       Dedup.q24SimHash(spark, sf)).foreach { df =>
       val p = plan(df)
       assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
@@ -92,5 +94,10 @@ class PlanSpec extends SparkTestBase {
     val ivf = plan(graft.queries.Similarity.q39AnnIvf(spark, sf))
     assert(!ivf.contains("CartesianProduct") && bnljCount(ivf) <= 2 && hasEquiJoin(ivf),
       s"IVF cell join degraded to all-pairs:\n$ivf")
+    // q67: both the banded candidate join AND the vector-fetch verify
+    // joins must be equi-joins — zero nested loops anywhere
+    val nd = plan(graft.queries.Similarity.q67NearDupLsh(spark, sf))
+    assert(!nd.contains("CartesianProduct") && bnljCount(nd) === 0 && hasEquiJoin(nd),
+      s"near-dup LSH candidate join degraded to all-pairs:\n$nd")
   }
 }

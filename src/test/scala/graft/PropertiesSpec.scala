@@ -112,12 +112,18 @@ class PropertiesSpec extends SparkTestBase {
   test("law: TopKPairs ≡ row_number window top-k, including score ties") {
     import spark.implicits._
     // scores drawn from a SMALL value set so ties are common — the id
-    // tiebreak is what's under test; groups of uneven size incl. < k
+    // tiebreak is what's under test; NaN/-0.0/+0.0 mixed in so the
+    // Spark-ordering comparator (NaN greatest, -0.0 == 0.0) is exercised
+    // at the k boundary, not just finite distinct values
     val rows = draw(
       for {
         g <- Gen.chooseNum(0L, 20L)
         id <- Gen.chooseNum(0L, 100000L)
-        s <- Gen.chooseNum(0, 9).map(_ / 10.0)
+        s <- Gen.frequency(
+          7 -> Gen.chooseNum(0, 9).map(_ / 10.0),
+          1 -> Gen.const(Double.NaN),
+          1 -> Gen.const(-0.0),
+          1 -> Gen.const(0.0))
       } yield (g, id, s), 2000, seed = 23L).distinct
     val df = rows.toDF("g", "id", "s").repartition(7).cache()
     val viaAgg = df.groupBy(col("g"))

@@ -29,6 +29,29 @@ class SourcesSpec extends SparkTestBase {
     assert(back.orderBy("id").collect().toSeq === customers.orderBy("id").collect().toSeq)
   }
 
+  test("JdbcIO: embedded-Derby round-trip — batched append, bound probe, partitioned read") {
+    // Derby ships in /opt/spark/jars, so the JDBC read/append adapters run
+    // for REAL here (they were interface-only through round 4). Derby also
+    // uppercases result aliases (`AS lo` → column "LO"), which is exactly
+    // the dialect quirk the positional bound-probe read exists for.
+    val db = Files.createTempDirectory("graft_derby").toString + "/db"
+    val url = s"jdbc:derby:$db;create=true"
+    import spark.implicits._
+    val df = (1 to 100).map(i => (i.toLong, s"name$i", i * 1.5))
+      .toDF("id", "nombre", "saldo")
+    graft.pipeline.JdbcIO.append(df, url, "clientes", batchSize = 16)
+    val back = graft.pipeline.JdbcIO.read(spark, url, "clientes", "id", numPartitions = 4)
+    // bounds from the probe really partition the scan
+    assert(back.rdd.getNumPartitions === 4)
+    assert(back.orderBy("id").collect().toSeq === df.orderBy("id").collect().toSeq)
+    // append is append, not overwrite
+    graft.pipeline.JdbcIO.append(df.limit(10), url, "clientes")
+    assert(graft.pipeline.JdbcIO.read(spark, url, "clientes", "id").count() === 110)
+    // empty table → NULL bound probe → unpartitioned fallback, no throw
+    graft.pipeline.JdbcIO.append(df.limit(0), url, "vacia")
+    assert(graft.pipeline.JdbcIO.read(spark, url, "vacia", "id").count() === 0)
+  }
+
   test("JSON read surfaces corrupt records instead of dropping them silently") {
     val dir = Files.createTempDirectory("graft_badjson").toString
     import spark.implicits._

@@ -113,6 +113,29 @@ class TrainingDataSpec extends SparkTestBase {
     out.unpersist()
   }
 
+  test("q54: pre-1970 timestamps bucket by floor — cross-epoch predecessors are found") {
+    // synthetic events straddling the epoch, incl. exact hour multiples
+    // and sub-hour gaps across the boundary; ts is raw nanos (the events
+    // loader reads TIMESTAMP(NANOS) as long via nanosAsLong)
+    val dir = java.nio.file.Files.createTempDirectory("graft_negts").toString
+    import spark.implicits._
+    val hourUs = 3600000000L
+    val tsUs = Seq(-7200000000L, -3600000000L, -3599000000L, -1800000000L,
+      -1000000L, 0L, 1000000L, 1800000000L, 3600000000L, 5400000000L)
+    tsUs.zipWithIndex
+      .map { case (t, i) => (i.toLong + 1, t * 1000L, 1L) } // one user: dense window hits
+      .toDF("event_id", "ts", "user_id")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = TrainingData.q54RangeJoin(spark, dir)
+      .select("event_id", "n_prev_1h").as[(Long, Long)].collect().toMap
+    // oracle: count predecessors in [t-1h, t) per event, computed in Scala
+    val byId = tsUs.zipWithIndex.map { case (t, i) => (i.toLong + 1, t) }
+    val want = byId.map { case (id, t) =>
+      id -> byId.count { case (_, p) => p >= t - hourUs && p < t }.toLong
+    }.toMap
+    assert(out === want)
+  }
+
   test("q54: bucketed range join equals the brute-force non-equi join") {
     val out = TrainingData.q54RangeJoin(spark, sf)
     val ev = Tables.events(spark, sf)

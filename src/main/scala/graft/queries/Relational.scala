@@ -42,8 +42,11 @@ object Relational {
     * per partition, so this scales linearly with input at 100 TB.
     */
   def q01PricingSummary(s: SparkSession, dir: String): DataFrame = {
-    lineitem(s, dir)
-      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+    // resplit AFTER the filter (pushdown intact): the decimal partial
+    // aggregation is the CPU cost, and a single-split source would run it
+    // on one core; order-independent because every sum is decimal
+    resplit(lineitem(s, dir)
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp")))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
         dsum2(col("l_quantity")).as("sum_qty"),

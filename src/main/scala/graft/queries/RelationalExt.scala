@@ -146,7 +146,7 @@ object RelationalExt {
     * exactly through every comparator (nested-array cells don't).
     */
   def q41ArrayFuncs(s: SparkSession, dir: String): DataFrame =
-    lineitem(s, dir)
+    resplit(lineitem(s, dir).select(col("l_orderkey"), col("l_partkey")))
       .groupBy(col("l_orderkey"))
       .agg(collect_list(col("l_partkey")).as("parts_raw"),
         count(lit(1)).as("n_items"))
@@ -201,7 +201,7 @@ object RelationalExt {
     * fixed few-KB sketch per group and a shuffle of every distinct key.
     */
   def q35ApproxDistinct(s: SparkSession, dir: String): DataFrame =
-    orders(s, dir)
+    resplit(orders(s, dir).select(col("o_orderstatus"), col("o_custkey")))
       .groupBy(col("o_orderstatus"))
       .agg(
         approx_count_distinct(col("o_custkey"), 0.02).as("approx_cust"),

@@ -34,7 +34,7 @@ object RelationalTpch {
     customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
       .join(orders(s, dir).filter(col("o_orderdate") < cutoff),
         col("c_custkey") === col("o_custkey"))
-      .join(lineitem(s, dir).filter(col("l_shipdate") > cutoff),
+      .join(resplit(lineitem(s, dir).filter(col("l_shipdate") > cutoff)),
         col("o_orderkey") === col("l_orderkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"))
       .agg(revSum(rev).as("revenue"))
@@ -63,7 +63,7 @@ object RelationalTpch {
   def q63VolumeShipping(s: SparkSession, dir: String): DataFrame = {
     val n1 = nation(s, dir).select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
     val n2 = nation(s, dir).select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
-    lineitem(s, dir)
+    resplit(lineitem(s, dir))
       .join(supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
       .join(orders(s, dir), col("l_orderkey") === col("o_orderkey"))
       .join(customer(s, dir), col("o_custkey") === col("c_custkey"))
@@ -100,7 +100,7 @@ object RelationalTpch {
     * the few large orders, not the fact table.
     */
   def q64LargeOrders(s: SparkSession, dir: String): DataFrame = {
-    val big = lineitem(s, dir)
+    val big = resplit(lineitem(s, dir).select(col("l_orderkey"), col("l_quantity")))
       .groupBy(col("l_orderkey"))
       .agg(sum(col("l_quantity").cast(DecimalType(18, 2))).cast("double").as("total_qty"))
       .filter(col("total_qty") > 300.0)

@@ -213,11 +213,15 @@ object Similarity {
     }: _*)
     val bands = e.select(col("vec_id"), explode(bandStructs).as("bs"))
       .select(col("vec_id"), col("bs.band").as("band"), col("bs.band_sig").as("band_sig"))
-    val cand = bands.as("a").join(bands.as("b"),
+    // checkpoint + resplit (cf. q22's verify): scoring the candidates is
+    // CPU-bound (one 64-dim dot per pair), and AQE's size-based coalescing
+    // would pack the small-by-bytes id-pair list onto a couple of cores
+    val cand = resplit(bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.band_sig") === col("b.band_sig")
           && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("keep_id"), col("b.vec_id").as("drop_id"))
       .distinct()
+      .localCheckpoint(true))
     cand
       .join(e.select(col("vec_id").as("keep_id"), col("v").as("va"), col("norm").as("na")), "keep_id")
       .join(e.select(col("vec_id").as("drop_id"), col("v").as("vb"), col("norm").as("nb")), "drop_id")

@@ -107,7 +107,7 @@ object Temporal {
     * the last ulp of the arithmetic form.
     */
   def q38Percentiles(s: SparkSession, dir: String): DataFrame =
-    orders(s, dir)
+    resplit(orders(s, dir).select(col("o_orderstatus"), col("o_totalprice")))
       .groupBy(col("o_orderstatus"))
       .agg(
         count(lit(1)).as("n_orders"),
@@ -133,7 +133,7 @@ object Temporal {
     * max rank error at accuracy=100).
     */
   def q55ApproxQuantiles(s: SparkSession, dir: String): DataFrame =
-    orders(s, dir)
+    resplit(orders(s, dir).select(col("o_orderstatus"), col("o_totalprice")))
       .groupBy(col("o_orderstatus"))
       .agg(
         count(lit(1)).as("n_orders"),

@@ -19,6 +19,11 @@ import graft.Sessions
   *      never-terminating loop wanted) → decimal re-round → "sink".
   *   E3 upload: sink → single-JSON-array export (reference K3 semantics).
   *
+  * The chain runs under [[EtlDag]] with the reference DAG's declared
+  * policy (retries=1, downstream skip on exhausted retries,
+  * dags/etl_dags.py:70-77); `@daily` is one [[EtlDag.runScheduled]] tick
+  * per day on a real deployment.
+  *
   * Usage: runMain graft.pipeline.EtlJob [nRows] [workDir]
   */
 object EtlJob {
@@ -31,23 +36,32 @@ object EtlJob {
     spark.sparkContext.setLogLevel("WARN")
     val t0 = System.nanoTime()
 
-    // E1 — produce
-    CustomerPipeline.toKafkaFrame(CustomerPipeline.generate(spark, n))
-      .write.mode("overwrite").parquet(topic)
+    val produce = EtlTask("produce", () =>
+      CustomerPipeline.toKafkaFrame(CustomerPipeline.generate(spark, n))
+        .write.mode("overwrite").parquet(topic))
 
-    // E2 — consume (drain backlog exactly once, then stop)
-    val stream = spark.readStream
-      .schema(spark.read.parquet(topic).schema)
-      .parquet(topic)
-    val q = KafkaIO.drainTo(stream, ckpt) { (batch, _) =>
-      CustomerPipeline.fromKafkaFrame(batch).write.mode("append").parquet(sink)
-    }.start()
-    q.awaitTermination()
+    // consume: drain backlog exactly once, then stop
+    val consume = EtlTask("consume", () => {
+      val stream = spark.readStream
+        .schema(spark.read.parquet(topic).schema)
+        .parquet(topic)
+      val q = KafkaIO.drainTo(stream, ckpt) { (batch, _) =>
+        CustomerPipeline.fromKafkaFrame(batch).write.mode("append").parquet(sink)
+      }.start()
+      q.awaitTermination()
+    })
 
-    // E3 — upload (single JSON array object, like the reference's
-    // put_object of etl_output.json)
-    CustomerPipeline.exportJsonArray(spark.read.parquet(sink))
-      .coalesce(1).write.mode("overwrite").text(export)
+    // upload: single JSON array object, like the reference's
+    // put_object of etl_output.json
+    val upload = EtlTask("upload", () =>
+      CustomerPipeline.exportJsonArray(spark.read.parquet(sink))
+        .coalesce(1).write.mode("overwrite").text(export))
+
+    val report = new EtlDag(Seq(produce, consume, upload), retries = 1).runOnce()
+    report.tasks.foreach(r => println(
+      s"[etl] task=${r.name} attempts=${r.attempts} " +
+        s"${if (r.skipped) "SKIPPED" else if (r.succeeded) "ok" else "FAILED"}"))
+    if (!report.succeeded) { spark.stop(); sys.exit(1) }
 
     val rows = spark.read.parquet(sink).count()
     val secs = (System.nanoTime() - t0) / 1e9

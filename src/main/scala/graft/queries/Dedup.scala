@@ -3,7 +3,6 @@ package graft.queries
 import scala.collection.concurrent.TrieMap
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables._
@@ -61,24 +60,6 @@ object Dedup {
   /** Jaccard threshold for the q22 near-dup join. */
   val JaccardT: Double = 0.5
 
-  /** q22: n-gram Jaccard near-dup pairs (J ≥ [[JaccardT]] on word
-    * 3-shingles) via a PREFIX-FILTERED inverted index (Bayardo All-Pairs /
-    * PPJoin): shingles get a global rarest-first total order (document
-    * frequency ASC, shingle ASC), and each document indexes only its first
-    * p = n − ⌈t·n⌉ + 1 shingles in that order. Any pair with J ≥ t shares
-    * ≥ ⌈t·max(|A|,|B|)⌉ shingles, so its RAREST shared shingle provably
-    * falls in both prefixes — candidate generation is exact, never a
-    * heuristic. Candidates from the prefix equi-join are then verified
-    * against the FULL shingle sets (array_intersect), so scores are exact
-    * too.
-    *
-    * Scale property this buys over the plain inverted index: a viral
-    * shingle (df ≈ corpus) sorts LAST in the global order, falls outside
-    * every large document's prefix, and therefore generates no candidate
-    * pairs at all — the df² blow-up of a skewed index key is structurally
-    * impossible (pinned by the skew test in RelationalSpec and the parity
-    * test against the un-filtered join).
-    */
   /** Per-doc shingle sets in the global rarest-first order (document
     * frequency ASC, shingle ASC): (doc_id, ord: array<struct<df,shingle>>,
     * n). Document frequency is a hash-aggregate (map-side partials) joined
@@ -156,6 +137,24 @@ object Dedup {
   private def q22Cached(s: SparkSession, dir: String): DataFrame =
     q22Memo.getOrElseUpdate((s, dir), q22Fresh(s, dir).localCheckpoint(true))
 
+  /** q22: n-gram Jaccard near-dup pairs (J ≥ [[JaccardT]] on word
+    * 3-shingles) via a PREFIX-FILTERED inverted index (Bayardo All-Pairs /
+    * PPJoin): shingles get a global rarest-first total order (document
+    * frequency ASC, shingle ASC), and each document indexes only its first
+    * p = n − ⌈t·n⌉ + 1 shingles in that order. Any pair with J ≥ t shares
+    * ≥ ⌈t·max(|A|,|B|)⌉ shingles, so its RAREST shared shingle provably
+    * falls in both prefixes — candidate generation is exact, never a
+    * heuristic. Candidates from the prefix equi-join are then verified
+    * against the FULL shingle sets (array_intersect), so scores are exact
+    * too.
+    *
+    * Scale property this buys over the plain inverted index: a viral
+    * shingle (df ≈ corpus) sorts LAST in the global order, falls outside
+    * every large document's prefix, and therefore generates no candidate
+    * pairs at all — the df² blow-up of a skewed index key is structurally
+    * impossible (pinned by the skew test in DedupSpec and the parity test
+    * against the un-filtered join).
+    */
   def q22NgramJaccard(s: SparkSession, dir: String): DataFrame =
     q22Cached(s, dir).orderBy(col("doc_a"), col("doc_b"))
 

@@ -47,6 +47,12 @@ object Tables {
     * this is a structural no-op, so the shuffle can never become the
     * bottleneck at scale. Call it on the projection feeding the hot
     * expression, never on a wide row.
+    *
+    * Known limit: the guard counts SPLITS, not row distribution — a huge
+    * file with one giant row group yields many byte-range splits but only
+    * one non-empty task, which this cannot detect. That layout is a
+    * write-side defect (row groups must be capped, e.g. 128 MB, for any
+    * scan parallelism at all) and is fixed there, not here.
     */
   def resplit(df: DataFrame): DataFrame = {
     val p = df.sparkSession.sparkContext.defaultParallelism

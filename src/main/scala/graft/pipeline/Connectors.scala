@@ -48,13 +48,21 @@ object JdbcIO {
     */
   def read(spark: SparkSession, url: String, table: String,
            partitionColumn: String = "id", numPartitions: Int = 32): DataFrame = {
-    // quote via the url's JdbcDialect (backticks on MySQL, double quotes
-    // ANSI) so a keyword-named column can't break or inject into the probe
-    // SQL; read the bounds POSITIONALLY — alias-uppercasing databases
-    // (Derby, Oracle, DB2) return column "LO" for `AS lo`, so a
-    // name-keyed getAs would throw (pinned by the Derby round-trip test)
+    // Resolve the column's STORED case from the table schema first (a
+    // metadata-only SELECT ... WHERE 1=0 round trip): case-folding
+    // databases (Derby/Oracle/DB2) store unquoted DDL columns uppercase,
+    // so quoting the caller's spelling verbatim would name a column that
+    // doesn't exist. Then quote via the url's JdbcDialect (backticks on
+    // MySQL, double quotes ANSI) so a keyword-named column can't break or
+    // inject into the probe SQL; and read the bounds POSITIONALLY —
+    // alias-uppercasing drivers return column "LO" for `AS lo`, so a
+    // name-keyed getAs would throw (pinned by the Derby round-trip test).
+    val resolved = spark.read.format("jdbc")
+      .option("url", url).option("dbtable", table).load().schema
+      .fieldNames.find(_.equalsIgnoreCase(partitionColumn))
+      .getOrElse(partitionColumn)
     val qcol = org.apache.spark.sql.jdbc.JdbcDialects.get(url)
-      .quoteIdentifier(partitionColumn)
+      .quoteIdentifier(resolved)
     val probe = spark.read.format("jdbc")
       .option("url", url)
       .option("query", s"SELECT MIN($qcol) AS lo, MAX($qcol) AS hi FROM $table")

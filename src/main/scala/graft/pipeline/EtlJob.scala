@@ -40,21 +40,27 @@ object EtlJob {
       CustomerPipeline.toKafkaFrame(CustomerPipeline.generate(spark, n))
         .write.mode("overwrite").parquet(topic))
 
-    // consume: drain backlog exactly once, then stop
+    // consume: drain backlog exactly once, then stop. The batch write is
+    // IDEMPOTENT — overwrite keyed by batchId — because foreachBatch is
+    // at-least-once on restart: with EtlDag retrying this task, a crash
+    // between the parquet append and the checkpoint commit would replay
+    // the batch and silently duplicate rows in an append-mode sink.
     val consume = EtlTask("consume", () => {
       val stream = spark.readStream
         .schema(spark.read.parquet(topic).schema)
         .parquet(topic)
-      val q = KafkaIO.drainTo(stream, ckpt) { (batch, _) =>
-        CustomerPipeline.fromKafkaFrame(batch).write.mode("append").parquet(sink)
+      val q = KafkaIO.drainTo(stream, ckpt) { (batch, id) =>
+        CustomerPipeline.fromKafkaFrame(batch)
+          .write.mode("overwrite").parquet(s"$sink/batch=$id")
       }.start()
       q.awaitTermination()
     })
 
     // upload: single JSON array object, like the reference's
-    // put_object of etl_output.json
+    // put_object of etl_output.json (drop the batch=N layout column the
+    // idempotent sink introduced — it's plumbing, not customer data)
     val upload = EtlTask("upload", () =>
-      CustomerPipeline.exportJsonArray(spark.read.parquet(sink))
+      CustomerPipeline.exportJsonArray(spark.read.parquet(sink).drop("batch"))
         .coalesce(1).write.mode("overwrite").text(export))
 
     val report = new EtlDag(Seq(produce, consume, upload), retries = 1).runOnce()
@@ -65,7 +71,8 @@ object EtlJob {
 
     val rows = spark.read.parquet(sink).count()
     val secs = (System.nanoTime() - t0) / 1e9
-    val sample = spark.read.parquet(sink).orderBy(col("id")).limit(3).collect()
+    val sample = spark.read.parquet(sink).drop("batch")
+      .orderBy(col("id")).limit(3).collect()
     println(f"[etl] $rows rows through produce->consume->export in $secs%.1fs " +
       f"(${rows / secs}%.0f rows/s end-to-end); sink=$sink export=$export")
     sample.foreach(r => println(s"[etl] sample: $r"))

@@ -121,21 +121,45 @@ object Dedup {
       .join(sets.as("sa"), col("doc_a") === col("sa.doc_id"))
       .join(sets.as("sb"), col("doc_b") === col("sb.doc_id"))
       .withColumn("inter", size(array_intersect(col("sa.sh"), col("sb.sh"))).cast("long"))
-      .withColumn("jaccard", round(col("inter").cast("double")
-        / (col("sa.n") + col("sb.n") - col("inter")).cast("double"), 6))
-      .filter(col("jaccard") >= JaccardT)
-      .select(col("doc_a"), col("doc_b"), col("inter"), col("jaccard"))
+      // filter on the UNROUNDED ratio: the prefix filter guarantees
+      // candidate recall exactly for true J ≥ t, so a round-then-filter
+      // would admit pairs with J ∈ [t − 5e-7, t) that the prefix may have
+      // pruned — rounding is presentation only (oracle SQL matches)
+      .withColumn("jacc_raw", col("inter").cast("double")
+        / (col("sa.n") + col("sb.n") - col("inter")).cast("double"))
+      .filter(col("jacc_raw") >= JaccardT)
+      .select(col("doc_a"), col("doc_b"), col("inter"),
+        round(col("jacc_raw"), 6).as("jaccard"))
   }
 
   /** Memoized materialization of [[q22Fresh]] per (session, sfDir): the
     * near-dup pair list is the intermediate every downstream dedup stage
     * consumes (q45's graph, hence q58's funnel), exactly like the label
     * memo below — one pair generation per session, not one per consumer.
+    *
+    * Contract: the corpus under `dir` is an immutable snapshot for the
+    * session's lifetime (standard warehouse semantics — every query here
+    * assumes it). A caller that rewrites a dir in-session must
+    * [[clearMemos]] first or results are the OLD snapshot's.
     */
   private val q22Memo = TrieMap.empty[(SparkSession, String), DataFrame]
 
+  /** Fetch-or-compute with dead-session eviction: entries whose session
+    * has stopped are dropped on every access, so the object-level maps
+    * cannot pin stopped sessions (and their plan/checkpoint graphs) in a
+    * long-lived JVM that cycles sessions.
+    */
+  private def memoized(memo: TrieMap[(SparkSession, String), DataFrame],
+      s: SparkSession, dir: String)(compute: => DataFrame): DataFrame = {
+    memo.filterInPlace { case ((sess, _), _) => !sess.sparkContext.isStopped }
+    memo.getOrElseUpdate((s, dir), compute)
+  }
+
+  /** Drop every memoized frame (see the snapshot contract above). */
+  def clearMemos(): Unit = { q22Memo.clear(); labelsMemo.clear() }
+
   private def q22Cached(s: SparkSession, dir: String): DataFrame =
-    q22Memo.getOrElseUpdate((s, dir), q22Fresh(s, dir).localCheckpoint(true))
+    memoized(q22Memo, s, dir)(q22Fresh(s, dir).localCheckpoint(true))
 
   /** q22: n-gram Jaccard near-dup pairs (J ≥ [[JaccardT]] on word
     * 3-shingles) via a PREFIX-FILTERED inverted index (Bayardo All-Pairs /
@@ -181,7 +205,7 @@ object Dedup {
        |FROM inter
        | JOIN sz sa ON doc_a = sa.doc_id
        | JOIN sz sb ON doc_b = sb.doc_id
-       |WHERE ROUND(CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE), 6) >= 0.5
+       |WHERE CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE) >= 0.5
        |ORDER BY doc_a, doc_b""".stripMargin
 
   /** q23: MinHash + banded LSH near-dup detection. Per doc: a K-component
@@ -288,13 +312,14 @@ object Dedup {
     * bench/verify session would run the whole pair generation +
     * propagation loop twice (it was ⅓ of the round-4 bench). Holding the
     * frame here also keeps a live reference to its checkpointed RDDs, so
-    * the ContextCleaner can't reclaim them between consumers; entries die
-    * with the session.
+    * the ContextCleaner can't reclaim them between consumers; entries are
+    * evicted once their session stops (see [[memoized]]), and the
+    * immutable-snapshot contract on [[q22Memo]] applies here too.
     */
   private val labelsMemo = TrieMap.empty[(SparkSession, String), DataFrame]
 
   def componentLabels(s: SparkSession, dir: String): DataFrame =
-    labelsMemo.getOrElseUpdate((s, dir), computeComponentLabels(s, dir))
+    memoized(labelsMemo, s, dir)(computeComponentLabels(s, dir))
 
   private def computeComponentLabels(s: SparkSession, dir: String): DataFrame = {
     // cache the pair generation BEFORE the self-referencing union: both
@@ -370,7 +395,7 @@ object Dedup {
        |  SELECT doc_a, doc_b FROM inter
        |   JOIN sz sa ON doc_a = sa.doc_id
        |   JOIN sz sb ON doc_b = sb.doc_id
-       |  WHERE ROUND(CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE), 6) >= 0.5),
+       |  WHERE CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE) >= 0.5),
        |edges AS (
        |  SELECT doc_a, doc_b FROM near
        |  UNION ALL SELECT doc_b, doc_a FROM near),

@@ -40,10 +40,11 @@ class DedupSpec extends SparkTestBase {
       .agg(count(lit(1)).as("inter"))
       .join(sz.as("sa"), col("doc_a") === col("sa.doc_id"))
       .join(sz.as("sb"), col("doc_b") === col("sb.doc_id"))
-      .withColumn("jaccard", round(col("inter").cast("double")
-        / (col("sa.n") + col("sb.n") - col("inter")).cast("double"), 6))
-      .filter(col("jaccard") >= Dedup.JaccardT)
-      .select(col("doc_a"), col("doc_b"), col("inter"), col("jaccard"))
+      .withColumn("jacc_raw", col("inter").cast("double")
+        / (col("sa.n") + col("sb.n") - col("inter")).cast("double"))
+      .filter(col("jacc_raw") >= Dedup.JaccardT)
+      .select(col("doc_a"), col("doc_b"), col("inter"),
+        round(col("jacc_raw"), 6).as("jaccard"))
     assert(Dedup.q22NgramJaccard(spark, sf).collect().toSet === naive.collect().toSet)
   }
 

@@ -52,14 +52,18 @@ object JdbcIO {
     // metadata-only SELECT ... WHERE 1=0 round trip): case-folding
     // databases (Derby/Oracle/DB2) store unquoted DDL columns uppercase,
     // so quoting the caller's spelling verbatim would name a column that
-    // doesn't exist. Then quote via the url's JdbcDialect (backticks on
-    // MySQL, double quotes ANSI) so a keyword-named column can't break or
-    // inject into the probe SQL; and read the bounds POSITIONALLY —
-    // alias-uppercasing drivers return column "LO" for `AS lo`, so a
-    // name-keyed getAs would throw (pinned by the Derby round-trip test).
-    val resolved = spark.read.format("jdbc")
-      .option("url", url).option("dbtable", table).load().schema
-      .fieldNames.find(_.equalsIgnoreCase(partitionColumn))
+    // doesn't exist. Exact match wins over case-insensitive (a quoted-DDL
+    // table can legally hold both "ID" and "id"). Then quote via the
+    // url's JdbcDialect (backticks on MySQL, double quotes ANSI) so a
+    // keyword-named column can't break or inject into the probe SQL; and
+    // read the bounds POSITIONALLY — alias-uppercasing drivers return
+    // column "LO" for `AS lo`, so a name-keyed getAs would throw (pinned
+    // by the Derby round-trip test).
+    val unpartitioned = spark.read.format("jdbc")
+      .option("url", url).option("dbtable", table).load()
+    val names = unpartitioned.schema.fieldNames
+    val resolved = names.find(_ == partitionColumn)
+      .orElse(names.find(_.equalsIgnoreCase(partitionColumn)))
       .getOrElse(partitionColumn)
     val qcol = org.apache.spark.sql.jdbc.JdbcDialects.get(url)
       .quoteIdentifier(resolved)
@@ -69,9 +73,9 @@ object JdbcIO {
       .load()
       .collect()(0)
     if (probe.isNullAt(0))
-      spark.read.format("jdbc").option("url", url).option("dbtable", table).load()
+      unpartitioned // empty table: reuse the already-built relation
     else
-      read(spark, url, table, partitionColumn, numPartitions,
+      read(spark, url, table, resolved, numPartitions,
         probe.get(0).asInstanceOf[Number].longValue(),
         probe.get(1).asInstanceOf[Number].longValue())
   }

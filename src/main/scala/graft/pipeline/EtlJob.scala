@@ -57,10 +57,11 @@ object EtlJob {
     })
 
     // upload: single JSON array object, like the reference's
-    // put_object of etl_output.json (drop the batch=N layout column the
-    // idempotent sink introduced — it's plumbing, not customer data)
+    // put_object of etl_output.json (exportJsonArray projects the
+    // customer schema by name, so the sink's batch=N layout column
+    // never reaches the export)
     val upload = EtlTask("upload", () =>
-      CustomerPipeline.exportJsonArray(spark.read.parquet(sink).drop("batch"))
+      CustomerPipeline.exportJsonArray(spark.read.parquet(sink))
         .coalesce(1).write.mode("overwrite").text(export))
 
     val report = new EtlDag(Seq(produce, consume, upload), retries = 1).runOnce()

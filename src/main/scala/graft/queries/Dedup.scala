@@ -144,10 +144,11 @@ object Dedup {
     */
   private val q22Memo = TrieMap.empty[(SparkSession, String), DataFrame]
 
-  /** Fetch-or-compute with dead-session eviction: entries whose session
-    * has stopped are dropped on every access, so the object-level maps
-    * cannot pin stopped sessions (and their plan/checkpoint graphs) in a
-    * long-lived JVM that cycles sessions.
+  /** Fetch-or-compute with dead-session eviction: each access drops
+    * entries whose underlying SparkContext has stopped, bounding what a
+    * session-cycling JVM can accumulate to the dead entries since the
+    * last dedup call (eviction is access-triggered, not stop-triggered,
+    * and `newSession()` clones sharing a live context are kept).
     */
   private def memoized(memo: TrieMap[(SparkSession, String), DataFrame],
       s: SparkSession, dir: String)(compute: => DataFrame): DataFrame = {
@@ -246,10 +247,12 @@ object Dedup {
         size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), b => b))
           .cast("double") / MinHashK, 6))
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
-      .withColumn("jaccard", round(col("inter").cast("double")
-        / (col("na") + col("nb") - col("inter")).cast("double"), 6))
-      .filter(col("jaccard") >= 0.5)
-      .select(col("doc_a"), col("doc_b"), col("est_sim"), col("jaccard"))
+      // unrounded threshold, same boundary semantics as q22/q45
+      .withColumn("jacc_raw", col("inter").cast("double")
+        / (col("na") + col("nb") - col("inter")).cast("double"))
+      .filter(col("jacc_raw") >= JaccardT)
+      .select(col("doc_a"), col("doc_b"), col("est_sim"),
+        round(col("jacc_raw"), 6).as("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
@@ -286,7 +289,7 @@ object Dedup {
        |SELECT doc_a, doc_b, est_sim,
        | ROUND(CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE), 6) AS jaccard
        |FROM scored
-       |WHERE ROUND(CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE), 6) >= 0.5
+       |WHERE CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE) >= 0.5
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 

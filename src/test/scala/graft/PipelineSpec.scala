@@ -19,6 +19,19 @@ class PipelineSpec extends SparkTestBase with TableDrivenPropertyChecks {
 
   private lazy val customers = CustomerPipeline.generate(spark, 300, partitions = 4).cache()
 
+  test("consume's batch write is idempotent under foreachBatch replay") {
+    // foreachBatch is at-least-once: after a crash between the sink write
+    // and the checkpoint commit, the SAME batch id is re-delivered. The
+    // EtlJob sink (overwrite keyed by batch id) must absorb the replay
+    // without duplicating rows — this pins that contract.
+    val sink = Files.createTempDirectory("graft_idem").toString
+    val batch = toKafkaFrame(customers)
+    def deliver(): Unit = fromKafkaFrame(batch)
+      .write.mode("overwrite").parquet(s"$sink/batch=0")
+    deliver(); deliver() // replay
+    assert(spark.read.parquet(sink).count() === 300)
+  }
+
   test("generator is deterministic, sized, and schema-exact") {
     val a = customers.collect()
     val b = CustomerPipeline.generate(spark, 300, partitions = 7).orderBy("id").collect()

@@ -11,6 +11,21 @@ import org.apache.spark.sql.streaming.Trigger
   */
 class ScaleSpec extends SparkTestBase {
 
+  test("resplit: re-splits a single-split scan, no-op on already-parallel input") {
+    import org.apache.spark.sql.functions.col
+    // the fixture parquet is one row group → one scan task → resplit must
+    // fan the narrow projection out to the session's parallelism
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    val p = spark.sparkContext.defaultParallelism
+    assert(docs.rdd.getNumPartitions < p, "fixture precondition: single-split scan")
+    assert(Tables.resplit(docs).rdd.getNumPartitions === p)
+    // an input that already has >= parallelism partitions passes through
+    // UNCHANGED (same DataFrame instance — the scale-safety claim: on a
+    // real multi-split corpus resplit adds no shuffle at all)
+    val wide = docs.repartition(p * 2)
+    assert(Tables.resplit(wide) eq wide)
+  }
+
   test("bucketed tables co-locate the join: no Exchange in the plan") {
     val warehouse = Files.createTempDirectory("graft_buckets").toString
     val li = Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity")

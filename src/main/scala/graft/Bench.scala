@@ -32,13 +32,19 @@ object Bench {
       }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // 3-decimal (millisecond) formatting, Locale.ROOT so the decimal
+    // separator is always '.': full double precision pushed the 67-query
+    // line past 2000 chars, and harnesses that keep only an output TAIL
+    // of that size never saw the line's head (the total metric). At 3dp
+    // the whole line is ~1.8k chars and survives tail truncation intact.
+    def f3(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     // failed queries are listed explicitly so a fast failure can never
     // masquerade as a fast run in the tracked metric
     val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked-run output goes straight to sbt's stdout, NOT through the sbt
+// logger: the logger prefixes every line with "[info] ", which breaks any
+// consumer that parses the bench's final metric line as bare JSON
+// (BENCH_r06.json recorded "parsed": null for exactly this reason).
+outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

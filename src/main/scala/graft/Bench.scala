@@ -40,11 +40,24 @@ object Bench {
     def f3(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    // total = sum of the already-rounded per-query values, so a consumer
+    // recomputing the total from the queries map gets an exact match
+    val total = results.map(r => math.rint(r._2 * 1000) / 1000).sum
     // failed queries are listed explicitly so a fast failure can never
     // masquerade as a fast run in the tracked metric
     val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
+    println(line)
+    // Belt and braces vs log-prefixing/truncating harnesses: also persist
+    // the metric line to a file no logger can touch.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_records/latest_bench.json")
+    try {
+      val p = java.nio.file.Paths.get(outPath)
+      Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
+      java.nio.file.Files.write(p, (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case e: Exception =>
+      System.err.println(s"[bench] could not write $outPath: $e")
+    }
     spark.stop()
   }
 }

@@ -155,14 +155,38 @@ object TrainingData {
     * mapping back onto the event stream. The rank runs on the DISTINCT
     * key set (dimension-sized, not corpus-sized); the join back to events
     * is an ordinary equi-join AQE turns into a broadcast when the mapping
-    * fits. The unpartitioned window is deliberate and safe here: it sorts
-    * the key dictionary, never the fact table.
+    * fits.
+    *
+    * The global rank is a TWO-PHASE rank, never a single-partition
+    * window: `row_number() OVER (ORDER BY user_id)` on one partition
+    * means one task sorts the whole dictionary — ~10⁹ distinct users on
+    * a 100 TB event corpus. Instead: range-partition the keys (ascending
+    * ranges land in ascending partition ids), rank locally within each
+    * partition, and add each partition's cumulative predecessor count.
+    * The offsets are B rows (B = cluster parallelism), combined with a
+    * broadcast theta-join so the whole plan stays distributed — output is
+    * bit-identical to the oracle's global row_number.
     */
   def q50IdDensify(s: SparkSession, dir: String): DataFrame = {
-    val mapping = events(s, dir).select(col("user_id")).distinct()
-      .withColumn("uid_dense",
-        row_number().over(Window.orderBy(col("user_id"))).cast("long"))
-      .withColumn("uid_pseudo", md5(concat(lit("uid:"), col("user_id").cast("string"))))
+    val buckets = s.sparkContext.defaultParallelism
+    val keys = events(s, dir).select(col("user_id")).distinct()
+      .repartitionByRange(buckets, col("user_id"))
+      .withColumn("bucket", spark_partition_id())
+    val local = keys.withColumn("local_rn",
+      row_number().over(Window.partitionBy(col("bucket")).orderBy(col("user_id"))))
+    val cnts = local.groupBy(col("bucket")).agg(count(lit(1)).as("cnt"))
+    // cumulative offset per bucket = Σ counts of strictly-lower buckets;
+    // B×B broadcast theta-join over B rows — trivially small, and unlike
+    // a cumulative-sum window it never plans a single-partition stage
+    val offsets = cnts.select(col("bucket"), col("cnt"))
+      .join(broadcast(cnts.select(col("bucket").as("lb"), col("cnt").as("lc"))),
+        col("lb") < col("bucket"), "left")
+      .groupBy(col("bucket"))
+      .agg(coalesce(sum(col("lc")), lit(0L)).as("off"))
+    val mapping = local.join(broadcast(offsets), "bucket")
+      .select(col("user_id"),
+        (col("off") + col("local_rn")).cast("long").as("uid_dense"),
+        md5(concat(lit("uid:"), col("user_id").cast("string"))).as("uid_pseudo"))
     events(s, dir).select(col("event_id"), col("user_id"))
       .join(mapping, "user_id")
       .select(col("event_id"), col("user_id"), col("uid_dense"), col("uid_pseudo"))

@@ -41,8 +41,10 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     // total = sum of the already-rounded per-query values, so a consumer
-    // recomputing the total from the queries map gets an exact match
-    val total = results.map(r => math.rint(r._2 * 1000) / 1000).sum
+    // recomputing the total from the queries map gets an exact match —
+    // rounded with the SAME mode as %.3f (HALF_UP), not math.rint's
+    // half-even, so the guarantee holds even on an exact .0005 tie
+    val total = results.map(r => f3(r._2).toDouble).sum
     // failed queries are listed explicitly so a fast failure can never
     // masquerade as a fast run in the tracked metric
     val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")

@@ -48,36 +48,65 @@ object JdbcIO {
     */
   def read(spark: SparkSession, url: String, table: String,
            partitionColumn: String = "id", numPartitions: Int = 32): DataFrame = {
-    // Resolve the column's STORED case from the table schema first (a
-    // metadata-only SELECT ... WHERE 1=0 round trip): case-folding
-    // databases (Derby/Oracle/DB2) store unquoted DDL columns uppercase,
-    // so quoting the caller's spelling verbatim would name a column that
-    // doesn't exist. Exact match wins over case-insensitive (a quoted-DDL
-    // table can legally hold both "ID" and "id"). Then quote via the
-    // url's JdbcDialect (backticks on MySQL, double quotes ANSI) so a
-    // keyword-named column can't break or inject into the probe SQL; and
-    // read the bounds POSITIONALLY — alias-uppercasing drivers return
-    // column "LO" for `AS lo`, so a name-keyed getAs would throw (pinned
-    // by the Derby round-trip test).
+    // Resolve the TABLE's stored name first and quote it via the url's
+    // JdbcDialect, so a keyword-ish name ("order") can't break or inject
+    // into the probe SQL below — previously the partition column was
+    // dialect-quoted but the table was interpolated raw. Then resolve the
+    // column's STORED case from the table schema (a metadata-only
+    // SELECT ... WHERE 1=0 round trip): case-folding databases
+    // (Derby/Oracle/DB2) store unquoted DDL columns uppercase, so quoting
+    // the caller's spelling verbatim would name a column that doesn't
+    // exist. Exact match wins over case-insensitive (a quoted-DDL table
+    // can legally hold both "ID" and "id"). Bounds are read POSITIONALLY —
+    // alias-uppercasing drivers return column "LO" for `AS lo`, so a
+    // name-keyed getAs would throw (pinned by the Derby round-trip test).
+    val dialect = org.apache.spark.sql.jdbc.JdbcDialects.get(url)
+    val qtable = resolveTableRef(url, table, dialect)
     val unpartitioned = spark.read.format("jdbc")
-      .option("url", url).option("dbtable", table).load()
+      .option("url", url).option("dbtable", qtable).load()
     val names = unpartitioned.schema.fieldNames
     val resolved = names.find(_ == partitionColumn)
       .orElse(names.find(_.equalsIgnoreCase(partitionColumn)))
       .getOrElse(partitionColumn)
-    val qcol = org.apache.spark.sql.jdbc.JdbcDialects.get(url)
-      .quoteIdentifier(resolved)
+    val qcol = dialect.quoteIdentifier(resolved)
     val probe = spark.read.format("jdbc")
       .option("url", url)
-      .option("query", s"SELECT MIN($qcol) AS lo, MAX($qcol) AS hi FROM $table")
+      .option("query", s"SELECT MIN($qcol) AS lo, MAX($qcol) AS hi FROM $qtable")
       .load()
       .collect()(0)
     if (probe.isNullAt(0))
       unpartitioned // empty table: reuse the already-built relation
     else
-      read(spark, url, table, resolved, numPartitions,
+      read(spark, url, qtable, resolved, numPartitions,
         probe.get(0).asInstanceOf[Number].longValue(),
         probe.get(1).asInstanceOf[Number].longValue())
+  }
+
+  /** Resolve a PLAIN-identifier table name to its stored spelling via JDBC
+    * metadata (same case-folding problem as columns: unquoted DDL stores
+    * uppercase on Derby/Oracle/DB2) and dialect-quote the result. Anything
+    * that is not a plain identifier — already-quoted names,
+    * schema-qualified `s.t`, `(subquery)` — passes through VERBATIM under
+    * the standard Spark `dbtable` contract: the caller supplies a valid
+    * SQL table reference and owns its quoting. Lookup failures (no
+    * metadata permission, driverless url) also fall back to verbatim, so
+    * this never makes a previously-working name stop resolving.
+    */
+  private def resolveTableRef(url: String, table: String,
+      dialect: org.apache.spark.sql.jdbc.JdbcDialect): String = {
+    if (!table.matches("[A-Za-z_][A-Za-z0-9_]*")) table
+    else try {
+      val conn = java.sql.DriverManager.getConnection(url)
+      try {
+        val rs = conn.getMetaData.getTables(null, null, "%", Array("TABLE"))
+        val names = scala.collection.mutable.ListBuffer.empty[String]
+        while (rs.next()) names += rs.getString("TABLE_NAME")
+        names.find(_ == table)
+          .orElse(names.find(_.equalsIgnoreCase(table)))
+          .map(dialect.quoteIdentifier)
+          .getOrElse(table)
+      } finally conn.close()
+    } catch { case _: java.sql.SQLException => table }
   }
 
   /** Batched append (replaces per-row INSERT+commit). */

@@ -142,7 +142,20 @@ object Dedup {
     * assumes it). A caller that rewrites a dir in-session must
     * [[clearMemos]] first or results are the OLD snapshot's.
     */
-  private val q22Memo = TrieMap.empty[(SparkSession, String), DataFrame]
+  private val q22Memo = TrieMap.empty[(SparkSession, String), Memo]
+
+  /** Per-key once-only holder: `TrieMap.getOrElseUpdate` evaluates its
+    * by-name default BEFORE the atomic install, so two threads racing the
+    * first access would BOTH run an eager-checkpoint compute — the loser's
+    * RDD blocks would be stranded until the ContextCleaner notices.
+    * Installing a cheap holder and forcing its `lazy val` afterwards means
+    * the losing thread's holder is discarded un-evaluated and both threads
+    * block on the single installed compute (pinned by the concurrency test
+    * in DedupSpec).
+    */
+  private[graft] final class Memo(compute: () => DataFrame) {
+    lazy val value: DataFrame = compute()
+  }
 
   /** Fetch-or-compute with dead-session eviction: each access drops
     * entries whose underlying SparkContext has stopped, bounding what a
@@ -150,10 +163,10 @@ object Dedup {
     * last dedup call (eviction is access-triggered, not stop-triggered,
     * and `newSession()` clones sharing a live context are kept).
     */
-  private def memoized(memo: TrieMap[(SparkSession, String), DataFrame],
+  private[graft] def memoized(memo: TrieMap[(SparkSession, String), Memo],
       s: SparkSession, dir: String)(compute: => DataFrame): DataFrame = {
     memo.filterInPlace { case ((sess, _), _) => !sess.sparkContext.isStopped }
-    memo.getOrElseUpdate((s, dir), compute)
+    memo.getOrElseUpdate((s, dir), new Memo(() => compute)).value
   }
 
   /** Drop every memoized frame (see the snapshot contract above). */
@@ -227,29 +240,42 @@ object Dedup {
     val minCols = (0 until MinHashK).map(j =>
       min((col("h32") * MinHashA(j) + MinHashB(j)) % MinHashPrime).as(s"m$j"))
     val aggs = minCols :+ count(lit(1)).as("n") :+ collect_list(col("shingle")).as("sh")
+    // ONE eager checkpoint of the per-doc state (sig, shingle set, size):
+    // the band explode, both candidate-join sides, and both verify sides
+    // all read it, and Spark does not CSE across self-join branches.
     val base = ex.groupBy(col("doc_id"))
       .agg(aggs.head, aggs.tail: _*)
       .withColumn("sig", array((0 until MinHashK).map(j => col(s"m$j")): _*))
-    val bands = base.select(col("doc_id"), col("sh"), col("n").cast("long").as("n"), col("sig"),
+      .select(col("doc_id"), col("sig"), col("n").cast("long").as("n"), col("sh"))
+      .localCheckpoint(true)
+    // Band rows carry ONLY (doc_id, band, band_sig) — the shingle arrays
+    // never ride the band fan-out or the candidate shuffle (cf. q67, which
+    // keeps vectors out of its band join the same way); signatures and
+    // sets are re-fetched by id in the verify joins below.
+    val bands = base.select(col("doc_id"), col("sig"),
       explode(sequence(lit(0), lit(MinHashBands - 1))).as("band"))
       .withColumn("band_sig",
         array_join(slice(col("sig"), col("band") * MinHashRowsPerBand + 1, lit(MinHashRowsPerBand)), ","))
-    val cand = bands.as("a").join(bands.as("b"),
+      .select(col("doc_id"), col("band"), col("band_sig"))
+    // checkpoint THEN resplit before the verify (cf. q22): candidate
+    // verification is CPU-bound set intersection, and AQE's size-based
+    // coalescing would pack the tiny-by-bytes id-pair list onto few cores
+    val cand = resplit(bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.band_sig") === col("b.band_sig")
           && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"),
-        col("a.sh").as("sh_a"), col("b.sh").as("sh_b"),
-        col("a.n").as("na"), col("b.n").as("nb"))
-      .dropDuplicates("doc_a", "doc_b")
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+      .localCheckpoint(true))
     cand
+      .join(base.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(base.as("sb"), col("doc_b") === col("sb.doc_id"))
       .withColumn("est_sim", round(
-        size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), b => b))
+        size(filter(zip_with(col("sa.sig"), col("sb.sig"), (x, y) => x === y), b => b))
           .cast("double") / MinHashK, 6))
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      .withColumn("inter", size(array_intersect(col("sa.sh"), col("sb.sh"))).cast("long"))
       // unrounded threshold, same boundary semantics as q22/q45
       .withColumn("jacc_raw", col("inter").cast("double")
-        / (col("na") + col("nb") - col("inter")).cast("double"))
+        / (col("sa.n") + col("sb.n") - col("inter")).cast("double"))
       .filter(col("jacc_raw") >= JaccardT)
       .select(col("doc_a"), col("doc_b"), col("est_sim"),
         round(col("jacc_raw"), 6).as("jaccard"))
@@ -319,7 +345,7 @@ object Dedup {
     * evicted once their session stops (see [[memoized]]), and the
     * immutable-snapshot contract on [[q22Memo]] applies here too.
     */
-  private val labelsMemo = TrieMap.empty[(SparkSession, String), DataFrame]
+  private val labelsMemo = TrieMap.empty[(SparkSession, String), Memo]
 
   def componentLabels(s: SparkSession, dir: String): DataFrame =
     memoized(labelsMemo, s, dir)(computeComponentLabels(s, dir))

@@ -63,7 +63,11 @@ object RelationalTpch {
   def q63VolumeShipping(s: SparkSession, dir: String): DataFrame = {
     val n1 = nation(s, dir).select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
     val n2 = nation(s, dir).select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
-    resplit(lineitem(s, dir))
+    // project to the 5 consumed columns BEFORE the resplit, per resplit's
+    // own contract ("never on a wide row"): the round-robin exchange
+    // carries 5 columns instead of lineitem's full 16
+    resplit(lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey"),
+        col("l_shipdate"), col("l_extendedprice"), col("l_discount")))
       .join(supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
       .join(orders(s, dir), col("l_orderkey") === col("o_orderkey"))
       .join(customer(s, dir), col("o_custkey") === col("c_custkey"))

@@ -160,8 +160,12 @@ object Similarity {
     val e = vecs(s, dir)
     e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("keep_id"), col("b.vec_id").as("drop_id"),
-        round(dot(col("a.v"), col("b.v")) / (col("a.norm") * col("b.norm")), 6).as("sim"))
-      .filter(col("sim") >= NearDupThreshold)
+        (dot(col("a.v"), col("b.v")) / (col("a.norm") * col("b.norm"))).as("sim_raw"))
+      // filter on the UNROUNDED cosine (same boundary semantics as
+      // q22/q23/q45's Jaccard): round-then-filter would admit pairs with
+      // raw sim ∈ [t − 5e-7, t); rounding is presentation only
+      .filter(col("sim_raw") >= NearDupThreshold)
+      .select(col("keep_id"), col("drop_id"), round(col("sim_raw"), 6).as("sim"))
       .orderBy(col("keep_id"), col("drop_id"))
   }
 
@@ -226,8 +230,10 @@ object Similarity {
       .join(e.select(col("vec_id").as("keep_id"), col("v").as("va"), col("norm").as("na")), "keep_id")
       .join(e.select(col("vec_id").as("drop_id"), col("v").as("vb"), col("norm").as("nb")), "drop_id")
       .select(col("keep_id"), col("drop_id"),
-        round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6).as("sim"))
-      .filter(col("sim") >= NearDupThreshold)
+        (dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("sim_raw"))
+      // unrounded threshold, matching q40 (and q22/q23/q45's Jaccard)
+      .filter(col("sim_raw") >= NearDupThreshold)
+      .select(col("keep_id"), col("drop_id"), round(col("sim_raw"), 6).as("sim"))
       .orderBy(col("keep_id"), col("drop_id"))
   }
 
@@ -245,9 +251,9 @@ object Similarity {
       |     list_transform(range(1, 65), i -> a.v[i] * b.v[i])), (x, y) -> x + y)
       |   / (a.norm * b.norm), 6) AS sim
       |FROM n a JOIN n b ON a.vec_id < b.vec_id
-      |WHERE ROUND(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |WHERE list_reduce(list_prepend(CAST(0 AS DOUBLE),
       |     list_transform(range(1, 65), i -> a.v[i] * b.v[i])), (x, y) -> x + y)
-      |   / (a.norm * b.norm), 6) >= 0.45
+      |   / (a.norm * b.norm) >= 0.45
       |ORDER BY keep_id, drop_id""".stripMargin
 
   /** IVF cell count (√n-ish for the test corpora). */

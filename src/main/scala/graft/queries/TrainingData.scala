@@ -172,8 +172,15 @@ object TrainingData {
     val keys = events(s, dir).select(col("user_id")).distinct()
       .repartitionByRange(buckets, col("user_id"))
       .withColumn("bucket", spark_partition_id())
+    // Eager checkpoint pins ONE bucket assignment for both consumers below
+    // (the local-rank branch and the cnts/offsets branch): range-partition
+    // boundaries come from seeded SAMPLING tied to RDD identity, so if the
+    // two branches re-planned the exchange independently (exchange reuse
+    // off, AQE divergence) they could bucket keys differently and silently
+    // emit duplicate/gapped uid_dense values. Dimension-sized, so cheap.
     val local = keys.withColumn("local_rn",
       row_number().over(Window.partitionBy(col("bucket")).orderBy(col("user_id"))))
+      .localCheckpoint(true)
     val cnts = local.groupBy(col("bucket")).agg(count(lit(1)).as("cnt"))
     // cumulative offset per bucket = Σ counts of strictly-lower buckets;
     // B×B broadcast theta-join over B rows — trivially small, and unlike

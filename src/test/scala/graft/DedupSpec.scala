@@ -82,6 +82,42 @@ class DedupSpec extends SparkTestBase {
     assert(out.count() === 0)
   }
 
+  test("memoized: concurrent first access runs the compute exactly once") {
+    // TrieMap.getOrElseUpdate evaluates its by-name default BEFORE the
+    // atomic install, so without the lazy holder two racing threads would
+    // BOTH run an eager-checkpoint compute (stranding the loser's RDD
+    // blocks). All threads are released simultaneously through a latch to
+    // maximize the race window on the first access.
+    import scala.collection.concurrent.TrieMap
+    import java.util.concurrent.{Callable, CountDownLatch, Executors, TimeUnit}
+    val memo = TrieMap.empty[(org.apache.spark.sql.SparkSession, String), Dedup.Memo]
+    val computes = new java.util.concurrent.atomic.AtomicInteger(0)
+    val start = new CountDownLatch(1)
+    val threads = 8
+    val pool = Executors.newFixedThreadPool(threads)
+    try {
+      import spark.implicits._
+      val futures = (1 to threads).map { _ =>
+        pool.submit(new Callable[org.apache.spark.sql.DataFrame] {
+          def call(): org.apache.spark.sql.DataFrame = {
+            start.await(30, TimeUnit.SECONDS)
+            Dedup.memoized(memo, spark, "race-dir") {
+              computes.incrementAndGet()
+              Thread.sleep(100) // widen the window a racing compute would hit
+              Seq(1L).toDF("x")
+            }
+          }
+        })
+      }
+      start.countDown()
+      val results = futures.map(_.get(60, TimeUnit.SECONDS))
+      assert(computes.get() === 1,
+        s"compute ran ${computes.get()} times under concurrent first access")
+      assert(results.forall(_ eq results.head),
+        "racing callers must observe the same memoized frame")
+    } finally pool.shutdown()
+  }
+
   test("q45/q58 share one component computation per (session, dir)") {
     assert(Dedup.componentLabels(spark, sf) eq Dedup.componentLabels(spark, sf))
     // and the labels are a fixpoint: every comp is the min id of its

@@ -73,6 +73,50 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("SinglePartition"), s"global shuffle collapsed to one partition:\n$p")
   }
 
+  test("suite-wide: no query plans an unpartitioned window or an unbounded single-partition shuffle") {
+    // The q50 class of regression (row_number() OVER (ORDER BY …) with no
+    // PARTITION BY → one task sorts the whole input) must never silently
+    // return, in ANY query. Same for shuffles that collapse unbounded rows
+    // onto one partition. A SinglePartition exchange IS legitimate when its
+    // input is bounded by construction: a partial aggregate (≤ #partitions
+    // rows per group reach the final agg) or a per-partition LocalLimit.
+    // Exchanges only exist in the PREPARED plan (EnsureRequirements), and
+    // under AQE the prepared root is an opaque AdaptiveSparkPlanExec — so
+    // plans are built in a cloned session with AQE off, where executedPlan
+    // is the fully-prepared, traversable tree. Building a plan executes
+    // nothing, though queries with eager checkpoints do run their
+    // checkpoint jobs at fixture scale. Checkpoint-truncated subtrees are
+    // opaque to this guard; their interiors are pinned by the dedicated
+    // plan tests above.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.LocalLimitExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
+    def boundedByConstruction(p: SparkPlan): Boolean = p.exists {
+      case _: BaseAggregateExec => true
+      case _: LocalLimitExec    => true
+      case _                    => false
+    }
+    val noAqe = spark.newSession()
+    noAqe.conf.set("spark.sql.adaptive.enabled", "false")
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val p = fn(noAqe, sf).queryExecution.executedPlan
+      val wins = p.collect {
+        case w: WindowExec if w.partitionSpec.isEmpty =>
+          s"$name: unpartitioned WindowExec (whole-input sort on one task)"
+      }
+      val singles = p.collect {
+        case e: ShuffleExchangeExec
+            if e.outputPartitioning == SinglePartition && !boundedByConstruction(e.child) =>
+          s"$name: SinglePartition exchange over unbounded input"
+      }
+      wins ++ singles
+    }
+    assert(offenders.isEmpty, offenders.mkString("\n", "\n", ""))
+  }
+
   test("q25 top-k aggregates map-side (ObjectHashAggregate), no window over the pair stream") {
     val p = plan(graft.queries.Similarity.q25CosineTopK(spark, sf))
     assert(p.contains("ObjectHashAggregate"), s"TopKPairs not aggregating:\n$p")

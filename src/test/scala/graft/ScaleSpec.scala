@@ -26,6 +26,38 @@ class ScaleSpec extends SparkTestBase {
     assert(Tables.resplit(wide) eq wide)
   }
 
+  test("resplit: exchange-bearing input passes through without running any job") {
+    // The partition probe goes through df.rdd, which under AQE would
+    // MATERIALIZE the plan's exchanges — executing the join below once for
+    // the probe and again for the real action. The guard must return the
+    // frame untouched without triggering a single Spark job.
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new SparkListener {
+      override def onJobStart(jobStart: SparkListenerJobStart): Unit = jobs.incrementAndGet()
+    }
+    val joined = Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity")
+      .join(Tables.orders(spark, sf).select("o_orderkey", "o_totalprice"),
+        col("l_orderkey") === col("o_orderkey"))
+    val agg = Tables.lineitem(spark, sf).groupBy("l_orderkey").count()
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      assert(Tables.resplit(joined) eq joined)
+      assert(Tables.resplit(agg) eq agg)
+      // the probe's job submission is synchronous; the wait is only for
+      // listener-bus event delivery
+      Thread.sleep(1500)
+      assert(jobs.get() === 0,
+        s"resplit on an exchange-bearing plan ran ${jobs.get()} eager job(s)")
+    } finally spark.sparkContext.removeSparkListener(listener)
+    // a checkpointed join is scan-shaped again: the probe applies and
+    // guarantees ≥ defaultParallelism splits for the CPU-bound consumer
+    // (the q22/q23/q67 pattern)
+    val ck = joined.localCheckpoint(true)
+    assert(Tables.resplit(ck).rdd.getNumPartitions >=
+      spark.sparkContext.defaultParallelism)
+  }
+
   test("bucketed tables co-locate the join: no Exchange in the plan") {
     val warehouse = Files.createTempDirectory("graft_buckets").toString
     val li = Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity")

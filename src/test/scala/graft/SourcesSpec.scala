@@ -52,6 +52,23 @@ class SourcesSpec extends SparkTestBase {
     assert(graft.pipeline.JdbcIO.read(spark, url, "vacia", "id").count() === 0)
   }
 
+  test("JdbcIO: keyword-named table resolves through the bound probe (dialect-quoted)") {
+    // "order" is an SQL reserved word: interpolating it raw into the probe
+    // (`FROM order`) is a syntax error. The adapter must resolve the STORED
+    // name from JDBC metadata and dialect-quote it in every statement —
+    // including the dbtable relation and the min/max bound probe.
+    val db = Files.createTempDirectory("graft_derby_kw").toString + "/db"
+    val url = s"jdbc:derby:$db;create=true"
+    import spark.implicits._
+    val df = (1 to 40).map(i => (i.toLong, s"v$i")).toDF("id", "payload")
+    // DDL needs the caller-quoted form (Spark passes dbtable verbatim into
+    // CREATE TABLE); the READ below must work from the bare name alone
+    graft.pipeline.JdbcIO.append(df, url, "\"order\"")
+    val back = graft.pipeline.JdbcIO.read(spark, url, "order", "id", numPartitions = 4)
+    assert(back.rdd.getNumPartitions === 4, "bound probe did not partition the scan")
+    assert(back.orderBy("id").collect().toSeq === df.orderBy("id").collect().toSeq)
+  }
+
   test("JSON read surfaces corrupt records instead of dropping them silently") {
     val dir = Files.createTempDirectory("graft_badjson").toString
     import spark.implicits._

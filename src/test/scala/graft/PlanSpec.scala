@@ -61,6 +61,17 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("q23 candidate pairs cross the band shuffle as bare ids") {
+    // The band candidate join must never carry shingle arrays or MinHash
+    // signatures — candidates dedup to (doc_a, doc_b) id pairs and the
+    // verify stage re-joins per-doc state by doc_id (the q67 pattern). The
+    // checkpointed candidate RDD in the final plan is the witness: exactly
+    // two id columns wide.
+    val p = plan(Dedup.q23MinHashLsh(spark, sf))
+    assert("ExistingRDD\\[doc_a#\\d+L,doc_b#\\d+L\\]".r.findFirstIn(p).isDefined,
+      s"candidate pair RDD is not the bare (doc_a, doc_b) id pair:\n$p")
+  }
+
   test("q54 range join is a bucketed equi-join, not a nested loop") {
     val p = plan(TrainingData.q54RangeJoin(spark, sf))
     assert(!p.contains("CartesianProduct") && !p.contains("NestedLoopJoin"),

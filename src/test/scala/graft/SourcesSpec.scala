@@ -52,6 +52,20 @@ class SourcesSpec extends SparkTestBase {
     assert(graft.pipeline.JdbcIO.read(spark, url, "vacia", "id").count() === 0)
   }
 
+  test("ORC round-trip preserves rows and pushes filters to the scan") {
+    // Second columnar format next to parquet: same declarative scan path,
+    // so Catalyst pushdown and column pruning must work identically.
+    val dir = Files.createTempDirectory("graft_orc").toString
+    customers.write.mode("overwrite").orc(dir)
+    val back = spark.read.schema(CustomerPipeline.CustomerSchema).orc(dir)
+    assert(back.orderBy("id").collect().toSeq === customers.orderBy("id").collect().toSeq)
+    val filtered = back.filter(col("id") <= 50).select(col("id"))
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(id), LessThanOrEqual(id,50)]"),
+      s"id predicate did not reach the ORC scan:\n$plan")
+    assert(filtered.count() === 50)
+  }
+
   test("JdbcIO: keyword-named table resolves through the bound probe (dialect-quoted)") {
     // "order" is an SQL reserved word: interpolating it raw into the probe
     // (`FROM order`) is a syntax error. The adapter must resolve the STORED

@@ -1,0 +1,143 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables._
+import graft.functions.TextFns._
+
+/** Corpus-curation operators that complete the dedup/decontamination
+  * family (SURVEY.md §2.4 LLM-pipeline row): cross-document boilerplate
+  * detection (the C4-style "repeated line" filter, at passage granularity)
+  * and a Bloom-prefiltered benchmark decontamination — the map-only scale
+  * path for q60's exact inverted-index join.
+  */
+object Curation {
+
+  /** Passage width (word n-gram) for boilerplate detection. */
+  val PassageN: Int = 4
+
+  /** Minimum distinct documents containing a passage before it counts as
+    * boilerplate.
+    */
+  val MinDocs: Int = 3
+
+  /** q69: cross-document boilerplate passages — word [[PassageN]]-grams
+    * appearing in ≥ [[MinDocs]] distinct documents, with document
+    * frequency and total occurrence count. This is the corpus-hygiene scan
+    * (headers, footers, license blurbs, navigation chrome) run before
+    * near-dup analysis: exact passage repetition across documents, where
+    * q51 measures repetition *within* one document and q22/q23 measure
+    * whole-document similarity.
+    *
+    * Plan: explode → one hash aggregate keyed by passage. countDistinct
+    * expands to a two-level aggregate (partial distinct on (passage, doc)
+    * map-side), so the shuffle is bounded by the distinct passage×doc
+    * surface, never all occurrences; group count is vocabulary-sized. At
+    * 100 TB you'd key the exchange on a 64-bit passage hash and keep the
+    * string only as an aggregated exemplar — here passages are short and
+    * the string key keeps the oracle exact.
+    */
+  def q69BoilerplatePassages(s: SparkSession, dir: String): DataFrame =
+    resplit(documents(s, dir).select(col("doc_id"), col("text")))
+      .select(col("doc_id"), explode(shingles(words(col("text")), PassageN)).as("passage"))
+      .groupBy(col("passage"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"), count(lit(1)).as("n_occ"))
+      .filter(col("n_docs") >= MinDocs)
+      .orderBy(col("n_docs").desc, col("n_occ").desc, col("passage"))
+
+  val q69Sql: String =
+    s"""WITH w AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents),
+       |g AS (
+       |  SELECT doc_id, unnest(CASE WHEN len(w) >= $PassageN
+       |    THEN list_transform(range(1, len(w) - ${PassageN - 2}),
+       |           i -> array_to_string(w[i:i+${PassageN - 1}], ' '))
+       |    ELSE [] END) AS passage
+       |  FROM w)
+       |SELECT passage, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       | CAST(count(*) AS BIGINT) AS n_occ
+       |FROM g GROUP BY passage HAVING count(DISTINCT doc_id) >= $MinDocs
+       |ORDER BY n_docs DESC, n_occ DESC, passage""".stripMargin
+
+  /** Shingle width for the Bloom decontamination check (narrower than
+    * q60's [[TrainingData.DecontamN]] = stricter: more grams per doc, so
+    * the contamination *fraction* is a graded signal rather than q60's
+    * any-hit flag).
+    */
+  val BloomN: Int = 4
+
+  /** Contamination fraction at or above which a training document is
+    * dropped.
+    */
+  val DropFrac: Double = 0.5
+
+  /** q70: Bloom-prefiltered decontamination — per-training-document
+    * contamination fraction against the held-out eval split (every 10th
+    * doc, the q60/q66 convention) and the resulting keep/drop decision.
+    *
+    * Scale design — this is q60's check restructured for the 100 TB case
+    * where even the *shared-shingle* join is too wide: the eval side's
+    * distinct grams are folded into a Bloom filter (built once, a few GB
+    * for billions of grams at 1% FPP) and broadcast, so the training scan
+    * drops non-colliding grams MAP-SIDE and only the tiny surviving
+    * fraction reaches the exact verify join. False positives cost only
+    * wasted verify work — the output is exact because every counted hit is
+    * confirmed by the equi-join. The per-doc gram totals come from the
+    * same pre-filter scan (one pass), and the final left join restores the
+    * zero-hit documents the prefilter eliminated.
+    */
+  def q70BloomDecontam(s: SparkSession, dir: String): DataFrame = {
+    val d = documents(s, dir)
+    def grams(df: DataFrame): DataFrame =
+      resplit(df.select(col("doc_id"), col("text")))
+        .select(col("doc_id"), explode(shingles(words(col("text")), BloomN)).as("g"))
+        .distinct()
+    // Eval side: small by construction (held-out benchmarks), reused for
+    // the Bloom build and the verify join — checkpoint so it computes once.
+    val ev = grams(d.filter(col("doc_id") % 10 === 0))
+      .select(col("g").as("eval_g")).distinct()
+      .localCheckpoint()
+    val bloom = ev.stat.bloomFilter("eval_g", math.max(ev.count(), 1L), 0.01)
+    val bbc = s.sparkContext.broadcast(bloom)
+    val mightContain = udf((g: String) => bbc.value.mightContain(g))
+
+    val tg = grams(d.filter(col("doc_id") % 10 =!= 0)).localCheckpoint()
+    val perDoc = tg.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
+    val hits = tg.filter(mightContain(col("g"))) // map-only: no shuffle of clean grams
+      .join(ev, col("g") === col("eval_g"), "left_semi") // exact verify of survivors
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit"))
+    perDoc.join(hits, Seq("doc_id"), "left")
+      .withColumn("n_hit", coalesce(col("n_hit"), lit(0L)))
+      // keep decides on the RAW fraction (exact: one IEEE division of two
+      // longs in both engines); contam_frac is rounded for presentation only
+      .withColumn("keep",
+        col("n_hit").cast("double") / col("n_grams").cast("double") < DropFrac)
+      .withColumn("contam_frac",
+        round(col("n_hit").cast("double") / col("n_grams").cast("double"), 6))
+      .select(col("doc_id"), col("n_grams"), col("n_hit"), col("contam_frac"), col("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q70Sql: String =
+    s"""WITH w AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents),
+       |g AS (
+       |  SELECT DISTINCT doc_id, s FROM (
+       |    SELECT doc_id, unnest(CASE WHEN len(w) >= $BloomN
+       |      THEN list_transform(range(1, len(w) - ${BloomN - 2}),
+       |             i -> array_to_string(w[i:i+${BloomN - 1}], ' '))
+       |      ELSE [] END) AS s
+       |    FROM w)),
+       |ev AS (SELECT DISTINCT s FROM g WHERE doc_id % 10 = 0),
+       |tr AS (SELECT doc_id, s FROM g WHERE doc_id % 10 <> 0),
+       |per AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams FROM tr GROUP BY doc_id),
+       |h AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hit
+       |  FROM tr WHERE s IN (SELECT s FROM ev) GROUP BY doc_id)
+       |SELECT per.doc_id, n_grams, COALESCE(n_hit, CAST(0 AS BIGINT)) AS n_hit,
+       | ROUND(CAST(COALESCE(n_hit, 0) AS DOUBLE) / n_grams, 6) AS contam_frac,
+       | CAST(COALESCE(n_hit, 0) AS DOUBLE) / n_grams < $DropFrac AS keep
+       |FROM per LEFT JOIN h ON per.doc_id = h.doc_id
+       |ORDER BY per.doc_id""".stripMargin
+}

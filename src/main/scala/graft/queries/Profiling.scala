@@ -1,0 +1,147 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables._
+
+/** Dataset-profiling and governance operators (SURVEY.md §2.4 extension
+  * surface): the audits a training-data pipeline runs before releasing a
+  * corpus — re-identification risk (k-anonymity), numeric column profiles
+  * (moments, correlation), and value-distribution histograms.
+  *
+  * All three are single hash-aggregate plans: map-side partials, a shuffle
+  * keyed by low-cardinality group keys, and presentation-scale output, so
+  * at 100 TB each is one pass over the scan with whole-stage codegen and a
+  * few-KB result. No windows, no joins wider than a broadcast dim.
+  */
+object Profiling {
+
+  /** k-anonymity group-size floor below which a quasi-identifier group is
+    * flagged re-identifiable.
+    */
+  val KAnon: Int = 5
+
+  /** Account-balance generalization band width (the k-anonymity
+    * "generalization" step: exact balances → 1000-wide bands).
+    */
+  val BalBand: Double = 1000.0
+
+  /** q68: k-anonymity audit — generalize customer quasi-identifiers
+    * (market segment, nation, account-balance band) and measure every
+    * equivalence class's size k; classes with k < [[KAnon]] re-identify
+    * individuals and must be suppressed or further generalized before the
+    * table ships as training data.
+    *
+    * Plan: broadcast the 25-row nation dim, one hash aggregate on the
+    * generalized keys. Group count is bounded by the generalization lattice
+    * (segments × nations × bands), not the row count, so the shuffle output
+    * is KBs at any scale.
+    */
+  def q68AnonymizeAudit(s: SparkSession, dir: String): DataFrame =
+    customer(s, dir)
+      .join(broadcast(nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_mktsegment").as("segment"), col("n_name").as("nation"),
+        (floor(col("c_acctbal") / BalBand) * BalBand.toLong).cast("long").as("bal_band"))
+      .groupBy(col("segment"), col("nation"), col("bal_band"))
+      .agg(count(lit(1)).as("k"))
+      .withColumn("at_risk", col("k") < KAnon)
+      .orderBy(col("segment"), col("nation"), col("bal_band"))
+
+  val q68Sql: String =
+    s"""SELECT c_mktsegment AS segment, n_name AS nation,
+       | CAST(floor(c_acctbal / $BalBand) * ${BalBand.toLong} AS BIGINT) AS bal_band,
+       | CAST(count(*) AS BIGINT) AS k, count(*) < $KAnon AS at_risk
+       |FROM customer JOIN nation ON c_nationkey = n_nationkey
+       |GROUP BY 1, 2, 3
+       |ORDER BY 1, 2, 3""".stripMargin
+
+  /** q71: numeric column profile — per-group count, mean, sample
+    * stddev/variance, covariance and correlation between quantity and
+    * price. The multi-moment aggregates all partial-aggregate map-side
+    * (Spark's ImperativeAggregate merge), so the shuffle carries one
+    * moment tuple per (group × partition).
+    *
+    * Oracle discipline: every statistic is rounded at a scale coarse
+    * enough that the two engines' summation orders can't flip a digit
+    * (doubles agree to ~1e-10 relative; the roundings leave ≥1e3 margin).
+    */
+  def q71NumericProfile(s: SparkSession, dir: String): DataFrame =
+    lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
+        round(min(col("l_quantity")), 2).as("min_qty"),
+        round(max(col("l_quantity")), 2).as("max_qty"),
+        round(var_samp(col("l_extendedprice")), 2).as("var_price"),
+        round(covar_samp(col("l_quantity"), col("l_extendedprice")), 2).as("cov_qty_price"),
+        round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qty_price"))
+      .orderBy(col("l_returnflag"))
+
+  val q71Sql: String =
+    """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+      | ROUND(avg(l_quantity), 4) AS avg_qty,
+      | ROUND(stddev_samp(l_quantity), 4) AS sd_qty,
+      | ROUND(min(l_quantity), 2) AS min_qty,
+      | ROUND(max(l_quantity), 2) AS max_qty,
+      | ROUND(var_samp(l_extendedprice), 2) AS var_price,
+      | ROUND(covar_samp(l_quantity, l_extendedprice), 2) AS cov_qty_price,
+      | ROUND(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** Histogram bucket width for q73 (order total price; data spans
+    * ~1e3..5e5, so 10 equi-width buckets).
+    */
+  val HistWidth: Double = 50000.0
+
+  /** Highest bucket index (values ≥ HistWidth·(HistBuckets) clamp here —
+    * none in the fixtures, but the clamp keeps the bucket domain closed
+    * under data drift, mirrored exactly in the oracle).
+    */
+  val HistMax: Int = 9
+
+  /** q73: equi-width histogram of order totals with per-bucket share of
+    * rows. The global total comes from a broadcast 1-row aggregate
+    * (cross join), not an unpartitioned window — the aggregate tree is
+    * map-side partial all the way down, so no single-partition stage sees
+    * unbounded input.
+    */
+  def q73PriceHistogram(s: SparkSession, dir: String): DataFrame = {
+    val o = orders(s, dir)
+    val bucketed = o
+      .select(least(floor(col("o_totalprice") / HistWidth), lit(HistMax.toDouble))
+        .cast("long").as("bucket"), col("o_totalprice"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        round(avg(col("o_totalprice")), 2).as("avg_price"),
+        round(min(col("o_totalprice")), 2).as("min_price"),
+        round(max(col("o_totalprice")), 2).as("max_price"))
+    val total = o.agg(count(lit(1)).as("total_n"))
+    bucketed.crossJoin(broadcast(total))
+      .withColumn("lo", (col("bucket") * HistWidth.toLong).cast("long"))
+      .withColumn("share", round(col("n").cast("double") / col("total_n"), 6))
+      .select(col("bucket"), col("lo"), col("n"), col("share"),
+        col("avg_price"), col("min_price"), col("max_price"))
+      .orderBy(col("bucket"))
+  }
+
+  val q73Sql: String =
+    s"""WITH b AS (
+       |  SELECT CAST(least(floor(o_totalprice / $HistWidth), ${HistMax}.0) AS BIGINT) AS bucket,
+       |   o_totalprice
+       |  FROM orders),
+       |g AS (
+       |  SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+       |   ROUND(avg(o_totalprice), 2) AS avg_price,
+       |   ROUND(min(o_totalprice), 2) AS min_price,
+       |   ROUND(max(o_totalprice), 2) AS max_price
+       |  FROM b GROUP BY bucket),
+       |t AS (SELECT CAST(count(*) AS BIGINT) AS total_n FROM orders)
+       |SELECT bucket, CAST(bucket * ${HistWidth.toLong} AS BIGINT) AS lo, n,
+       | ROUND(CAST(n AS DOUBLE) / total_n, 6) AS share,
+       | avg_price, min_price, max_price
+       |FROM g CROSS JOIN t
+       |ORDER BY bucket""".stripMargin
+}

@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.queries.{Curation, Streaming, TrainingData}
+import graft.queries.Curation._
+
+/** Invariants of the round-8 curation/profiling/typed-API operators
+  * (q68–q73) beyond the DuckDB oracle: threshold consistency, the Bloom
+  * prefilter's zero-false-negative guarantee, typed sessionization
+  * agreeing with the built-in `session_window` plan, and conservation
+  * laws (group sizes / histogram counts summing to the table count).
+  */
+class CurationSpec extends SparkTestBase {
+
+  test("q69: every passage meets the doc threshold and occurrences bound docs") {
+    val out = Curation.q69BoilerplatePassages(spark, sf).cache()
+    assert(out.filter(col("n_docs") < MinDocs || col("n_occ") < col("n_docs")).isEmpty,
+      "n_docs >= MinDocs and n_occ >= n_docs must hold for every passage")
+    // each passage really is PassageN words wide
+    val widths = out.select(size(split(col("passage"), " ")).as("w"))
+      .distinct().collect().map(_.getInt(0)).toSet
+    assert(widths == Set(PassageN))
+    out.unpersist()
+  }
+
+  test("q70: bloom prefilter loses no true hits — n_hit matches the exact join") {
+    val out = Curation.q70BloomDecontam(spark, sf).cache()
+    // exact recomputation without any bloom: distinct grams per side, semi join
+    def grams(f: org.apache.spark.sql.Column) = Tables.documents(spark, sf).filter(f)
+      .select(col("doc_id"),
+        explode(graft.functions.TextFns.shingles(
+          graft.functions.TextFns.words(col("text")), BloomN)).as("g"))
+      .distinct()
+    val ev = grams(col("doc_id") % 10 === 0).select(col("g").as("eval_g")).distinct()
+    val exact = grams(col("doc_id") % 10 =!= 0)
+      .join(ev, col("g") === col("eval_g"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit_exact"))
+    val joined = out.join(exact, Seq("doc_id"), "left")
+      .withColumn("n_hit_exact", coalesce(col("n_hit_exact"), lit(0L)))
+    assert(joined.filter(col("n_hit") =!= col("n_hit_exact")).isEmpty,
+      "bloom-prefiltered hit counts must equal the exact inverted-index join")
+    // keep decision is consistent with the raw fraction
+    assert(out.filter(
+      (col("n_hit").cast("double") / col("n_grams") < DropFrac) =!= col("keep")).isEmpty)
+    out.unpersist()
+  }
+
+  test("q70: every training document appears exactly once, zero-hit docs included") {
+    val out = Curation.q70BloomDecontam(spark, sf)
+    val trainDocs = Tables.documents(spark, sf).filter(col("doc_id") % 10 =!= 0).count()
+    assert(out.count() === trainDocs)
+    assert(out.select("doc_id").distinct().count() === trainDocs)
+  }
+
+  test("q72: typed sessionization agrees with session_window (q27) on boundaries") {
+    val typed = Streaming.q72TypedSessionize(spark, sf).cache()
+    val builtin = Streaming.q27SessionWindow(spark, sf)
+      .select(col("user_id").as("b_user"), col("s_start").as("b_start"),
+        col("n_events").as("b_n"), col("sum_value").as("b_sum"))
+    // same session count per user and identical (start, n_events, sum_value)
+    val mismatched = typed.join(builtin,
+        col("user_id") === col("b_user") && col("s_start") === col("b_start"),
+        "full_outer")
+      .filter(col("user_id").isNull || col("b_user").isNull ||
+        col("n_events") =!= col("b_n") || col("sum_value") =!= col("b_sum"))
+    assert(mismatched.isEmpty,
+      "every typed session must match a session_window session exactly")
+    // session_idx is a dense 1-based sequence per user
+    val perUser = typed.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"), min(col("session_idx")).as("lo"),
+        max(col("session_idx")).as("hi"))
+    assert(perUser.filter(col("lo") =!= 1 || col("hi") =!= col("n")).isEmpty)
+    typed.unpersist()
+  }
+
+  test("q68/q73: audit group sizes and histogram counts conserve the table counts") {
+    val audit = graft.queries.Profiling.q68AnonymizeAudit(spark, sf)
+    assert(audit.agg(sum(col("k"))).head.getLong(0) === Tables.customer(spark, sf).count())
+    assert(audit.filter(col("at_risk") =!= (col("k") < graft.queries.Profiling.KAnon)).isEmpty)
+    val hist = graft.queries.Profiling.q73PriceHistogram(spark, sf)
+    assert(hist.agg(sum(col("n"))).head.getLong(0) === Tables.orders(spark, sf).count())
+    val shareSum = hist.agg(sum(col("share"))).head.getDouble(0)
+    assert(math.abs(shareSum - 1.0) < 1e-3, s"bucket shares must sum to ~1, got $shareSum")
+  }
+
+  test("q71: profile statistics are internally consistent") {
+    val p = graft.queries.Profiling.q71NumericProfile(spark, sf).collect()
+    assert(p.nonEmpty)
+    p.foreach { r =>
+      val corr = r.getAs[Double]("corr_qty_price")
+      assert(corr >= -1.0 && corr <= 1.0)
+      assert(r.getAs[Double]("sd_qty") >= 0.0)
+      assert(r.getAs[Double]("var_price") >= 0.0)
+      assert(r.getAs[Double]("min_qty") <= r.getAs[Double]("avg_qty") &&
+        r.getAs[Double]("avg_qty") <= r.getAs[Double]("max_qty"))
+      // corr and covariance agree in sign (both rounded from the same moments)
+      val cov = r.getAs[Double]("cov_qty_price")
+      assert(cov == 0.0 || corr == 0.0 || cov.sign == corr.sign)
+    }
+  }
+
+  test("q70 keeps the q60 contamination signal: any q60-flagged doc has hits here too") {
+    // q60 flags docs sharing a 5-gram; every 5-gram contains a 4-gram, so
+    // q70 (4-grams) must see a hit for every q60-flagged training doc.
+    val q60docs = TrainingData.q60Decontamination(spark, sf).select("doc_id")
+    val zeroHit = Curation.q70BloomDecontam(spark, sf).filter(col("n_hit") === 0)
+      .select("doc_id")
+    assert(q60docs.intersect(zeroHit).isEmpty)
+  }
+}

@@ -1,0 +1,267 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables._
+import graft.functions.TextFns._
+
+/** Corpus-composition statistics: the planning ops a training-data
+  * pipeline runs BEFORE committing to a mixture — temperature-rebalanced
+  * language weights, duplicate-cluster demographics, robust per-language
+  * outlier fences, weighted document sampling, and cross-source n-gram
+  * similarity. These consume the same `documents` table as the dedup /
+  * text-analysis family (SURVEY.md §2.4 LLM-pipeline row) but answer
+  * corpus-level questions rather than per-document ones.
+  *
+  * Scale shapes: every query here is either map + low-cardinality hash
+  * aggregate (q74, q76), a reuse of the memoized near-dup component labels
+  * (q75), a `TakeOrderedAndProject` top-k (q79), or a vocabulary-keyed
+  * aggregate with fan-out bounded by the source count (q80). Nothing plans
+  * an unpartitioned window or an unbounded single-partition exchange.
+  */
+object CorpusStats {
+
+  /** Sampling temperature for q74 (the multilingual-pretraining convention:
+    * p_l ∝ f_l^α with α ∈ (0,1) flattens the language distribution — rare
+    * languages are upsampled, dominant ones downsampled).
+    */
+  val MixAlpha: Double = 0.3
+
+  /** q74: temperature-rebalanced language mixture — per language, the
+    * natural corpus share, the α-tempered target share, and the resulting
+    * upsample factor a sampler would apply. This is the planning step that
+    * feeds rates into the q47/q49-style samplers.
+    *
+    * Plan: one hash aggregate keyed by language (map-side partials), then
+    * a broadcast of the 1-row normalization totals back onto the
+    * language-count frame — no window, no second scan of the corpus. All
+    * derived fractions are rounded to 6dp: `pow` may differ between the
+    * engines' libm in the last ulp, and 6dp leaves ~1e9 margin.
+    */
+  def q74TempMixture(s: SparkSession, dir: String): DataFrame = {
+    val counts = documents(s, dir)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"))
+    val totals = counts.agg(
+      sum(col("n_docs")).as("n_total"),
+      sum(pow(col("n_docs").cast("double"), MixAlpha)).as("z"))
+    val nat = col("n_docs").cast("double") / col("n_total").cast("double")
+    val temp = pow(col("n_docs").cast("double"), MixAlpha) / col("z")
+    counts.crossJoin(broadcast(totals))
+      .select(
+        col("lang"), col("n_docs"),
+        round(nat, 6).as("nat_frac"),
+        round(temp, 6).as("temp_frac"),
+        round(temp / nat, 6).as("upsample"))
+      .orderBy(col("lang"))
+  }
+
+  val q74Sql: String =
+    s"""WITH c AS (
+       |  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY lang),
+       |t AS (
+       |  SELECT CAST(sum(n_docs) AS BIGINT) AS n_total,
+       |   sum(pow(CAST(n_docs AS DOUBLE), $MixAlpha)) AS z
+       |  FROM c)
+       |SELECT lang, n_docs,
+       | ROUND(CAST(n_docs AS DOUBLE) / n_total, 6) AS nat_frac,
+       | ROUND(pow(CAST(n_docs AS DOUBLE), $MixAlpha) / z, 6) AS temp_frac,
+       | ROUND((pow(CAST(n_docs AS DOUBLE), $MixAlpha) / z)
+       |       / (CAST(n_docs AS DOUBLE) / n_total), 6) AS upsample
+       |FROM c CROSS JOIN t ORDER BY lang""".stripMargin
+
+  /** q75: duplicate-cluster size distribution — how many near-dup clusters
+    * of each size the corpus contains and how many documents they bind.
+    * This is the report a dedup pipeline reads to pick its keep-one policy
+    * (a corpus dominated by size-2 clusters dedups very differently from
+    * one with a few giant boilerplate clusters).
+    *
+    * Composes the MEMOIZED q45 component labels (cluster membership is
+    * computed once per session and shared with q45/q58), so the marginal
+    * cost is two tiny aggregates over the near-dup node set — first keyed
+    * by component, then by cluster size.
+    */
+  def q75ClusterSizes(s: SparkSession, dir: String): DataFrame =
+    Dedup.componentLabels(s, dir)
+      .groupBy(col("comp"))
+      .agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"))
+      .withColumn("n_docs", col("cluster_size") * col("n_clusters"))
+      .orderBy(col("cluster_size"))
+
+  val q75Sql: String =
+    s"""WITH RECURSIVE ${Dedup.sqlComponentsCtes},
+       |comp_sz AS (
+       |  SELECT comp, CAST(count(*) AS BIGINT) AS cluster_size
+       |  FROM labels GROUP BY comp)
+       |SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
+       | cluster_size * CAST(count(*) AS BIGINT) AS n_docs
+       |FROM comp_sz GROUP BY cluster_size ORDER BY cluster_size""".stripMargin
+
+  /** Tukey fence multiplier for q76. */
+  val FenceK: Double = 1.5
+
+  /** q76: robust per-language length outliers — exact interpolated
+    * quartiles of `n_chars` per language, Tukey fences at
+    * quartile ± [[FenceK]]·IQR, and the count of documents outside them.
+    * This is the length-filter calibration step a curation pipeline runs
+    * per language (a fixed global cutoff mislabels languages with
+    * different length regimes).
+    *
+    * Two-phase plan: the per-language quartiles aggregate to a
+    * language-cardinality frame (eagerly checkpointed — it is consumed by
+    * both the fence join and the final projection), which broadcasts back
+    * onto a second scan for the fence classification. At 100 TB the same
+    * shape holds with `approx_percentile` replacing the exact sort-based
+    * quartiles (cf. q55's sketch path); fences are presentation-rounded
+    * but CLASSIFICATION uses the raw quartile arithmetic, identical in
+    * both engines because `n_chars` is integral and the fences are exact
+    * IEEE expressions of two interpolated quartiles.
+    */
+  def q76OutlierFences(s: SparkSession, dir: String): DataFrame = {
+    val base = documents(s, dir).select(col("lang"), col("n_chars"))
+    val lo = col("p25r") - lit(FenceK) * (col("p75r") - col("p25r"))
+    val hi = col("p75r") + lit(FenceK) * (col("p75r") - col("p25r"))
+    val bounds = base.groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        expr("percentile(n_chars, 0.25D)").as("p25r"),
+        expr("percentile(n_chars, 0.75D)").as("p75r"))
+      .localCheckpoint(true) // tiny (|langs| rows); computed once, read twice
+    val outliers = base
+      .join(broadcast(bounds.select(col("lang"), lo.as("lo"), hi.as("hi"))), Seq("lang"))
+      .groupBy(col("lang"))
+      .agg(sum(when(col("n_chars") < col("lo") || col("n_chars") > col("hi"), 1L)
+        .otherwise(0L)).as("n_outliers"))
+    bounds.join(outliers, Seq("lang"))
+      .select(
+        col("lang"), col("n_docs"),
+        round(col("p25r"), 6).as("p25"),
+        round(col("p75r"), 6).as("p75"),
+        round(col("p75r") - col("p25r"), 6).as("iqr"),
+        round(lo, 6).as("lo_fence"),
+        round(hi, 6).as("hi_fence"),
+        col("n_outliers"))
+      .orderBy(col("lang"))
+  }
+
+  val q76Sql: String =
+    s"""WITH b AS (
+       |  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       |   quantile_cont(n_chars, 0.25) AS p25r,
+       |   quantile_cont(n_chars, 0.75) AS p75r
+       |  FROM documents GROUP BY lang),
+       |f AS (
+       |  SELECT d.lang,
+       |   CAST(sum(CASE WHEN d.n_chars < p25r - $FenceK * (p75r - p25r)
+       |                   OR d.n_chars > p75r + $FenceK * (p75r - p25r)
+       |            THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+       |  FROM documents d JOIN b ON d.lang = b.lang GROUP BY d.lang)
+       |SELECT b.lang, n_docs,
+       | ROUND(p25r, 6) AS p25, ROUND(p75r, 6) AS p75,
+       | ROUND(p75r - p25r, 6) AS iqr,
+       | ROUND(p25r - $FenceK * (p75r - p25r), 6) AS lo_fence,
+       | ROUND(p75r + $FenceK * (p75r - p25r), 6) AS hi_fence,
+       | n_outliers
+       |FROM b JOIN f ON b.lang = f.lang ORDER BY b.lang""".stripMargin
+
+  /** Sample size for q79. */
+  val WsK: Int = 100
+
+  /** q79: weighted sampling without replacement (Efraimidis–Spirakis
+    * exponential race) — each document draws a deterministic uniform
+    * u = uhash(doc_id) and competes with key −ln(u)/w, w = `n_chars`;
+    * the [[WsK]] smallest keys win. This yields an exact weighted
+    * k-sample in ONE distributed pass: keys are independent per row
+    * (map-only) and the selection is a bounded top-k
+    * (`TakeOrderedAndProject` — k·partitions rows ever cross the wire,
+    * never a global sort). The length-biased variant of q65's fixed-k
+    * uniform sample; reproducible under retries for the same reason q47
+    * is.
+    *
+    * Key arithmetic note: u is an identical IEEE double in both engines
+    * (md5-derived integer ÷ 2^60); `ln` may differ in the last ulp, which
+    * cannot reorder the race except on ~1e-16-relative key ties —
+    * structurally absent from a continuous hash draw. The reported key is
+    * rounded for presentation.
+    */
+  def q79WeightedSample(s: SparkSession, dir: String): DataFrame = {
+    val u = TrainingData.uhash(col("doc_id"), "q79")
+    documents(s, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .withColumn("k", -log(u) / col("n_chars").cast("double"))
+      .orderBy(col("k"), col("doc_id"))
+      .limit(WsK)
+      .select(col("doc_id"), col("lang"), col("n_chars"), round(col("k") * 1e6, 6).as("key_ppm"))
+  }
+
+  val q79Sql: String =
+    s"""SELECT doc_id, lang, n_chars, ROUND(k * 1e6, 6) AS key_ppm FROM (
+       |  SELECT doc_id, lang, n_chars,
+       |   -ln(${TrainingData.uhashSql("doc_id", "q79")}) / n_chars AS k
+       |  FROM documents)
+       |ORDER BY k, doc_id LIMIT $WsK""".stripMargin
+
+  /** Shingle width for the q80 source-similarity matrix. */
+  val SrcN: Int = 3
+
+  /** q80: cross-source n-gram similarity matrix — Jaccard overlap of the
+    * distinct word-[[SrcN]]-gram vocabularies of every source pair. The
+    * corpus-composition complement of q22 (which scores document pairs):
+    * sources with high vocabulary overlap are near-redundant feeds, and a
+    * mixture that weights both is double-counting content.
+    *
+    * Plan: one distinct aggregate to the (source, gram) surface, then one
+    * aggregate keyed by gram that emits each gram's source-pair
+    * combinations from a sorted collect_set — per-gram fan-out is bounded
+    * by C(|sources|, 2), NOT by document frequency, so a universal gram
+    * costs the same as a rare one (the q22 skew lesson applied at source
+    * granularity). Pair counts then aggregate on a C(|sources|, 2)-row
+    * keyspace and join the broadcast per-source vocabulary sizes.
+    */
+  def q80SourceJaccard(s: SparkSession, dir: String): DataFrame = {
+    val g = resplit(documents(s, dir).select(col("source"), col("text")))
+      .select(col("source"), explode(shingles(words(col("text")), SrcN)).as("g"))
+      .distinct()
+      .localCheckpoint(true) // read 2×: per-source sizes + per-gram pair expansion
+    val sizes = g.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val pairs = g.groupBy(col("g"))
+      .agg(array_sort(collect_set(col("source"))).as("ss"))
+      .select(explode(flatten(transform(col("ss"), (x, i) =>
+        transform(slice(col("ss"), i + lit(2), size(col("ss"))), y =>
+          struct(x.as("src_a"), y.as("src_b")))))).as("p"))
+      .select(col("p.src_a"), col("p.src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("inter"))
+    val ja = col("inter").cast("double") /
+      (col("n_a") + col("n_b") - col("inter")).cast("double")
+    pairs
+      .join(broadcast(sizes.select(col("source").as("src_a"), col("n").as("n_a"))), Seq("src_a"))
+      .join(broadcast(sizes.select(col("source").as("src_b"), col("n").as("n_b"))), Seq("src_b"))
+      .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"), col("inter"),
+        round(ja, 6).as("jaccard"))
+      .orderBy(col("jaccard").desc, col("src_a"), col("src_b"))
+  }
+
+  val q80Sql: String =
+    s"""WITH w AS (
+       |  SELECT doc_id, source, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents),
+       |g AS (
+       |  SELECT DISTINCT source, s FROM (
+       |    SELECT source, unnest(CASE WHEN len(w) >= $SrcN
+       |      THEN list_transform(range(1, len(w) - ${SrcN - 2}),
+       |             i -> array_to_string(w[i:i+${SrcN - 1}], ' '))
+       |      ELSE [] END) AS s
+       |    FROM w)),
+       |sz AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM g GROUP BY source),
+       |p AS (
+       |  SELECT a.source AS src_a, b.source AS src_b, CAST(count(*) AS BIGINT) AS inter
+       |  FROM g a JOIN g b ON a.s = b.s AND a.source < b.source
+       |  GROUP BY 1, 2)
+       |SELECT src_a, src_b, sa.n AS n_a, sb.n AS n_b, inter,
+       | ROUND(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 6) AS jaccard
+       |FROM p JOIN sz sa ON src_a = sa.source JOIN sz sb ON src_b = sb.source
+       |ORDER BY jaccard DESC, src_a, src_b""".stripMargin
+}

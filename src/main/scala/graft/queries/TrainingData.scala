@@ -36,16 +36,16 @@ object TrainingData {
   /** 2^60 as a double: hash60 values are uniform in [0, 2^60), so
     * `hash60 / 2^60` is a deterministic uniform in [0, 1).
     */
-  private val HashUnit = 1152921504606846976.0
+  private[queries] val HashUnit = 1152921504606846976.0
 
   /** Deterministic uniform in [0,1) from a key column and a salt. Both
     * engines compute the identical double: same md5 prefix, same integer,
     * same IEEE division.
     */
-  private def uhash(key: Column, salt: String): Column =
+  private[queries] def uhash(key: Column, salt: String): Column =
     (hash60(concat(key.cast("string"), lit(":" + salt))).cast("double") / HashUnit)
 
-  private def uhashSql(keyExpr: String, salt: String): String =
+  private[queries] def uhashSql(keyExpr: String, salt: String): String =
     s"(CAST(concat('0x', substr(md5(concat(CAST($keyExpr AS VARCHAR), ':$salt')), 1, 15)) AS BIGINT) / $HashUnit)"
 
   // ---------------------------------------------------------------- q47

@@ -1,0 +1,121 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.queries.{Analytics, CorpusStats, Dedup}
+import graft.queries.CorpusStats._
+
+/** Invariants of the corpus-composition and event-analytics operators
+  * (q74–q80) beyond the DuckDB oracle: probability-mass conservation,
+  * temperature-flattening direction, cluster-count conservation against
+  * the q45 labels, weighted-sample size/bias, funnel monotonicity,
+  * retention-triangle anchoring, and the symmetric-difference bound on
+  * source Jaccard.
+  */
+class CorpusStatsSpec extends SparkTestBase {
+
+  test("q74: both mixture distributions sum to 1 and temperature flattens toward uniform") {
+    val rows = CorpusStats.q74TempMixture(spark, sf).collect()
+    def mass(c: String) = rows.map(_.getAs[Double](c)).sum
+    assert(math.abs(mass("nat_frac") - 1.0) < 1e-4, "natural shares must sum to 1")
+    assert(math.abs(mass("temp_frac") - 1.0) < 1e-4, "tempered shares must sum to 1")
+    // α < 1 ⇒ rare languages gain mass (upsample > 1), dominant ones lose it
+    val byN = rows.sortBy(_.getAs[Long]("n_docs"))
+    assert(byN.head.getAs[Double]("upsample") > 1.0, "rarest language must upsample")
+    assert(byN.last.getAs[Double]("upsample") < 1.0, "dominant language must downsample")
+    // monotone: tempered share ordering preserves natural ordering
+    val temps = byN.map(_.getAs[Double]("temp_frac"))
+    assert(temps.zip(temps.tail).forall { case (a, b) => a <= b + 1e-12 },
+      "temperature must preserve the size ordering")
+  }
+
+  test("q75: size distribution conserves the q45 component counts") {
+    val labels = Dedup.componentLabels(spark, sf)
+    val out = CorpusStats.q75ClusterSizes(spark, sf).collect()
+    val nDocs = out.map(_.getAs[Long]("n_docs")).sum
+    val nClusters = out.map(_.getAs[Long]("n_clusters")).sum
+    assert(nDocs == labels.count(), "docs across size buckets must equal labeled nodes")
+    assert(nClusters == labels.select(col("comp")).distinct().count(),
+      "clusters across size buckets must equal distinct components")
+    assert(out.forall(_.getAs[Long]("cluster_size") >= 2),
+      "near-dup graph nodes all have a partner: no size-1 cluster can exist")
+  }
+
+  test("q76: fences are consistent with quartiles and outlier counts are conservative") {
+    val rows = CorpusStats.q76OutlierFences(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (p25, p75) = (r.getAs[Double]("p25"), r.getAs[Double]("p75"))
+      assert(p25 <= p75, s"quartiles inverted for ${r.getAs[String]("lang")}")
+      assert(math.abs(r.getAs[Double]("iqr") - (p75 - p25)) < 1e-6)
+      assert(r.getAs[Double]("lo_fence") <= p25 && p75 <= r.getAs[Double]("hi_fence"))
+      // at most 25% of mass can sit below Q1 (resp. above Q3), so Tukey
+      // outliers are strictly fewer than half the group
+      assert(r.getAs[Long]("n_outliers") * 2 < r.getAs[Long]("n_docs"),
+        "outliers must be a minority under quartile fences")
+    }
+  }
+
+  test("q79: exactly K winners, and the race is length-biased toward long documents") {
+    val out = CorpusStats.q79WeightedSample(spark, sf)
+    assert(out.count() == WsK)
+    // E-S sampling with weight = n_chars must overselect long docs: the
+    // sample's mean length exceeds the corpus mean (the bias is the point)
+    val sampleMean = out.agg(avg(col("n_chars"))).head().getDouble(0)
+    val corpusMean = Tables.documents(spark, sf).agg(avg(col("n_chars"))).head().getDouble(0)
+    assert(sampleMean > corpusMean,
+      s"weighted sample mean $sampleMean not above corpus mean $corpusMean")
+    // deterministic: a second run yields the identical winner set
+    val ids1 = out.select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val ids2 = CorpusStats.q79WeightedSample(spark, sf)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(ids1 == ids2, "weighted sample must be reproducible")
+  }
+
+  test("q80: jaccard within (0,1], intersection bounded by both vocabularies") {
+    val rows = CorpusStats.q80SourceJaccard(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (na, nb, inter) =
+        (r.getAs[Long]("n_a"), r.getAs[Long]("n_b"), r.getAs[Long]("inter"))
+      assert(inter >= 1 && inter <= math.min(na, nb),
+        "intersection must be within both vocabulary sizes")
+      val j = r.getAs[Double]("jaccard")
+      assert(j > 0.0 && j <= 1.0)
+      assert(r.getAs[String]("src_a") < r.getAs[String]("src_b"),
+        "pairs must be canonical (src_a < src_b), never duplicated")
+    }
+    // no pair may appear twice in either orientation
+    val keys = rows.map(r => (r.getAs[String]("src_a"), r.getAs[String]("src_b")))
+    assert(keys.distinct.length == keys.length)
+  }
+
+  test("q77: funnel counts are monotone non-increasing and rates consistent") {
+    val rows = Analytics.q77EventFunnel(spark, sf).collect().sortBy(_.getAs[Int]("step"))
+    assert(rows.map(_.getAs[String]("event_type")).toSeq == FunnelStepsCheck)
+    val ns = rows.map(_.getAs[Long]("n_users"))
+    assert(ns.zip(ns.tail).forall { case (a, b) => b <= a },
+      "each funnel step can only lose users")
+    val r2 = rows(1)
+    assert(math.abs(r2.getAs[Double]("conv_from_prev") -
+      ns(1).toDouble / ns(0)) < 1e-5)
+  }
+
+  private val FunnelStepsCheck = Analytics.FunnelSteps
+
+  test("q78: offset-0 retention is exactly 1 for every cohort") {
+    val rows = Analytics.q78RetentionCohort(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val anchor = rows.filter(_.getAs[Long]("week_offset") == 0L)
+    val cohorts = rows.map(_.getAs[java.sql.Timestamp]("cohort_week")).distinct
+    assert(anchor.length == cohorts.length, "every cohort must have an offset-0 cell")
+    anchor.foreach { r =>
+      assert(r.getAs[Double]("retention") == 1.0,
+        "a user is active in their own first week by definition")
+    }
+    assert(rows.forall(r => r.getAs[Double]("retention") > 0.0
+      && r.getAs[Double]("retention") <= 1.0))
+    assert(rows.forall(_.getAs[Long]("week_offset") >= 0L),
+      "activity cannot precede the cohort week")
+  }
+}

@@ -144,4 +144,46 @@ object Profiling {
        | avg_price, min_price, max_price
        |FROM g CROSS JOIN t
        |ORDER BY bucket""".stripMargin
+
+  /** Decile grid for q81 (9 interior bounds → 10 equi-depth buckets). */
+  val DepthQs: Seq[Double] = (1 to 9).map(_ / 10.0)
+
+  /** q81: equi-DEPTH histogram of order totals — q73's complement: bucket
+    * BOUNDS adapt to the distribution so each bucket holds ~10% of rows
+    * (what a partitioner or a feature-binning step actually wants; an
+    * equi-width histogram collapses under skew). Two-phase, scale-safe:
+    * the 9 interior decile bounds reduce to ONE broadcast row, and bucket
+    * assignment is a map-only array scan (`size(filter(bounds, b → v >
+    * b))`) — no window, no per-row shuffle, no global sort. At 100 TB the
+    * exact percentile swaps for `approx_percentile` (q55's sketch) with
+    * the same downstream shape.
+    *
+    * Bound-equality parity: where the decile index is integral both
+    * engines return the exact data value; where it interpolates, the
+    * bound lies strictly between two data values ≫ 1 ulp apart, so a
+    * last-ulp difference in interpolation arithmetic can never flip a
+    * `v > bound` comparison on 2-decimal data.
+    */
+  def q81EquiDepthHistogram(s: SparkSession, dir: String): DataFrame = {
+    val o = orders(s, dir).select(col("o_totalprice").cast("double").as("v"))
+    val qsLit = DepthQs.map(q => s"${q}D").mkString("array(", ", ", ")")
+    val bounds = o.agg(expr(s"percentile(v, $qsLit)").as("bs"))
+    o.crossJoin(broadcast(bounds))
+      .select(size(filter(col("bs"), b => col("v") > b)).cast("long").as("bucket"), col("v"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        round(min(col("v")), 2).as("lo"),
+        round(max(col("v")), 2).as("hi"),
+        round(avg(col("v")), 4).as("avg_v"))
+      .orderBy(col("bucket"))
+  }
+
+  val q81Sql: String =
+    s"""WITH o AS (SELECT CAST(o_totalprice AS DOUBLE) AS v FROM orders),
+       |b AS (SELECT quantile_cont(v, [${DepthQs.mkString(", ")}]) AS bs FROM o)
+       |SELECT CAST(len(list_filter(bs, x -> v > x)) AS BIGINT) AS bucket,
+       | CAST(count(*) AS BIGINT) AS n,
+       | ROUND(min(v), 2) AS lo, ROUND(max(v), 2) AS hi, ROUND(avg(v), 4) AS avg_v
+       |FROM o CROSS JOIN b GROUP BY 1 ORDER BY 1""".stripMargin
+
 }

@@ -103,6 +103,24 @@ class CorpusStatsSpec extends SparkTestBase {
 
   private val FunnelStepsCheck = Analytics.FunnelSteps
 
+  test("q81: deciles balance bucket depths and conserve the row count") {
+    val rows = graft.queries.Profiling.q81EquiDepthHistogram(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("bucket")).toSeq == (0L to 9L),
+      "all 10 decile buckets must be present, in order")
+    val total = Tables.orders(spark, sf).count()
+    val ns = rows.map(_.getAs[Long]("n"))
+    assert(ns.sum == total, "bucket depths must conserve the table count")
+    // equi-depth: every bucket within ±2% of total/10 (exact up to ties)
+    assert(ns.forall(n => math.abs(n - total / 10.0) <= total * 0.02 + 1),
+      s"buckets not depth-balanced: ${ns.mkString(",")}")
+    // bucket ranges must be disjoint and ordered
+    val his = rows.map(_.getAs[Double]("hi"))
+    val los = rows.map(_.getAs[Double]("lo"))
+    assert(los.zip(his).forall { case (l, h) => l <= h })
+    assert(his.init.zip(los.tail).forall { case (h, l) => h <= l },
+      "adjacent buckets overlap")
+  }
+
   test("q78: offset-0 retention is exactly 1 for every cohort") {
     val rows = Analytics.q78RetentionCohort(spark, sf).collect()
     assert(rows.nonEmpty)

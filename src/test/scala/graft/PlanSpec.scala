@@ -155,4 +155,20 @@ class PlanSpec extends SparkTestBase {
     assert(!nd.contains("CartesianProduct") && bnljCount(nd) === 0 && hasEquiJoin(nd),
       s"near-dup LSH candidate join degraded to all-pairs:\n$nd")
   }
+
+  test("q79 weighted sample is a bounded top-k, never a global sort") {
+    val p = plan(graft.queries.CorpusStats.q79WeightedSample(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"weighted-sample selection degraded to a full sort:\n$p")
+  }
+
+  test("q80 source matrix never joins gram-by-gram (no self-join, no cartesian)") {
+    // pair expansion must come from the per-gram sorted collect_set, so
+    // a universal gram costs C(|sources|, 2), not df² — witnessed by the
+    // absence of any join between the (source, gram) surface and itself
+    val p = plan(graft.queries.CorpusStats.q80SourceJaccard(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      s"gram surface self-joined (df-squared skew hazard):\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"vocabulary sizes not broadcast:\n$p")
+  }
 }

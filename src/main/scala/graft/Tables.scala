@@ -71,9 +71,20 @@ object Tables {
     // preparation rules (EnsureRequirements), so `sparkPlan` doesn't have
     // them yet, and under AQE the executedPlan root is an opaque
     // AdaptiveSparkPlanExec whose toString renders the exchange-bearing
-    // initial plan. Case-sensitive "Exchange" can't collide with our
-    // all-lowercase column names.
-    val hasExchange = df.queryExecution.executedPlan.toString.contains("Exchange")
+    // initial plan. Match the exchange NODE renderings ("Exchange
+    // <partitioning>(" / "BroadcastExchange <mode>"), not a bare
+    // "Exchange" substring, which could false-match a file path in the
+    // scan node. BroadcastExchange counts even though it doesn't
+    // repartition the stream side: the probe on a broadcast-bearing plan
+    // would eagerly build the broadcast (not free, violating the zero-jobs
+    // guarantee pinned by ScaleSpec) — a caller that wants a
+    // broadcast-join output fanned out checkpoints first, exactly like the
+    // shuffle-join consumers (q22/q23/q67).
+    val exchangeNode =
+      ("(BroadcastExchange |Exchange (hashpartitioning|rangepartitioning|" +
+        "SinglePartition|RoundRobinPartitioning))").r
+    val hasExchange =
+      exchangeNode.findFirstIn(df.queryExecution.executedPlan.toString).isDefined
     if (hasExchange) df
     else {
       val p = df.sparkSession.sparkContext.defaultParallelism

@@ -36,6 +36,37 @@ object TextFns {
     when(size(ws) >= n, raw).otherwise(array())
   }
 
+  /** The composite document-quality score shared by q18 (scoring), q58
+    * (funnel filter), and q82 (keeper selection): a product of a length
+    * term (capped at 50 words), a punctuation-cleanliness term, and a
+    * vocabulary-richness term, rounded to 4dp. ONE definition so the
+    * filter, the report, and the keeper policy can never disagree on what
+    * "quality" means. All factors are exact-integer ratios in IEEE
+    * doubles; the 0.5 scalings are powers of two, so the result is
+    * bit-identical to the DuckDB rendering in [[qualitySqlExpr]]
+    * regardless of association order.
+    */
+  def qualityScore(text: Column): Column = {
+    val ws = words(text)
+    val nw = size(ws).cast("double")
+    val nc = length(text).cast("double")
+    val np = (length(text) - length(regexp_replace(text, "[^a-z0-9\\s]", "")))
+      .cast("double")
+    val nd = size(array_distinct(ws)).cast("double")
+    round(least(nw / 50.0, lit(1.0)) * (lit(1.0) - np / nc)
+      * (lit(0.5) + lit(0.5) * (nd / nw)), 4)
+  }
+
+  /** DuckDB rendering of [[qualityScore]]. `ww` names a
+    * `regexp_split_to_array(trim(text), '\s+')` column and `text` the raw
+    * text column in the surrounding query. Single-line so it embeds safely
+    * inside callers' stripMargin blocks.
+    */
+  def qualitySqlExpr(ww: String, text: String): String =
+    s"ROUND(least(CAST(len($ww) AS DOUBLE) / 50.0, 1.0)" +
+      s" * (1.0 - CAST(length($text) - length(regexp_replace($text, '[^a-z0-9\\s]', '', 'g')) AS DOUBLE) / length($text))" +
+      s" * (0.5 + 0.5 * CAST(len(list_distinct($ww)) AS DOUBLE) / len($ww)), 4)"
+
   /** 60-bit positive hash: first 15 hex chars of md5, base-16 → long.
     * DuckDB oracle: `CAST(concat('0x', substr(md5(x), 1, 15)) AS BIGINT)`.
     */

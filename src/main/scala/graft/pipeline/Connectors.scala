@@ -98,7 +98,14 @@ object JdbcIO {
     else try {
       val conn = java.sql.DriverManager.getConnection(url)
       try {
-        val rs = conn.getMetaData.getTables(null, null, "%", Array("TABLE"))
+        // Scope the lookup to the connection's CURRENT schema: an unqualified
+        // name resolves there, so matching across all schemas could adopt a
+        // different schema's stored spelling and quote a name that does not
+        // exist where the query will actually look. A null/unsupported
+        // current schema falls back to the unscoped listing (better a rare
+        // cross-schema shadow than no resolution at all).
+        val schema = try conn.getSchema catch { case _: Throwable => null }
+        val rs = conn.getMetaData.getTables(null, schema, "%", Array("TABLE"))
         val names = scala.collection.mutable.ListBuffer.empty[String]
         while (rs.next()) names += rs.getString("TABLE_NAME")
         names.find(_ == table)

@@ -103,7 +103,16 @@ object Curation {
     val mightContain = udf((g: String) => bbc.value.mightContain(g))
 
     val tg = grams(d.filter(col("doc_id") % 10 =!= 0)).localCheckpoint()
-    val perDoc = tg.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
+    // Anchor the report on the DOCUMENTS table, not on the gram surface: a
+    // training doc shorter than BloomN words yields zero shingles and
+    // would otherwise vanish from the keep/drop report entirely (neither
+    // kept nor dropped). Zero-gram docs have nothing to overlap, so they
+    // keep with contam 0 — guarded explicitly because 0/0 is NaN in Spark
+    // but NULL in DuckDB.
+    val perDoc = d.filter(col("doc_id") % 10 =!= 0).select(col("doc_id"))
+      .join(tg.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams")),
+        Seq("doc_id"), "left")
+      .withColumn("n_grams", coalesce(col("n_grams"), lit(0L)))
     val hits = tg.filter(mightContain(col("g"))) // map-only: no shuffle of clean grams
       .join(ev, col("g") === col("eval_g"), "left_semi") // exact verify of survivors
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit"))
@@ -111,10 +120,10 @@ object Curation {
       .withColumn("n_hit", coalesce(col("n_hit"), lit(0L)))
       // keep decides on the RAW fraction (exact: one IEEE division of two
       // longs in both engines); contam_frac is rounded for presentation only
-      .withColumn("keep",
+      .withColumn("keep", col("n_grams") === 0L ||
         col("n_hit").cast("double") / col("n_grams").cast("double") < DropFrac)
-      .withColumn("contam_frac",
-        round(col("n_hit").cast("double") / col("n_grams").cast("double"), 6))
+      .withColumn("contam_frac", when(col("n_grams") === 0L, lit(0.0)).otherwise(
+        round(col("n_hit").cast("double") / col("n_grams").cast("double"), 6)))
       .select(col("doc_id"), col("n_grams"), col("n_hit"), col("contam_frac"), col("keep"))
       .orderBy(col("doc_id"))
   }
@@ -131,13 +140,19 @@ object Curation {
        |    FROM w)),
        |ev AS (SELECT DISTINCT s FROM g WHERE doc_id % 10 = 0),
        |tr AS (SELECT doc_id, s FROM g WHERE doc_id % 10 <> 0),
-       |per AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams FROM tr GROUP BY doc_id),
+       |per AS (
+       |  SELECT d.doc_id, COALESCE(g.n_grams, CAST(0 AS BIGINT)) AS n_grams
+       |  FROM (SELECT doc_id FROM documents WHERE doc_id % 10 <> 0) d
+       |  LEFT JOIN (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams
+       |             FROM tr GROUP BY doc_id) g
+       |    ON d.doc_id = g.doc_id),
        |h AS (
        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hit
        |  FROM tr WHERE s IN (SELECT s FROM ev) GROUP BY doc_id)
        |SELECT per.doc_id, n_grams, COALESCE(n_hit, CAST(0 AS BIGINT)) AS n_hit,
-       | ROUND(CAST(COALESCE(n_hit, 0) AS DOUBLE) / n_grams, 6) AS contam_frac,
-       | CAST(COALESCE(n_hit, 0) AS DOUBLE) / n_grams < $DropFrac AS keep
+       | CASE WHEN n_grams = 0 THEN 0.0
+       |      ELSE ROUND(CAST(COALESCE(n_hit, 0) AS DOUBLE) / n_grams, 6) END AS contam_frac,
+       | n_grams = 0 OR CAST(COALESCE(n_hit, 0) AS DOUBLE) / n_grams < $DropFrac AS keep
        |FROM per LEFT JOIN h ON per.doc_id = h.doc_id
        |ORDER BY per.doc_id""".stripMargin
 
@@ -148,36 +163,29 @@ object Curation {
     * two differ whenever the lowest-id member is the worst one.
     *
     * The selection is one `max_by` aggregate over the cluster-joined
-    * member set: the ordering score `quality·1e12 − doc_id` is a single
-    * IEEE expression (identical in both engines on the identically-rounded
-    * quality), maximizing quality first and breaking exact quality ties
-    * toward the lowest doc_id, so the winner is deterministic with no
-    * second pass. Cluster membership reuses the MEMOIZED q45 labels; the
-    * corpus contributes one scan for the quality column.
+    * member set, ordered by `struct(quality, −doc_id)`: lexicographic
+    * struct comparison maximizes quality first and breaks exact quality
+    * ties toward the lowest doc_id, with no magnitude assumption on the
+    * id domain (a packed scalar like `quality·1e12 − doc_id` would let a
+    * >1e8 id gap override a real 1e-4 quality difference at
+    * billions-of-docs id ranges). Deterministic in one pass; the oracle
+    * states the same winner with a max-quality join + min-id tiebreak.
+    * Cluster membership reuses the MEMOIZED q45 labels; the corpus
+    * contributes one scan for the quality column
+    * ([[graft.functions.TextFns.qualityScore]] — the same definition the
+    * q58 funnel filters on).
     */
   def q82KeeperSelection(s: SparkSession, dir: String): DataFrame = {
-    val ws = words(col("text"))
-    val nw = size(ws).cast("double")
-    val nc = length(col("text")).cast("double")
-    val np = (length(col("text"))
-      - length(regexp_replace(col("text"), "[^a-z0-9\\s]", ""))).cast("double")
-    val nd = size(array_distinct(ws)).cast("double")
-    // q18's composite quality, identically rounded in the oracle (the
-    // q58 expression verbatim — rounding first makes the max_by score
-    // arithmetic identical across engines)
-    val quality = round(
-      least(nw / 50.0, lit(1.0)) * (lit(1.0) - np / nc)
-        * (lit(0.5) + lit(0.5) * (nd / nw)), 4)
     val labels = Dedup.componentLabels(s, dir)
       .select(col("doc"), col("comp"))
     val scored = documents(s, dir).select(col("doc_id"), col("text"))
-      .withColumn("quality", quality)
+      .withColumn("quality", qualityScore(col("text")))
       .select(col("doc_id"), col("quality"))
     labels.join(scored, col("doc") === col("doc_id"))
       .groupBy(col("comp"))
       .agg(
         count(lit(1)).as("cluster_size"),
-        expr("max_by(doc, quality * 1e12 - doc)").as("keeper"),
+        max_by(col("doc"), struct(col("quality"), -col("doc"))).as("keeper"),
         round(max(col("quality")), 4).as("max_quality"),
         round(min(col("quality")), 4).as("min_quality"))
       .orderBy(col("comp"))
@@ -189,19 +197,21 @@ object Curation {
        |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ww, text
        |  FROM documents),
        |qs AS (
-       |  SELECT doc_id,
-       |   ROUND(least(CAST(len(ww) AS DOUBLE) / 50.0, 1.0)
-       |     * (1.0 - CAST(length(text)
-       |          - length(regexp_replace(text, '[^a-z0-9\\s]', '', 'g')) AS DOUBLE)
-       |        / length(text))
-       |     * (0.5 + 0.5 * CAST(len(list_distinct(ww)) AS DOUBLE) / len(ww)), 4) AS quality
+       |  SELECT doc_id, ${qualitySqlExpr("ww", "text")} AS quality
        |  FROM qd),
        |m AS (
        |  SELECT comp, labels.doc AS doc, quality
-       |  FROM labels JOIN qs ON labels.doc = qs.doc_id)
-       |SELECT comp, CAST(count(*) AS BIGINT) AS cluster_size,
-       | max_by(doc, quality * 1e12 - doc) AS keeper,
-       | ROUND(max(quality), 4) AS max_quality,
-       | ROUND(min(quality), 4) AS min_quality
-       |FROM m GROUP BY comp ORDER BY comp""".stripMargin
+       |  FROM labels JOIN qs ON labels.doc = qs.doc_id),
+       |agg AS (
+       |  SELECT comp, CAST(count(*) AS BIGINT) AS cluster_size,
+       |   max(quality) AS mq,
+       |   ROUND(max(quality), 4) AS max_quality,
+       |   ROUND(min(quality), 4) AS min_quality
+       |  FROM m GROUP BY comp),
+       |k AS (
+       |  SELECT m.comp, min(m.doc) AS keeper
+       |  FROM m JOIN agg ON m.comp = agg.comp AND m.quality = agg.mq
+       |  GROUP BY m.comp)
+       |SELECT agg.comp AS comp, cluster_size, keeper, max_quality, min_quality
+       |FROM agg JOIN k ON agg.comp = k.comp ORDER BY comp""".stripMargin
 }

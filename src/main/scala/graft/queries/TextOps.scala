@@ -93,7 +93,7 @@ object TextOps {
   def q18TextQuality(s: SparkSession, dir: String): DataFrame = {
     val ws = words(col("text"))
     documents(s, dir)
-      .select(col("doc_id"),
+      .select(col("doc_id"), col("text"),
         length(col("text")).cast("long").as("n_chars"),
         size(ws).cast("long").as("n_words"),
         size(array_distinct(ws)).cast("long").as("n_distinct"),
@@ -109,10 +109,11 @@ object TextOps {
         round(col("n_punct").cast("double") / col("n_chars"), 4))
       .withColumn("stop_ratio",
         round(col("n_stop").cast("double") / col("n_words"), 4))
-      .withColumn("quality",
-        round(least(col("n_words").cast("double") / 50.0, lit(1.0))
-          * (lit(1.0) - col("n_punct").cast("double") / col("n_chars"))
-          * (lit(0.5) + lit(0.5) * (col("n_distinct").cast("double") / col("n_words"))), 4))
+      // the shared composite (TextFns.qualityScore) — ONE definition across
+      // q18/q58/q82; Catalyst CSEs the recomputed sub-terms against the
+      // output columns above
+      .withColumn("quality", qualityScore(col("text")))
+      .drop("text")
       .orderBy(col("doc_id"))
   }
 
@@ -127,16 +128,15 @@ object TextOps {
        |   CAST(len(list_distinct(w)) AS BIGINT) AS n_distinct,
        |   CAST(list_sum(list_transform(w, x -> length(x))) AS BIGINT) AS sum_word_len,
        |   CAST(length(text) - length(regexp_replace(text, '[^a-z0-9\\s]', '', 'g')) AS BIGINT) AS n_punct,
-       |   CAST(len(list_filter(w, x -> list_contains(${sqlList(Stopwords)}, x))) AS BIGINT) AS n_stop
+       |   CAST(len(list_filter(w, x -> list_contains(${sqlList(Stopwords)}, x))) AS BIGINT) AS n_stop,
+       |   ${qualitySqlExpr("w", "text")} AS quality
        |  FROM t)
        |SELECT doc_id, n_chars, n_words, n_distinct, sum_word_len, n_punct, n_stop,
        | ROUND(CAST(sum_word_len AS DOUBLE) / n_words, 4) AS avg_word_len,
        | ROUND(CAST(n_distinct AS DOUBLE) / n_words, 4) AS distinct_ratio,
        | ROUND(CAST(n_punct AS DOUBLE) / n_chars, 4) AS punct_ratio,
        | ROUND(CAST(n_stop AS DOUBLE) / n_words, 4) AS stop_ratio,
-       | ROUND(least(CAST(n_words AS DOUBLE) / 50.0, 1.0)
-       |       * (1.0 - CAST(n_punct AS DOUBLE) / n_chars)
-       |       * (0.5 + 0.5 * (CAST(n_distinct AS DOUBLE) / n_words)), 4) AS quality
+       | quality
        |FROM s ORDER BY doc_id""".stripMargin
 
   /** q19: token counting — whitespace tokens plus a BPE-ish regex

@@ -674,16 +674,9 @@ object TrainingData {
     * re-reads the corpus, and the funnel aggregate is a single group-by.
     */
   def q58CurationFunnel(s: SparkSession, dir: String): DataFrame = {
-    val ws = words(col("text"))
-    val nw = size(ws).cast("double")
-    val nc = length(col("text")).cast("double")
-    val np = (length(col("text"))
-      - length(regexp_replace(col("text"), "[^a-z0-9\\s]", ""))).cast("double")
-    val nd = size(array_distinct(ws)).cast("double")
-    // q18's composite quality, identically rounded in the oracle
-    val quality = round(
-      least(nw / 50.0, lit(1.0)) * (lit(1.0) - np / nc)
-        * (lit(0.5) + lit(0.5) * (nd / nw)), 4)
+    // the shared q18 composite (TextFns.qualityScore): filter and report
+    // use the same definition by construction
+    val quality = qualityScore(col("text"))
     // shared with q45 via the memo: one component computation per
     // (session, sfDir), not one per consumer — re-running the propagation
     // loop here was ⅓ of the round-4 bench
@@ -714,11 +707,7 @@ object TrainingData {
        |  FROM documents),
        |qs AS (
        |  SELECT doc_id, lang, u,
-       |   ROUND(least(CAST(len(ww) AS DOUBLE) / 50.0, 1.0)
-       |     * (1.0 - CAST(length(text)
-       |          - length(regexp_replace(text, '[^a-z0-9\\s]', '', 'g')) AS DOUBLE)
-       |        / length(text))
-       |     * (0.5 + 0.5 * CAST(len(list_distinct(ww)) AS DOUBLE) / len(ww)), 4) AS quality
+       |   ${qualitySqlExpr("ww", "text")} AS quality
        |  FROM qd),
        |flags AS (
        |  SELECT qs.doc_id, lang,

@@ -53,6 +53,26 @@ class CurationSpec extends SparkTestBase {
     assert(out.select("doc_id").distinct().count() === trainDocs)
   }
 
+  test("q70: a training doc shorter than BloomN words still appears, kept with contam 0") {
+    // zero shingles → nothing to overlap; the report must still carry the
+    // doc (anchored on the documents table, not on the gram surface)
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_q70_short").toString
+    Seq(
+      (0L, "held out eval words common overlap tokens here", "en", "src0", 46L),
+      (1L, "too short", "en", "src0", 9L), // 2 words < BloomN=4
+      (2L, "held out eval words common overlap tokens here", "en", "src0", 46L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = Curation.q70BloomDecontam(spark, dir).collect().sortBy(_.getLong(0))
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L), "both training docs must appear")
+    val short = out.head
+    assert(short.getAs[Long]("n_grams") == 0L && short.getAs[Long]("n_hit") == 0L)
+    assert(short.getAs[Double]("contam_frac") == 0.0 && short.getAs[Boolean]("keep"))
+    // the full-overlap duplicate of the eval doc must be dropped
+    assert(!out(1).getAs[Boolean]("keep"))
+  }
+
   test("q72: typed sessionization agrees with session_window (q27) on boundaries") {
     val typed = Streaming.q72TypedSessionize(spark, sf).cache()
     val builtin = Streaming.q27SessionWindow(spark, sf)

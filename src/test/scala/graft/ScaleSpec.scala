@@ -26,6 +26,20 @@ class ScaleSpec extends SparkTestBase {
     assert(Tables.resplit(wide) eq wide)
   }
 
+  test("resplit: a file path containing 'Exchange' does not disable the re-split") {
+    // the guard matches exchange NODE renderings, not a bare substring — a
+    // scan whose path happens to contain "Exchange" must stay eligible
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("graft_Exchange2024").toString
+    Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/docs.parquet")
+    val scan = spark.read.parquet(s"$dir/docs.parquet")
+    val p = spark.sparkContext.defaultParallelism
+    assert(scan.rdd.getNumPartitions < p, "precondition: single-split scan")
+    assert(Tables.resplit(scan).rdd.getNumPartitions === p,
+      "substring false-positive on the scan path disabled the re-split")
+  }
+
   test("resplit: exchange-bearing input passes through without running any job") {
     // The partition probe goes through df.rdd, which under AQE would
     // MATERIALIZE the plan's exchanges — executing the join below once for

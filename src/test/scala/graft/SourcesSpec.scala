@@ -83,6 +83,26 @@ class SourcesSpec extends SparkTestBase {
     assert(back.orderBy("id").collect().toSeq === df.orderBy("id").collect().toSeq)
   }
 
+  test("JdbcIO: name resolution is scoped to the current schema, not shadowed cross-schema") {
+    // Another schema holds a quoted-DDL (lowercase) table of the same
+    // name; the unqualified read must resolve the CURRENT schema's
+    // case-folded table, not adopt the other schema's stored spelling
+    // (which would dialect-quote to a name that doesn't resolve here).
+    val db = Files.createTempDirectory("graft_derby_sch").toString + "/db"
+    val url = s"jdbc:derby:$db;create=true"
+    import spark.implicits._
+    val mine = (1 to 20).map(i => (i.toLong, "app")).toDF("id", "who")
+    val theirs = (1 to 5).map(i => (i.toLong, "other")).toDF("id", "who")
+    graft.pipeline.JdbcIO.append(mine, url, "shadowed") // APP.SHADOWED (case-folded)
+    val conn = java.sql.DriverManager.getConnection(url)
+    try conn.createStatement().execute("CREATE SCHEMA elsewhere")
+    finally conn.close()
+    graft.pipeline.JdbcIO.append(theirs, url, "elsewhere.\"shadowed\"")
+    val back = graft.pipeline.JdbcIO.read(spark, url, "shadowed", "id", numPartitions = 2)
+    assert(back.count() === 20, "resolved the wrong schema's table")
+    assert(back.select("who").distinct().collect().map(_.getString(0)).toSeq === Seq("app"))
+  }
+
   test("JSON read surfaces corrupt records instead of dropping them silently") {
     val dir = Files.createTempDirectory("graft_badjson").toString
     import spark.implicits._

@@ -214,4 +214,83 @@ object Curation {
        |  GROUP BY m.comp)
        |SELECT agg.comp AS comp, cluster_size, keeper, max_quality, min_quality
        |FROM agg JOIN k ON agg.comp = k.comp ORDER BY comp""".stripMargin
+
+  /** Block width (words) for passage-block dedup — non-overlapping, so a
+    * document of n words yields ⌈n/W⌉ blocks (the trailing block may be
+    * shorter).
+    */
+  val BlockW: Int = 8
+
+  /** q83: passage-block deduplication with document reconstruction — the
+    * MassiveText/RefinedWeb-style span removal that q69 only *reports*:
+    * split every document into non-overlapping [[BlockW]]-word blocks,
+    * keep exactly the FIRST occurrence of each distinct block corpus-wide
+    * (ordered by (doc_id, pos) — repeats within one document drop too),
+    * and reassemble each document from its surviving blocks in original
+    * order. Output: per document, the block count, the kept count, and
+    * the cleaned text. Documents that lose every block stay in the report
+    * with `clean_text = ''` — a downstream filter decides their fate, not
+    * this operator.
+    *
+    * Scale shape: the explode is n/W rows per document (W× cheaper than
+    * the q69/q22 overlapping-shingle streams); first-occurrence selection
+    * is one `min(struct(doc_id, pos))` hash aggregate with map-side
+    * partials, so the exchange carries distinct blocks per partition, not
+    * occurrences; the keep decision rejoins occurrences to winners keyed
+    * on the block (many-to-one — a viral boilerplate block skews one key,
+    * which AQE's skew-join split absorbs; at 100 TB you'd key both sides
+    * on `hash60(blk)` and carry the string only to the exact verify).
+    * Reconstruction is a per-document `collect_list` bounded by document
+    * length — per-key state, never a global window or sort.
+    */
+  def q83PassageDedup(s: SparkSession, dir: String): DataFrame = {
+    val withWs = resplit(documents(s, dir).select(col("doc_id"), col("text")))
+      .select(col("doc_id"), words(col("text")).as("ww"))
+    val nBlocks = ceil(size(col("ww")).cast("double") / BlockW).cast("long")
+    val blocks = withWs.select(col("doc_id"),
+      posexplode(transform(sequence(lit(0L), nBlocks - 1),
+        i => array_join(slice(col("ww"), (i * BlockW + 1).cast("int"), lit(BlockW)), " ")))
+        .as(Seq("pos", "blk")))
+    val firsts = blocks.groupBy(col("blk"))
+      .agg(min(struct(col("doc_id"), col("pos"))).as("first"))
+      .select(col("blk").as("f_blk"),
+        col("first.doc_id").as("kdoc"), col("first.pos").as("kpos"))
+    val kept = blocks.join(firsts,
+      col("blk") === col("f_blk") && col("doc_id") === col("kdoc")
+        && col("pos") === col("kpos"))
+      .select(col("doc_id"), col("pos"), col("blk"))
+    val rebuilt = kept.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(array_sort(collect_list(struct(col("pos"), col("blk")))),
+          x => x.getField("blk")), " ").as("clean_text"))
+    withWs.select(col("doc_id"), nBlocks.as("n_blocks"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_blocks"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q83Sql: String =
+    s"""WITH w AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ww FROM documents),
+       |b AS (
+       |  SELECT doc_id, unnest(list_transform(
+       |    range(0, CAST(ceil(len(ww) / $BlockW.0) AS BIGINT)),
+       |    i -> struct_pack(pos := i,
+       |           blk := array_to_string(ww[i*$BlockW+1 : i*$BlockW+$BlockW], ' ')))) AS u
+       |  FROM w),
+       |occ AS (
+       |  SELECT doc_id, u.pos AS pos, u.blk AS blk,
+       |   row_number() OVER (PARTITION BY u.blk ORDER BY doc_id, u.pos) AS rn
+       |  FROM b),
+       |agg AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+       |   string_agg(blk, ' ' ORDER BY pos) AS clean_text
+       |  FROM occ WHERE rn = 1 GROUP BY doc_id)
+       |SELECT w.doc_id, CAST(ceil(len(ww) / $BlockW.0) AS BIGINT) AS n_blocks,
+       | COALESCE(n_kept, CAST(0 AS BIGINT)) AS n_kept,
+       | COALESCE(clean_text, '') AS clean_text
+       |FROM w LEFT JOIN agg ON w.doc_id = agg.doc_id
+       |ORDER BY w.doc_id""".stripMargin
 }

@@ -128,4 +128,30 @@ class CurationSpec extends SparkTestBase {
       .select("doc_id")
     assert(q60docs.intersect(zeroHit).isEmpty)
   }
+
+  test("q83: kept blocks conserve the distinct-block count and the first doc keeps all") {
+    val out = Curation.q83PassageDedup(spark, sf).cache()
+    assert(out.filter(col("n_kept") > col("n_blocks")).isEmpty,
+      "a document can never keep more blocks than it has")
+    assert(out.filter((col("n_kept") === 0) =!= (col("clean_text") === "")).isEmpty,
+      "clean_text must be empty exactly when nothing survives")
+    // every distinct block is kept exactly once, corpus-wide
+    val blocks = Tables.documents(spark, sf)
+      .select(col("doc_id"), graft.functions.TextFns.words(col("text")).as("ww"))
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(0L), ceil(size(col("ww")).cast("double") / BlockW).cast("long") - 1),
+        i => array_join(slice(col("ww"), (i * BlockW + 1).cast("int"), lit(BlockW)), " ")))
+        .as("blk")).cache()
+    val nDistinct = blocks.select("blk").distinct().count()
+    val sumKept = out.agg(sum(col("n_kept"))).collect()(0).getLong(0)
+    assert(sumKept === nDistinct,
+      s"sum(n_kept)=$sumKept must equal the corpus distinct-block count $nDistinct")
+    // the lowest doc_id wins every tie it participates in: it keeps one
+    // occurrence per distinct block it contains
+    val firstDoc = out.orderBy(col("doc_id")).first()
+    val firstDistinct = blocks.filter(col("doc_id") === firstDoc.getLong(0))
+      .select("blk").distinct().count()
+    assert(firstDoc.getAs[Long]("n_kept") === firstDistinct)
+    blocks.unpersist(); out.unpersist()
+  }
 }

@@ -264,4 +264,58 @@ object CorpusStats {
        | ROUND(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 6) AS jaccard
        |FROM p JOIN sz sa ON src_a = sa.source JOIN sz sb ON src_b = sb.source
        |ORDER BY jaccard DESC, src_a, src_b""".stripMargin
+
+  /** q84: unigram language-model surprisal per document — CCNet-style
+    * perplexity filtering with the LM reduced to the corpus's own unigram
+    * distribution. Per document: token count, distinct-type count, and
+    * the mean per-token negative log-probability in nats (high = the
+    * document's vocabulary is unusual for this corpus; the filter a real
+    * pipeline applies is a fence on exactly this column, cf. q76).
+    *
+    * Scale shape: the raw token stream never shuffles — `groupBy(doc_id,
+    * w)` collapses it to (document, type) counts with map-side partials
+    * (a document's tokens are colocated in its scan partition, so nearly
+    * all duplicates combine before the exchange). The model is one
+    * vocabulary-sized aggregate REUSING that same (doc, type) exchange,
+    * and rides back as a broadcast; at web-corpus vocabularies too big to
+    * broadcast this becomes a shuffle join on `w`, where the model side
+    * is one row per word and AQE's skew split absorbs the stopword keys.
+    * Surprisal sums are rounded to 4dp — ln may differ in the engines'
+    * last ulp and the two sides sum in different orders; both effects are
+    * ~1e-12 and 4dp leaves 1e8 margin.
+    */
+  def q84UnigramSurprisal(s: SparkSession, dir: String): DataFrame = {
+    val docTok = resplit(documents(s, dir).select(col("doc_id"), col("text")))
+      .select(col("doc_id"), explode(words(col("text"))).as("w"))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("k"))
+    val uni = docTok.groupBy(col("w")).agg(sum(col("k")).as("c"))
+    val total = uni.agg(sum(col("c")).as("n_corpus"))
+    val model = uni.crossJoin(broadcast(total))
+      .select(col("w"),
+        (log(col("c").cast("double")) - log(col("n_corpus").cast("double"))).as("logp"))
+    docTok.join(broadcast(model), Seq("w"))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("k")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        round(-sum(col("k").cast("double") * col("logp"))
+          / sum(col("k")).cast("double"), 4).as("nll_per_token"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q84Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+      |  FROM documents),
+      |dt AS (
+      |  SELECT doc_id, w, CAST(count(*) AS BIGINT) AS k FROM t GROUP BY doc_id, w),
+      |u AS (SELECT w, CAST(sum(k) AS BIGINT) AS c FROM dt GROUP BY w),
+      |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_corpus FROM u),
+      |m AS (SELECT w, ln(CAST(c AS DOUBLE)) - ln(CAST(n_corpus AS DOUBLE)) AS logp
+      |      FROM u, tot)
+      |SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_tokens,
+      | CAST(count(*) AS BIGINT) AS n_types,
+      | ROUND(-sum(k * logp) / sum(k), 4) AS nll_per_token
+      |FROM dt JOIN m USING (w)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 }

@@ -150,4 +150,26 @@ class CorpusStatsSpec extends SparkTestBase {
     assert(rows.forall(_.getAs[Long]("week_offset") >= 0L),
       "activity cannot precede the cohort week")
   }
+
+  test("q84: token-weighted mean surprisal equals the corpus unigram entropy") {
+    val out = CorpusStats.q84UnigramSurprisal(spark, sf).cache()
+    assert(out.filter(col("n_types") > col("n_tokens")).isEmpty)
+    assert(out.filter(col("nll_per_token") <= 0.0).isEmpty,
+      "no word owns the whole corpus, so every surprisal is positive")
+    // Σ_docs n_tokens·nll == Σ_w c(w)·(−ln c(w)/N) — the corpus entropy,
+    // recomputed here independently from the raw token stream
+    val tok = Tables.documents(spark, sf)
+      .select(explode(graft.functions.TextFns.words(col("text"))).as("w"))
+    val n = tok.count().toDouble
+    val ent = tok.groupBy(col("w")).count()
+      .select(sum(-col("count").cast("double")
+        * (log(col("count").cast("double")) - math.log(n))))
+      .collect()(0).getDouble(0)
+    val weighted = out
+      .select(sum(col("n_tokens").cast("double") * col("nll_per_token")))
+      .collect()(0).getDouble(0)
+    assert(math.abs(weighted - ent) / ent < 1e-4,
+      s"weighted nll $weighted must equal corpus entropy sum $ent")
+    out.unpersist()
+  }
 }

@@ -390,4 +390,92 @@ object Similarity {
       | array_to_string(list_transform(v, x ->
       |   CAST(CASE WHEN scale = 0 THEN 0 ELSE round(x / scale * 127.0) END AS BIGINT)), ',') AS q_codes
       |FROM sc ORDER BY vec_id""".stripMargin
+
+  /** q85: one Lloyd iteration of k-means over the embedding corpus — the
+    * training step that produces q39's IVF centroid table in the first
+    * place (q39 assigns to FIXED centroids; this recomputes them).
+    * Assignment reuses q39's convention exactly (first [[IvfCells]]
+    * vectors seed, nearest by 6dp-rounded cosine, c_id tiebreak); the new
+    * centroid is the element-wise mean of the member vectors. Output is
+    * one row per (cell, dimension) with the member count and the cosine
+    * between the old and new centroid (the convergence signal a k-means
+    * driver loops on).
+    *
+    * Scale shape: the mean never shuffles vectors — `posexplode` +
+    * `groupBy(cell, pos)` hash-aggregates with map-side partials, so the
+    * exchange carries cells×dims rows per partition regardless of corpus
+    * size (the member count rides the same aggregate: every (cell, pos)
+    * group has exactly n_members rows). The cells×dims result is then
+    * localCheckpoint'd — a few KB — so the centroid rebuild and the final
+    * projection don't recompute the assignment, and the old-centroid join
+    * is a broadcast. Means are rounded to 6dp BEFORE the shift dot
+    * product, so the convergence cosine folds identical inputs in both
+    * engines.
+    */
+  def q85KmeansIteration(s: SparkSession, dir: String): DataFrame = {
+    val e = vecs(s, dir)
+    val cents = e.orderBy(col("vec_id")).limit(IvfCells)
+      .select(col("vec_id").as("c_id"), col("v").as("cv"), col("norm").as("cnorm"))
+    val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("cscore").desc, col("c_id"))
+    val assigned = e.crossJoin(broadcast(cents))
+      .withColumn("cscore", round(dot(col("v"), col("cv")) / (col("norm") * col("cnorm")), 6))
+      .withColumn("crn", row_number().over(wAssign))
+      .filter(col("crn") === 1)
+      .select(col("vec_id"), col("v"), col("c_id").as("cell"))
+    val dims = assigned.select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("cell"), col("pos"))
+      .agg(round(avg(col("x")), 6).as("c_val"), count(lit(1)).as("n_members"))
+      .localCheckpoint()
+    val rebuilt = dims.groupBy(col("cell"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("c_val")))),
+        x => x.getField("c_val")).as("nv"))
+    val shift = rebuilt.join(broadcast(cents), col("cell") === col("c_id"))
+      .select(col("cell"), round(dot(col("nv"), col("cv"))
+        / (sqrt(dot(col("nv"), col("nv"))) * col("cnorm")), 6).as("cos_old_new"))
+    dims.join(broadcast(shift), Seq("cell"))
+      .select(col("cell"), col("n_members"), col("cos_old_new"),
+        col("pos").cast("long").as("pos"), col("c_val"))
+      .orderBy(col("cell"), col("pos"))
+  }
+
+  val q85Sql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |n AS (
+       |  SELECT vec_id, v,
+       |   sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |     list_transform(v, x -> x * x)), (a, b) -> a + b)) AS norm
+       |  FROM e),
+       |cents AS (
+       |  SELECT vec_id AS c_id, v AS cv, norm AS cnorm FROM n
+       |  ORDER BY vec_id LIMIT $IvfCells),
+       |assign AS (
+       |  SELECT vec_id, v, c_id AS cell,
+       |   row_number() OVER (PARTITION BY vec_id ORDER BY
+       |     ROUND(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |         list_transform(range(1, ${AnnDims + 1}), i -> n.v[i] * cents.cv[i])), (x, y) -> x + y)
+       |       / (n.norm * cents.cnorm), 6) DESC, c_id) AS crn
+       |  FROM n CROSS JOIN cents),
+       |cells AS (SELECT vec_id, v, cell FROM assign WHERE crn = 1),
+       |d AS (
+       |  SELECT cell, unnest(list_transform(range(1, ${AnnDims + 1}),
+       |    i -> struct_pack(pos := i - 1, x := v[i]))) AS u
+       |  FROM cells),
+       |g AS (
+       |  SELECT cell, CAST(u.pos AS BIGINT) AS pos, ROUND(avg(u.x), 6) AS c_val,
+       |   CAST(count(*) AS BIGINT) AS n_members
+       |  FROM d GROUP BY cell, u.pos),
+       |nv AS (SELECT cell, list(c_val ORDER BY pos) AS nv FROM g GROUP BY cell),
+       |sh AS (
+       |  SELECT nv.cell AS cell, ROUND(
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list_transform(range(1, ${AnnDims + 1}), i -> nv.nv[i] * cents.cv[i])), (x, y) -> x + y)
+       |    / (sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |         list_transform(nv.nv, x -> x * x)), (a, b) -> a + b)) * cents.cnorm), 6)
+       |    AS cos_old_new
+       |  FROM nv JOIN cents ON nv.cell = cents.c_id)
+       |SELECT g.cell AS cell, n_members, cos_old_new, pos, c_val
+       |FROM g JOIN sh ON g.cell = sh.cell
+       |ORDER BY cell, pos""".stripMargin
 }

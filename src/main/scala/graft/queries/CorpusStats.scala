@@ -318,4 +318,80 @@ object CorpusStats {
       | ROUND(-sum(k * logp) / sum(k), 4) AS nll_per_token
       |FROM dt JOIN m USING (w)
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** Minimum bigram frequency before a pair is PMI-eligible (the standard
+    * guard: PMI of rare pairs is dominated by noise and always ranks top).
+    */
+  val PmiMinCount: Int = 5
+
+  /** Collocations reported by q86. */
+  val PmiTopK: Int = 50
+
+  /** q86: PMI collocations — the top word pairs whose adjacency is most
+    * surprising under independence: pmi = ln(p(ab)) − ln(p(a)) − ln(p(b)),
+    * with bigram probability over the corpus bigram total and unigram
+    * marginals over the token total. This is the phrase-mining signal
+    * (tokenizer vocab candidates, stopword-phrase detection) that
+    * complements q52's raw heavy hitters and q84's per-document surprisal.
+    *
+    * Scale shape: two vocabulary-sized hash aggregates (unigrams, adjacent
+    * bigrams — both collapse map-side), the min-count filter BEFORE any
+    * join so only frequent pairs ride further, marginals attached by
+    * broadcast (at web-scale vocabularies: shuffle join on the word, one
+    * model row per key), and the final ranking a bounded
+    * `TakeOrderedAndProject` — the full scored pair set never sorts
+    * globally. PMI is rounded to 4dp (libm ulp margin); (w1, w2) breaks
+    * exact ties, so top-k is total-ordered in both engines.
+    */
+  def q86PmiCollocations(s: SparkSession, dir: String): DataFrame = {
+    val ws = resplit(documents(s, dir).select(col("doc_id"), col("text")))
+      .select(words(col("text")).as("ww"))
+    val uni = ws.select(explode(col("ww")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c1"))
+    val nTok = uni.agg(sum(col("c1")).as("n_tok"))
+    val biAll = ws.filter(size(col("ww")) >= 2)
+      .select(explode(transform(sequence(lit(1), size(col("ww")) - 1),
+        i => struct(element_at(col("ww"), i).as("w1"),
+          element_at(col("ww"), i + 1).as("w2")))).as("b"))
+      .groupBy(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .agg(count(lit(1)).as("c2"))
+    val nBi = biAll.agg(sum(col("c2")).as("n_bi"))
+    val pmi = log(col("c2").cast("double") / col("n_bi").cast("double")) -
+      log(col("c1a").cast("double") / col("n_tok").cast("double")) -
+      log(col("c1b").cast("double") / col("n_tok").cast("double"))
+    biAll.filter(col("c2") >= PmiMinCount)
+      .join(broadcast(uni.select(col("w").as("w1"), col("c1").as("c1a"))), Seq("w1"))
+      .join(broadcast(uni.select(col("w").as("w2"), col("c1").as("c1b"))), Seq("w2"))
+      .crossJoin(broadcast(nTok)).crossJoin(broadcast(nBi))
+      .select(col("w1"), col("w2"), col("c2"), col("c1a"), col("c1b"),
+        round(pmi, 4).as("pmi"))
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+      .limit(PmiTopK)
+  }
+
+  val q86Sql: String =
+    s"""WITH w AS (
+       |  SELECT regexp_split_to_array(trim(text), '\\s+') AS ww FROM documents),
+       |u AS (
+       |  SELECT w, CAST(count(*) AS BIGINT) AS c1
+       |  FROM (SELECT unnest(ww) AS w FROM w) GROUP BY w),
+       |nt AS (SELECT CAST(sum(c1) AS BIGINT) AS n_tok FROM u),
+       |ba AS (
+       |  SELECT bg.w1 AS w1, bg.w2 AS w2, CAST(count(*) AS BIGINT) AS c2
+       |  FROM (
+       |    SELECT unnest(CASE WHEN len(ww) >= 2
+       |      THEN list_transform(range(1, len(ww)),
+       |             i -> struct_pack(w1 := ww[i], w2 := ww[i+1]))
+       |      ELSE [] END) AS bg
+       |    FROM w)
+       |  GROUP BY 1, 2),
+       |nb AS (SELECT CAST(sum(c2) AS BIGINT) AS n_bi FROM ba)
+       |SELECT w1, w2, c2, ua.c1 AS c1a, ub.c1 AS c1b,
+       | ROUND(ln(CAST(c2 AS DOUBLE) / CAST(n_bi AS DOUBLE))
+       |   - ln(CAST(ua.c1 AS DOUBLE) / CAST(n_tok AS DOUBLE))
+       |   - ln(CAST(ub.c1 AS DOUBLE) / CAST(n_tok AS DOUBLE)), 4) AS pmi
+       |FROM ba JOIN u ua ON ba.w1 = ua.w JOIN u ub ON ba.w2 = ub.w
+       |CROSS JOIN nt CROSS JOIN nb
+       |WHERE c2 >= $PmiMinCount
+       |ORDER BY pmi DESC, w1, w2 LIMIT $PmiTopK""".stripMargin
 }

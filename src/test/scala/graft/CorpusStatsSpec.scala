@@ -172,4 +172,31 @@ class CorpusStatsSpec extends SparkTestBase {
       s"weighted nll $weighted must equal corpus entropy sum $ent")
     out.unpersist()
   }
+
+  test("q86: marginals bound the pair count and reported PMI matches the counts") {
+    val rows = CorpusStats.q86PmiCollocations(spark, sf).collect()
+    assert(rows.length === PmiTopK)
+    rows.foreach { r =>
+      val (c2, c1a, c1b) = (r.getAs[Long]("c2"), r.getAs[Long]("c1a"), r.getAs[Long]("c1b"))
+      assert(c2 >= PmiMinCount, "min-count guard must hold")
+      assert(c1a >= c2 && c1b >= c2, "a bigram can't outnumber its own words")
+    }
+    // recompute the two normalizers from the raw corpus and check the
+    // formula against every reported row
+    val ws = Tables.documents(spark, sf)
+      .select(graft.functions.TextFns.words(col("text")).as("ww"))
+    val nTok = ws.select(explode(col("ww")).as("w")).count().toDouble
+    val nBi = ws.select((sum(greatest(size(col("ww")) - 1, lit(0)))).as("b"))
+      .collect()(0).getLong(0).toDouble
+    rows.foreach { r =>
+      val expect = math.log(r.getAs[Long]("c2") / nBi) -
+        math.log(r.getAs[Long]("c1a") / nTok) - math.log(r.getAs[Long]("c1b") / nTok)
+      assert(math.abs(r.getAs[Double]("pmi") - expect) < 1e-3,
+        s"pmi ${r.getAs[Double]("pmi")} vs recomputed $expect for $r")
+    }
+    // ranking is descending with the (w1, w2) tiebreak
+    val keys = rows.map(r => (-r.getAs[Double]("pmi"),
+      r.getAs[String]("w1"), r.getAs[String]("w2"))).toSeq
+    assert(keys === keys.sorted, "output must be ordered by pmi desc, w1, w2")
+  }
 }

@@ -394,4 +394,52 @@ object CorpusStats {
        |CROSS JOIN nt CROSS JOIN nb
        |WHERE c2 >= $PmiMinCount
        |ORDER BY pmi DESC, w1, w2 LIMIT $PmiTopK""".stripMargin
+
+  /** q87: vocabulary novelty attribution by source — when sources are
+    * ingested in (lexicographic) order, how much of each source's
+    * [[SrcN]]-gram vocabulary is NEW versus already contributed by an
+    * earlier source. This is the incremental-value report behind mixture
+    * decisions ("does adding this crawl actually add content?"),
+    * complementing q80's pairwise overlap with an order-sensitive
+    * attribution that sums to the union vocabulary.
+    *
+    * Plan: one distinct (source, gram) aggregate, then a gram-keyed
+    * `min(source)` aggregate for first ownership (both hash aggregates
+    * with map-side partials; the gram key is the same exchange shape as
+    * q80's), and two source-sized summaries joined at the end — the
+    * corpus-sized gram surface never rides more than those two exchanges.
+    */
+  def q87SourceNovelty(s: SparkSession, dir: String): DataFrame = {
+    val g = resplit(documents(s, dir).select(col("source"), col("text")))
+      .select(col("source"), explode(shingles(words(col("text")), SrcN)).as("g"))
+      .distinct()
+    val vocab = g.groupBy(col("source")).agg(count(lit(1)).as("n_grams"))
+    val novel = g.groupBy(col("g")).agg(min(col("source")).as("first_source"))
+      .groupBy(col("first_source")).agg(count(lit(1)).as("n_novel"))
+    vocab.join(novel, col("source") === col("first_source"), "left")
+      .select(col("source"), col("n_grams"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        round(coalesce(col("n_novel"), lit(0L)).cast("double")
+          / col("n_grams").cast("double"), 6).as("novelty_frac"))
+      .orderBy(col("source"))
+  }
+
+  val q87Sql: String =
+    s"""WITH w AS (
+       |  SELECT source, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents),
+       |g AS (
+       |  SELECT DISTINCT source, s FROM (
+       |    SELECT source, unnest(CASE WHEN len(w) >= $SrcN
+       |      THEN list_transform(range(1, len(w) - ${SrcN - 2}),
+       |             i -> array_to_string(w[i:i+${SrcN - 1}], ' '))
+       |      ELSE [] END) AS s
+       |    FROM w)),
+       |v AS (SELECT source, CAST(count(*) AS BIGINT) AS n_grams FROM g GROUP BY source),
+       |f AS (SELECT s, min(source) AS first_source FROM g GROUP BY s),
+       |nv AS (SELECT first_source, CAST(count(*) AS BIGINT) AS n_novel
+       |       FROM f GROUP BY first_source)
+       |SELECT source, n_grams, COALESCE(n_novel, CAST(0 AS BIGINT)) AS n_novel,
+       | ROUND(CAST(COALESCE(n_novel, 0) AS DOUBLE) / n_grams, 6) AS novelty_frac
+       |FROM v LEFT JOIN nv ON source = first_source
+       |ORDER BY source""".stripMargin
 }

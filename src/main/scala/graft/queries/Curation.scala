@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables._
@@ -293,4 +294,65 @@ object Curation {
        | COALESCE(clean_text, '') AS clean_text
        |FROM w LEFT JOIN agg ON w.doc_id = agg.doc_id
        |ORDER BY w.doc_id""".stripMargin
+
+  /** Per-source keep threshold for q88: a document survives if at least
+    * [[KeepPct]] of its own source scores at or below it.
+    */
+  val KeepPct: Double = 0.2
+
+  /** q88: per-source quality calibration — each document's quality ECDF
+    * within its own source, and the keep decision against a percentile
+    * fence. A global quality threshold (q58) systematically biases the
+    * mixture toward whichever source scores high on the shared scale;
+    * calibrating per source first is the standard correction (filter each
+    * source against itself, then mix).
+    *
+    * Scale design — deliberately NOT `percent_rank().over(source)`: with
+    * a handful of sources that window puts an entire source's documents
+    * into one task (the q50 scale-killer class, partitioned edition).
+    * Instead it exploits the quality score's 4dp value domain: aggregate
+    * to (source, quality) counts — at most sources × 10⁴ rows — run the
+    * cumulative sum on THAT frame (the window input is bounded by the
+    * value domain, not the corpus), and broadcast the ECDF table back
+    * onto the scan. `keep` decides on the raw ratio of two longs (exact
+    * in both engines); `ecdf` is rounded for presentation only.
+    */
+  def q88QualityCalibration(s: SparkSession, dir: String): DataFrame = {
+    val scored = resplit(documents(s, dir).select(col("doc_id"), col("source"), col("text")))
+      .select(col("doc_id"), col("source"), qualityScore(col("text")).as("quality"))
+    val counts = scored.groupBy(col("source"), col("quality"))
+      .agg(count(lit(1)).as("k"))
+    val wCum = Window.partitionBy(col("source")).orderBy(col("quality"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ecdf = counts
+      .withColumn("cum_leq", sum(col("k")).over(wCum))
+      .withColumn("n_src", sum(col("k")).over(Window.partitionBy(col("source"))))
+      .select(col("source"), col("quality"), col("cum_leq"), col("n_src"))
+    val raw = col("cum_leq").cast("double") / col("n_src").cast("double")
+    scored.join(broadcast(ecdf), Seq("source", "quality"))
+      .select(col("doc_id"), col("source"), col("quality"),
+        round(raw, 6).as("ecdf"), (raw >= KeepPct).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q88Sql: String =
+    s"""WITH qd AS (
+       |  SELECT doc_id, source, regexp_split_to_array(trim(text), '\\s+') AS ww, text
+       |  FROM documents),
+       |sc AS (
+       |  SELECT doc_id, source, ${qualitySqlExpr("ww", "text")} AS quality FROM qd),
+       |c AS (
+       |  SELECT source, quality, CAST(count(*) AS BIGINT) AS k
+       |  FROM sc GROUP BY source, quality),
+       |e AS (
+       |  SELECT source, quality,
+       |   CAST(sum(k) OVER (PARTITION BY source ORDER BY quality
+       |     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_leq,
+       |   CAST(sum(k) OVER (PARTITION BY source) AS BIGINT) AS n_src
+       |  FROM c)
+       |SELECT doc_id, sc.source AS source, sc.quality AS quality,
+       | ROUND(CAST(cum_leq AS DOUBLE) / n_src, 6) AS ecdf,
+       | CAST(cum_leq AS DOUBLE) / n_src >= $KeepPct AS keep
+       |FROM sc JOIN e ON sc.source = e.source AND sc.quality = e.quality
+       |ORDER BY doc_id""".stripMargin
 }

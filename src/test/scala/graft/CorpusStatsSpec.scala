@@ -199,4 +199,32 @@ class CorpusStatsSpec extends SparkTestBase {
       r.getAs[String]("w1"), r.getAs[String]("w2"))).toSeq
     assert(keys === keys.sorted, "output must be ordered by pmi desc, w1, w2")
   }
+
+  test("q87: novelty attribution partitions the union vocabulary") {
+    val rows = CorpusStats.q87SourceNovelty(spark, sf).collect()
+    assert(rows.forall(r => r.getAs[Long]("n_novel") <= r.getAs[Long]("n_grams")))
+    // the lexicographically first source is processed first: everything
+    // it contributes is novel by definition
+    val first = rows.minBy(_.getAs[String]("source"))
+    assert(first.getAs[Long]("n_novel") === first.getAs[Long]("n_grams"))
+    // each gram is attributed to exactly one source ⇒ novel counts
+    // partition the union vocabulary
+    val union = Tables.documents(spark, sf)
+      .select(explode(graft.functions.TextFns.shingles(
+        graft.functions.TextFns.words(col("text")), SrcN)).as("g"))
+      .distinct().count()
+    assert(rows.map(_.getAs[Long]("n_novel")).sum === union)
+  }
+
+  test("q89: transition probabilities are conditional distributions and edges conserve") {
+    val rows = Analytics.q89EventTransitions(spark, sf).collect()
+    rows.groupBy(_.getAs[String]("prev_type")).foreach { case (p, g) =>
+      val mass = g.map(_.getAs[Double]("prob")).sum
+      assert(math.abs(mass - 1.0) < 1e-4, s"P(·|$p) must sum to 1, got $mass")
+    }
+    // every user with k events contributes exactly k−1 transitions
+    val ev = Tables.events(spark, sf)
+    val expected = ev.count() - ev.select("user_id").distinct().count()
+    assert(rows.map(_.getAs[Long]("n")).sum === expected)
+  }
 }

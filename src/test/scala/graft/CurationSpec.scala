@@ -154,4 +154,31 @@ class CurationSpec extends SparkTestBase {
     assert(firstDoc.getAs[Long]("n_kept") === firstDistinct)
     blocks.unpersist(); out.unpersist()
   }
+
+  test("q88: ECDF tops out at 1 per source, keep is monotone in quality, rows conserve") {
+    val out = Curation.q88QualityCalibration(spark, sf).cache()
+    assert(out.count() === Tables.documents(spark, sf).count(),
+      "every document gets exactly one calibration row")
+    assert(out.filter(col("ecdf") <= 0.0 || col("ecdf") > 1.0).isEmpty)
+    // the best document of each source sits at ECDF exactly 1
+    val tops = out.groupBy(col("source")).agg(max(col("ecdf")).as("m")).collect()
+    assert(tops.forall(_.getAs[Double]("m") == 1.0))
+    // within a source, keep never flips back off as quality rises
+    val perSource = out.select("source", "quality", "keep").collect()
+      .groupBy(_.getAs[String]("source"))
+    perSource.foreach { case (src, rows) =>
+      val byQ = rows.sortBy(_.getAs[Double]("quality"))
+      val kept = byQ.map(_.getAs[Boolean]("keep"))
+      assert(!kept.zip(kept.tail).exists { case (a, b) => a && !b },
+        s"keep must be monotone in quality within source $src")
+    }
+    // the fence drops at most KeepPct of each source (ties at the
+    // boundary survive, so the dropped fraction is strictly below)
+    val dropFrac = out.groupBy(col("source"))
+      .agg((sum(when(!col("keep"), 1L).otherwise(0L)).cast("double")
+        / count(lit(1)).cast("double")).as("f")).collect()
+    assert(dropFrac.forall(_.getAs[Double]("f") < KeepPct),
+      "a source can never lose KeepPct or more of its documents")
+    out.unpersist()
+  }
 }

@@ -18,8 +18,18 @@ object Bench {
       .filter { case (n, _) => only.forall(_.contains(n)) }
     require(queries.nonEmpty, s"no queries match filter $only")
     // JVM/codegen/shuffle-machinery warmup so the first measured query
-    // doesn't absorb one-time session init; touches no benchmark data.
+    // doesn't absorb one-time session init.
     spark.range(1000000).selectExpr("sum(id) s").write.mode("overwrite").format("noop").save()
+    // Parquet-scan + broadcast-join machinery warmup on the 5-row region
+    // table: without it the alphabetically-FIRST query absorbs ~2s of
+    // one-time datasource/class init (measured: q02 benched alone 4.1s vs
+    // 2.4s mid-suite). Five rows keep page-cache warming negligible; the
+    // init cost leaves the per-query numbers instead of landing on q01.
+    try {
+      val r = spark.read.parquet(s"$sfDir/region.parquet")
+      r.join(org.apache.spark.sql.functions.broadcast(r.limit(1)), Seq("r_regionkey"))
+        .write.mode("overwrite").format("noop").save()
+    } catch { case _: Exception => () }
     var failed = List.empty[String]
     val results = queries.map { case (name, fn) =>
       val t0 = System.nanoTime()

@@ -442,4 +442,53 @@ object CorpusStats {
        | ROUND(CAST(COALESCE(n_novel, 0) AS DOUBLE) / n_grams, 6) AS novelty_frac
        |FROM v LEFT JOIN nv ON source = first_source
        |ORDER BY source""".stripMargin
+
+  /** q91: source token concentration (Lorenz curve) — each source's token
+    * share and the cumulative share when sources are ranked smallest
+    * first: the inequality profile behind mixture decisions (a corpus
+    * where two crawls own 90% of tokens needs q74's tempering far more
+    * than a flat one; the Gini/HHI summaries derive directly from these
+    * rows).
+    *
+    * Scale shape: the corpus collapses to one token count per source
+    * map-side. Rank and cumulative sum are then computed WITHOUT a global
+    * window (the suite-wide plan guard forbids unpartitioned WindowExec,
+    * and rightly — even a tiny frame shouldn't normalize the pattern):
+    * a triangular self-join over the sources-sized frame gives rank =
+    * |{b : b ≤ a}| and cum = Σ_{b ≤ a} n_b in one aggregate, k² pairs for
+    * k sources — hundreds at most in a real lake, trivially bounded.
+    */
+  def q91SourceConcentration(s: SparkSession, dir: String): DataFrame = {
+    val counts = resplit(documents(s, dir).select(col("source"), col("text")))
+      .groupBy(col("source"))
+      .agg(sum(size(words(col("text"))).cast("long")).as("n_tok"))
+    val tot = counts.agg(sum(col("n_tok")).as("n_total"))
+    val le = col("b.n_tok") < col("a.n_tok") ||
+      (col("b.n_tok") === col("a.n_tok") && col("b.source") <= col("a.source"))
+    counts.as("a").join(counts.as("b"), le)
+      .groupBy(col("a.source").as("source"), col("a.n_tok").as("n_tok"))
+      .agg(count(lit(1)).as("rnk"), sum(col("b.n_tok")).as("cum_tok"))
+      .crossJoin(broadcast(tot))
+      .select(col("rnk"), col("source"), col("n_tok"),
+        round(col("n_tok").cast("double") / col("n_total").cast("double"), 6).as("share"),
+        round(col("cum_tok").cast("double") / col("n_total").cast("double"), 6).as("cum_share"))
+      .orderBy(col("rnk"))
+  }
+
+  val q91Sql: String =
+    """WITH c AS (
+      |  SELECT source,
+      |   CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS n_tok
+      |  FROM documents GROUP BY source),
+      |t AS (SELECT CAST(sum(n_tok) AS BIGINT) AS n_total FROM c),
+      |p AS (
+      |  SELECT a.source AS source, a.n_tok AS n_tok,
+      |   CAST(count(*) AS BIGINT) AS rnk, CAST(sum(b.n_tok) AS BIGINT) AS cum_tok
+      |  FROM c a JOIN c b
+      |    ON b.n_tok < a.n_tok OR (b.n_tok = a.n_tok AND b.source <= a.source)
+      |  GROUP BY 1, 2)
+      |SELECT rnk, source, n_tok,
+      | ROUND(CAST(n_tok AS DOUBLE) / n_total, 6) AS share,
+      | ROUND(CAST(cum_tok AS DOUBLE) / n_total, 6) AS cum_share
+      |FROM p CROSS JOIN t ORDER BY rnk""".stripMargin
 }

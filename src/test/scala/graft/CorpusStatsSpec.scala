@@ -227,4 +227,43 @@ class CorpusStatsSpec extends SparkTestBase {
     val expected = ev.count() - ev.select("user_id").distinct().count()
     assert(rows.map(_.getAs[Long]("n")).sum === expected)
   }
+
+  test("q90: flags agree with the z fence and windows recompute from the daily counts") {
+    val rows = Analytics.q90VolumeAnomaly(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("anomaly") ===
+        (math.abs(r.getAs[Double]("z")) > Analytics.AnomalyZ))
+      assert(r.getAs[Double]("sd7") > 0.0)
+    }
+    // recompute one scored day's trailing stats from the raw daily counts
+    val probe = rows.maxBy(r => math.abs(r.getAs[Double]("z")))
+    val daily = Tables.events(spark, sf)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("event_type") === probe.getAs[String]("event_type")
+        && col("day") < probe.getAs[java.sql.Timestamp]("day"))
+      .orderBy(col("day").desc).limit(Analytics.AnomalyWindow)
+      .collect().map(_.getAs[Long]("n").toDouble)
+    assert(daily.length === Analytics.AnomalyWindow)
+    val mu = daily.sum / daily.length
+    assert(math.abs(mu - probe.getAs[Double]("mu7")) < 1e-3,
+      s"trailing mean ${probe.getAs[Double]("mu7")} must recompute to $mu")
+  }
+
+  test("q91: ranks are a permutation and the Lorenz curve is monotone to 1") {
+    val rows = CorpusStats.q91SourceConcentration(spark, sf).collect()
+    val k = rows.length
+    assert(rows.map(_.getAs[Long]("rnk")).sorted.toSeq === (1L to k).toSeq)
+    assert(math.abs(rows.map(_.getAs[Double]("share")).sum - 1.0) < 1e-4)
+    val byRank = rows.sortBy(_.getAs[Long]("rnk"))
+    val cums = byRank.map(_.getAs[Double]("cum_share"))
+    assert(cums.zip(cums.tail).forall { case (a, b) => a <= b }, "Lorenz must be monotone")
+    assert(math.abs(cums.last - 1.0) < 1e-6, "full cumulative share must be 1")
+    // cum_share at rank i is the sum of the i smallest shares (rounding slack)
+    val shares = byRank.map(_.getAs[Double]("share"))
+    cums.zipWithIndex.foreach { case (c, i) =>
+      assert(math.abs(c - shares.take(i + 1).sum) < 1e-4)
+    }
+  }
 }

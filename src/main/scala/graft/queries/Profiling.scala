@@ -186,4 +186,67 @@ object Profiling {
        | ROUND(min(v), 2) AS lo, ROUND(max(v), 2) AS hi, ROUND(avg(v), 4) AS avg_v
        |FROM o CROSS JOIN b GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** q92: data-quality constraint audit — the Deequ-style validation pass
+    * a pipeline runs before trusting an ingest: declared row-level
+    * constraints (derived-column consistency, mandatory fields, non-empty
+    * payload) plus the one table-level constraint row predicates can't
+    * express (key uniqueness), each reported as a violation count and a
+    * pass verdict. Downstream jobs gate on `pass`; the counts tell the
+    * on-call how bad a red light is.
+    *
+    * Scale shape: every row-level constraint is one conditional-sum slot
+    * in a SINGLE scan's aggregate (adding a constraint adds a column, not
+    * a pass); uniqueness is a key-partitioned aggregate that only ships
+    * duplicate groups past the map side. The per-constraint report rows
+    * come from exploding a 5-element literal array over the 1×1 joined
+    * summaries — constant-size, never data-sized.
+    */
+  def q92QualityAudit(s: SparkSession, dir: String): DataFrame = {
+    val d = documents(s, dir)
+    val dup = d.groupBy(col("doc_id")).agg(count(lit(1)).as("k"))
+      .filter(col("k") > 1)
+      .agg(coalesce(sum(col("k")), lit(0L)).as("v_dup"))
+    val flat = d.agg(
+      count(lit(1)).as("n_rows"),
+      sum(when(col("n_chars") =!= length(col("text")), lit(1L)).otherwise(lit(0L)))
+        .as("v_chars"),
+      sum(when(col("lang").isNull || col("lang") === "", lit(1L)).otherwise(lit(0L)))
+        .as("v_lang"),
+      sum(when(col("source").isNull || col("source") === "", lit(1L)).otherwise(lit(0L)))
+        .as("v_source"),
+      sum(when(length(trim(col("text"))) === 0, lit(1L)).otherwise(lit(0L)))
+        .as("v_text"))
+    flat.crossJoin(broadcast(dup))
+      .select(col("n_rows"), explode(array(
+        struct(lit("chars_match").as("check_name"), col("v_chars").as("n_violations")),
+        struct(lit("doc_id_unique").as("check_name"), col("v_dup").as("n_violations")),
+        struct(lit("lang_present").as("check_name"), col("v_lang").as("n_violations")),
+        struct(lit("source_present").as("check_name"), col("v_source").as("n_violations")),
+        struct(lit("text_nonempty").as("check_name"), col("v_text").as("n_violations"))))
+        .as("c"))
+      .select(col("c.check_name").as("check_name"), col("c.n_violations"),
+        col("n_rows"), (col("c.n_violations") === 0L).as("pass"))
+      .orderBy(col("check_name"))
+  }
+
+  val q92Sql: String =
+    """WITH m AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+      |   CAST(sum(CASE WHEN n_chars <> length(text) THEN 1 ELSE 0 END) AS BIGINT) AS v_chars,
+      |   CAST(sum(CASE WHEN lang IS NULL OR lang = '' THEN 1 ELSE 0 END) AS BIGINT) AS v_lang,
+      |   CAST(sum(CASE WHEN source IS NULL OR source = '' THEN 1 ELSE 0 END) AS BIGINT) AS v_source,
+      |   CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 1 ELSE 0 END) AS BIGINT) AS v_text
+      |  FROM documents),
+      |dup AS (
+      |  SELECT CAST(COALESCE(sum(k), 0) AS BIGINT) AS v_dup FROM (
+      |    SELECT count(*) AS k FROM documents GROUP BY doc_id HAVING count(*) > 1)),
+      |u AS (
+      |  SELECT 'chars_match' AS check_name, v_chars AS n_violations, n_rows
+      |  FROM m CROSS JOIN dup
+      |  UNION ALL SELECT 'doc_id_unique', v_dup, n_rows FROM m CROSS JOIN dup
+      |  UNION ALL SELECT 'lang_present', v_lang, n_rows FROM m CROSS JOIN dup
+      |  UNION ALL SELECT 'source_present', v_source, n_rows FROM m CROSS JOIN dup
+      |  UNION ALL SELECT 'text_nonempty', v_text, n_rows FROM m CROSS JOIN dup)
+      |SELECT check_name, n_violations, n_rows, n_violations = 0 AS pass
+      |FROM u ORDER BY check_name""".stripMargin
 }

@@ -181,4 +181,40 @@ class CurationSpec extends SparkTestBase {
       "a source can never lose KeepPct or more of its documents")
     out.unpersist()
   }
+
+  test("q92: clean fixture passes every check; injected defects are counted exactly") {
+    import graft.queries.Profiling
+    val clean = Profiling.q92QualityAudit(spark, sf).collect()
+    assert(clean.map(_.getAs[String]("check_name")).sorted.toSeq ===
+      Seq("chars_match", "doc_id_unique", "lang_present", "source_present", "text_nonempty"))
+    clean.foreach { r =>
+      assert(r.getAs[Boolean]("pass") === (r.getAs[Long]("n_violations") == 0L))
+      assert(r.getAs[Long]("n_violations") === 0L,
+        s"driver fixture must be clean, ${r.getAs[String]("check_name")} is not")
+    }
+    // corrupt a copy: one duplicated id (2 rows), one wrong n_chars, one
+    // empty text, one blank lang — and re-audit the corrupted directory
+    val dir = java.nio.file.Files.createTempDirectory("graft_audit").toString
+    val d = Tables.documents(spark, sf)
+    val dupId = d.select(min(col("doc_id"))).collect()(0).getLong(0)
+    val bad = d.unionByName(d.filter(col("doc_id") === dupId)) // dup: 2 rows share an id
+      .withColumn("n_chars",
+        when(col("doc_id") === dupId + 1, col("n_chars") + 7).otherwise(col("n_chars")))
+      .withColumn("text",
+        when(col("doc_id") === dupId + 2, lit("   ")).otherwise(col("text")))
+      .withColumn("lang",
+        when(col("doc_id") === dupId + 3, lit("")).otherwise(col("lang")))
+      // blanking text also breaks chars_match for that row; keep the
+      // checks independent by repairing its n_chars
+      .withColumn("n_chars",
+        when(col("doc_id") === dupId + 2, lit(3L)).otherwise(col("n_chars")))
+    bad.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val audit = Profiling.q92QualityAudit(spark, dir).collect()
+      .map(r => r.getAs[String]("check_name") -> r.getAs[Long]("n_violations")).toMap
+    assert(audit("doc_id_unique") === 2L, "both rows of the duplicated id count")
+    assert(audit("chars_match") === 1L)
+    assert(audit("text_nonempty") === 1L)
+    assert(audit("lang_present") === 1L)
+    assert(audit("source_present") === 0L)
+  }
 }

@@ -171,4 +171,56 @@ class PlanSpec extends SparkTestBase {
       s"gram surface self-joined (df-squared skew hazard):\n$p")
     assert(p.contains("BroadcastHashJoin"), s"vocabulary sizes not broadcast:\n$p")
   }
+
+  test("suite-wide: no nested-loop join streams the corpus against an unbounded side") {
+    // Accidental all-pairs is the second scale-killer class after the
+    // unpartitioned window: a BroadcastNestedLoopJoin is fine when its
+    // BUILD side is bounded by construction (an aggregate's group count, a
+    // top-k/limit — 1-row totals, 16-row centroid tables, sources-sized
+    // count frames), and catastrophic when it broadcasts an unbounded scan
+    // (corpus × corpus). The declared exceptions are exactly the O(n²)
+    // recall yardsticks, each with an executed, verified-equivalent scale
+    // path (q25→q26/q39/q67 via SimilaritySpec recall, q40→q67 pair-set
+    // equality) — plus q32, the cross-join operator itself. Verified
+    // red: dropping q25 from the declared set fails this test with
+    // "q25_cosine_topk: BroadcastNestedLoopJoin over an unbounded build
+    // side".
+    import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight}
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.{LocalLimitExec, TakeOrderedAndProjectExec}
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+    val declared = Set(
+      "q25_cosine_topk",       // brute-force cosine baseline (recall yardstick)
+      "q32_cross_join",        // the cross-join operator itself
+      "q40_embedding_neardup", // brute-force near-dup baseline (recall yardstick)
+      "q66_semantic_decontam") // eval side is the broadcast: tiny by
+                               // construction of the hold-out split, but a
+                               // FILTER, not an aggregate/limit, so the
+                               // bounded-by-construction probe can't see it
+    def bounded(p: SparkPlan): Boolean = p.exists {
+      case _: BaseAggregateExec         => true
+      case _: LocalLimitExec            => true
+      case _: TakeOrderedAndProjectExec => true
+      case _                            => false
+    }
+    val noAqe = spark.newSession()
+    noAqe.conf.set("spark.sql.adaptive.enabled", "false")
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filterNot { case (name, _) => declared(name) }
+      .flatMap { case (name, fn) =>
+        val p = fn(noAqe, sf).queryExecution.executedPlan
+        p.collect {
+          case j: BroadcastNestedLoopJoinExec
+              if !bounded(j.buildSide match {
+                case BuildLeft  => j.left
+                case BuildRight => j.right
+              }) =>
+            s"$name: BroadcastNestedLoopJoin over an unbounded build side"
+          case _: CartesianProductExec =>
+            s"$name: CartesianProduct"
+        }
+      }
+    assert(offenders.isEmpty, offenders.mkString("\n", "\n", ""))
+  }
 }

@@ -355,4 +355,74 @@ object Curation {
        | CAST(cum_leq AS DOUBLE) / n_src >= $KeepPct AS keep
        |FROM sc JOIN e ON sc.source = e.source AND sc.quality = e.quality
        |ORDER BY doc_id""".stripMargin
+
+  /** q93: dedup-effective corpus size — per language, the raw document
+    * and token counts versus what survives near-dup deduplication under
+    * the q82 keeper policy (best copy per cluster, singletons untouched),
+    * and the token fraction dedup saves. This is the "what did dedup buy
+    * us" planning number that decides whether the q23/q67 pipelines pay
+    * for themselves on a given corpus — and it's per-language because
+    * duplication rates differ wildly across languages in web crawls.
+    *
+    * Scale shape: cluster labels are MEMOIZED from q45 (pair-graph-sized,
+    * ≪ corpus) and the q82 keeper selection reuses its exact max_by
+    * expression, so the two operators can never disagree on who survives.
+    * The non-keeper id set rides a broadcast left-anti mark onto ONE
+    * corpus scan; per-language totals are a low-cardinality hash
+    * aggregate with map-side partials.
+    */
+  def q93EffectiveCorpus(s: SparkSession, dir: String): DataFrame = {
+    val labels = Dedup.componentLabels(s, dir).select(col("doc"), col("comp"))
+    val scored = documents(s, dir).select(col("doc_id"), col("text"))
+      .withColumn("quality", qualityScore(col("text")))
+      .select(col("doc_id"), col("quality"))
+    val keepers = labels.join(scored, col("doc") === col("doc_id"))
+      .groupBy(col("comp"))
+      .agg(max_by(col("doc"), struct(col("quality"), -col("doc"))).as("keeper"))
+      .select(col("keeper"))
+    val dropped = labels.select(col("doc"))
+      .join(keepers, col("doc") === col("keeper"), "left_anti")
+      .withColumnRenamed("doc", "drop_id")
+    resplit(documents(s, dir).select(col("doc_id"), col("lang"), col("text")))
+      .select(col("doc_id"), col("lang"), size(words(col("text"))).cast("long").as("n_tok"))
+      .join(broadcast(dropped), col("doc_id") === col("drop_id"), "left")
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("n_tokens"),
+        sum(when(col("drop_id").isNull, lit(1L)).otherwise(lit(0L))).as("n_docs_kept"),
+        sum(when(col("drop_id").isNull, col("n_tok")).otherwise(lit(0L))).as("n_tokens_kept"))
+      .withColumn("savings_frac", round(lit(1.0)
+        - col("n_tokens_kept").cast("double") / col("n_tokens").cast("double"), 6))
+      .orderBy(col("lang"))
+  }
+
+  val q93Sql: String =
+    s"""WITH RECURSIVE ${Dedup.sqlComponentsCtes},
+       |qd AS (
+       |  SELECT doc_id, lang, regexp_split_to_array(trim(text), '\\s+') AS ww, text
+       |  FROM documents),
+       |qs AS (
+       |  SELECT doc_id, ${qualitySqlExpr("ww", "text")} AS quality FROM qd),
+       |m AS (
+       |  SELECT comp, labels.doc AS doc, quality
+       |  FROM labels JOIN qs ON labels.doc = qs.doc_id),
+       |mx AS (SELECT comp, max(quality) AS mq FROM m GROUP BY comp),
+       |k AS (
+       |  SELECT m.comp, min(m.doc) AS keeper
+       |  FROM m JOIN mx ON m.comp = mx.comp AND m.quality = mx.mq
+       |  GROUP BY m.comp),
+       |dropped AS (
+       |  SELECT doc FROM labels WHERE doc NOT IN (SELECT keeper FROM k)),
+       |t AS (
+       |  SELECT doc_id, lang, CAST(len(ww) AS BIGINT) AS n_tok FROM qd)
+       |SELECT lang,
+       | CAST(count(*) AS BIGINT) AS n_docs,
+       | CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+       | CAST(sum(CASE WHEN d.doc IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_kept,
+       | CAST(sum(CASE WHEN d.doc IS NULL THEN n_tok ELSE 0 END) AS BIGINT) AS n_tokens_kept,
+       | ROUND(1.0 - CAST(sum(CASE WHEN d.doc IS NULL THEN n_tok ELSE 0 END) AS DOUBLE)
+       |   / sum(n_tok), 6) AS savings_frac
+       |FROM t LEFT JOIN dropped d ON t.doc_id = d.doc
+       |GROUP BY lang ORDER BY lang""".stripMargin
 }

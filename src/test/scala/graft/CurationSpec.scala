@@ -217,4 +217,27 @@ class CurationSpec extends SparkTestBase {
     assert(audit("lang_present") === 1L)
     assert(audit("source_present") === 0L)
   }
+
+  test("q93: totals conserve the corpus and drops agree with the q82 clusters") {
+    val rows = Curation.q93EffectiveCorpus(spark, sf).collect()
+    val d = Tables.documents(spark, sf)
+    assert(rows.map(_.getAs[Long]("n_docs")).sum === d.count())
+    val corpusTok = d.select(sum(size(
+      graft.functions.TextFns.words(col("text"))).cast("long")))
+      .collect()(0).getLong(0)
+    assert(rows.map(_.getAs[Long]("n_tokens")).sum === corpusTok)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_docs_kept") <= r.getAs[Long]("n_docs"))
+      assert(r.getAs[Long]("n_tokens_kept") <= r.getAs[Long]("n_tokens"))
+      val f = r.getAs[Double]("savings_frac")
+      assert(f >= 0.0 && f < 1.0)
+    }
+    // exactly one keeper survives per near-dup cluster: total drops must
+    // equal Σ (cluster_size − 1) over the q82 report
+    val dropped = rows.map(r => r.getAs[Long]("n_docs") - r.getAs[Long]("n_docs_kept")).sum
+    val q82drop = Curation.q82KeeperSelection(spark, sf).collect()
+      .map(_.getAs[Long]("cluster_size") - 1L).sum
+    assert(dropped === q82drop,
+      s"q93 drops $dropped docs but q82 clusters imply $q82drop")
+  }
 }

@@ -86,6 +86,26 @@ class PropertiesSpec extends SparkTestBase {
     }
   }
 
+  test("law: q83's non-overlapping blocks reassemble to the original document") {
+    // the reconstruction in q83 is lossless exactly because blocking is a
+    // partition of the word sequence: rejoining ALL blocks must give back
+    // the text, for any word count — including the ragged tail and the
+    // empty document
+    import spark.implicits._
+    import graft.queries.Curation.BlockW
+    val doc = Gen.chooseNum(0, 4 * BlockW + 3).flatMap(n =>
+      Gen.listOfN(n, Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.mkString))
+        .map(_.mkString(" ")))
+    val ws = TextFns.words(col("text"))
+    val nBlocks = ceil(size(ws).cast("double") / BlockW).cast("long")
+    val blocks = transform(sequence(lit(0L), nBlocks - 1),
+      i => array_join(slice(ws, (i * BlockW + 1).cast("int"), lit(BlockW)), " "))
+    val bad = draw(doc, 300, seed = 83L).toDF("text")
+      .select(col("text"), array_join(blocks, " ").as("re"))
+      .filter(col("re") =!= col("text"))
+    assert(bad.isEmpty, s"blocks lost content: ${bad.collect().take(3).mkString}")
+  }
+
   test("dot_fold is SQL-callable via the injected session extension") {
     val r = spark.sql("SELECT dot_fold(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d").head()
     assert(r.getDouble(0) === 11.0)

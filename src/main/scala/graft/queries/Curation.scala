@@ -425,4 +425,57 @@ object Curation {
        |   / sum(n_tok), 6) AS savings_frac
        |FROM t LEFT JOIN dropped d ON t.doc_id = d.doc
        |GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** q94: dedup decision audit — the per-document drop ledger behind
+    * q82's per-cluster summary: for every document dedup REMOVES, the
+    * cluster it belonged to, the keeper that displaced it, both quality
+    * scores, and the margin. This is the governance artifact ("why was
+    * my document removed, and was the call close?") that a production
+    * dedup pipeline must be able to produce on demand; near-zero margins
+    * are the rows a human reviews when contesting the policy.
+    *
+    * Scale shape: pure composition of memoized, pair-graph-sized frames —
+    * cluster labels (q45) joined to one quality column, the q82 keeper
+    * aggregate, and a broadcast join of the two; the corpus contributes
+    * only the quality scan shared with q82/q93. No new exchange shapes.
+    */
+  def q94DedupAudit(s: SparkSession, dir: String): DataFrame = {
+    val labels = Dedup.componentLabels(s, dir).select(col("doc"), col("comp"))
+    val scored = documents(s, dir).select(col("doc_id"), col("text"))
+      .withColumn("quality", qualityScore(col("text")))
+      .select(col("doc_id"), col("quality"))
+    val members = labels.join(scored, col("doc") === col("doc_id"))
+      .select(col("comp"), col("doc"), col("quality"))
+    val keepers = members.groupBy(col("comp"))
+      .agg(max_by(col("doc"), struct(col("quality"), -col("doc"))).as("keeper"),
+        max(col("quality")).as("keeper_quality"))
+    members.join(broadcast(keepers), Seq("comp"))
+      .filter(col("doc") =!= col("keeper"))
+      .select(col("doc"), col("comp"), col("keeper"),
+        col("quality").as("doc_quality"), col("keeper_quality"),
+        round(col("keeper_quality") - col("quality"), 4).as("margin"))
+      .orderBy(col("doc"))
+  }
+
+  val q94Sql: String =
+    s"""WITH RECURSIVE ${Dedup.sqlComponentsCtes},
+       |qd AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ww, text
+       |  FROM documents),
+       |qs AS (
+       |  SELECT doc_id, ${qualitySqlExpr("ww", "text")} AS quality FROM qd),
+       |m AS (
+       |  SELECT comp, labels.doc AS doc, quality
+       |  FROM labels JOIN qs ON labels.doc = qs.doc_id),
+       |mx AS (SELECT comp, max(quality) AS keeper_quality FROM m GROUP BY comp),
+       |k AS (
+       |  SELECT m.comp, min(m.doc) AS keeper
+       |  FROM m JOIN mx ON m.comp = mx.comp AND m.quality = mx.keeper_quality
+       |  GROUP BY m.comp)
+       |SELECT m.doc AS doc, m.comp AS comp, keeper,
+       | m.quality AS doc_quality, keeper_quality,
+       | ROUND(keeper_quality - m.quality, 4) AS margin
+       |FROM m JOIN k ON m.comp = k.comp JOIN mx ON m.comp = mx.comp
+       |WHERE m.doc <> keeper
+       |ORDER BY doc""".stripMargin
 }

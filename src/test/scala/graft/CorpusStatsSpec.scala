@@ -266,4 +266,15 @@ class CorpusStatsSpec extends SparkTestBase {
       assert(math.abs(c - shares.take(i + 1).sum) < 1e-4)
     }
   }
+
+  test("q95: the histogram conserves q27's sessions and the event count") {
+    val rows = Analytics.q95SessionDurations(spark, sf).collect()
+    assert(rows.forall(_.getAs[Long]("bucket") >= 0L))
+    val nSessions = rows.map(_.getAs[Long]("n_sessions")).sum
+    assert(nSessions === graft.queries.Streaming.q27SessionWindow(spark, sf).count(),
+      "histogram must count exactly q27's sessions")
+    assert(rows.map(_.getAs[Long]("n_events")).sum === Tables.events(spark, sf).count(),
+      "every event belongs to exactly one session")
+    assert(math.abs(rows.map(_.getAs[Double]("share")).sum - 1.0) < 1e-4)
+  }
 }

@@ -240,4 +240,19 @@ class CurationSpec extends SparkTestBase {
     assert(dropped === q82drop,
       s"q93 drops $dropped docs but q82 clusters imply $q82drop")
   }
+
+  test("q94: the drop ledger lists every non-keeper once, with q82's keepers and margins >= 0") {
+    val audit = Curation.q94DedupAudit(spark, sf).collect()
+    val q82 = Curation.q82KeeperSelection(spark, sf).collect()
+    assert(audit.length.toLong === q82.map(_.getAs[Long]("cluster_size") - 1L).sum,
+      "one audit row per removed document")
+    val keeperOf = q82.map(r => r.getAs[Long]("comp") -> r.getAs[Long]("keeper")).toMap
+    audit.foreach { r =>
+      assert(r.getAs[Long]("doc") !== r.getAs[Long]("keeper"), "keepers are never audited")
+      assert(r.getAs[Long]("keeper") === keeperOf(r.getAs[Long]("comp")),
+        "audit and q82 must name the same keeper")
+      assert(r.getAs[Double]("doc_quality") <= r.getAs[Double]("keeper_quality"))
+      assert(r.getAs[Double]("margin") >= 0.0)
+    }
+  }
 }

@@ -277,4 +277,20 @@ class CorpusStatsSpec extends SparkTestBase {
       "every event belongs to exactly one session")
     assert(math.abs(rows.map(_.getAs[Double]("share")).sum - 1.0) < 1e-4)
   }
+
+  test("q96: every purchase is attributed exactly once and gaps are causal") {
+    val rows = Analytics.q96LastTouchAttribution(spark, sf).collect()
+    val nPurchases = Tables.events(spark, sf)
+      .filter(col("event_type") === Analytics.FunnelSteps(2)).count()
+    assert(rows.map(_.getAs[Long]("n_purchases")).sum === nPurchases)
+    assert(math.abs(rows.map(_.getAs[Double]("share")).sum - 1.0) < 1e-4)
+    rows.foreach { r =>
+      val attr = r.getAs[String]("attribution")
+      assert(attr !== Analytics.FunnelSteps(2), "a purchase can never attribute to itself")
+      if (attr == "none") assert(r.isNullAt(r.fieldIndex("avg_gap_min")),
+        "no prior touch means no gap to average")
+      else assert(r.getAs[Double]("avg_gap_min") > 0.0,
+        "the attributed touch strictly precedes the purchase")
+    }
+  }
 }

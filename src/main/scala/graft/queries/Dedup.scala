@@ -515,4 +515,73 @@ object Dedup {
        |FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= $SimHashMaxHamming
        |ORDER BY doc_a, doc_b""".stripMargin
   }
+
+  /** PageRank damping factor and (fixed, unrolled-in-the-oracle) iteration
+    * count for q97.
+    */
+  val PrDamping: Double = 0.85
+  val PrIters: Int = 3
+
+  /** q97: PageRank over the near-dup graph — [[PrIters]] Lloyd-style
+    * power iterations with damping [[PrDamping]] on the undirected q22
+    * pair graph. Where q45 answers "which documents form one duplicate
+    * cluster", PageRank answers "which documents are the HUBS of the
+    * duplication structure" — the template pages and boilerplate carriers
+    * worth human eyes first. It also exercises the second iterative-graph
+    * pattern next to q45's hash-min: per-round contribution join +
+    * re-aggregation with localCheckpoint lineage truncation, the shape
+    * GraphX-style algorithms take on DataFrames.
+    *
+    * Scale shape: state is one row per NODE of the pair graph (≪ corpus);
+    * each round is an edges⋈ranks equi-join and a dst-keyed sum — both
+    * shuffle on node ids, no broadcast of anything data-sized. The
+    * iteration count is fixed, so the oracle unrolls the same three
+    * rounds as plain CTEs; every arithmetic step mirrors the SQL
+    * expression shape, and final ranks round to 6dp (summation-order
+    * slack ~1e-15).
+    */
+  def q97PageRank(s: SparkSession, dir: String): DataFrame = {
+    val pairs = q22Cached(s, dir).select(col("doc_a"), col("doc_b"))
+    val edges = pairs
+      .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .localCheckpoint(false)
+    val deg = edges.groupBy(col("doc_a")).agg(count(lit(1)).as("deg"))
+      .select(col("doc_a").as("doc"), col("deg"))
+      .localCheckpoint(false)
+    val n = deg.count()
+    val base = (lit(1.0) - lit(PrDamping)) / lit(n.toDouble)
+    var ranks = deg.select(col("doc"), col("deg"), (lit(1.0) / lit(n.toDouble)).as("pr"))
+    for (_ <- 1 to PrIters) {
+      val contrib = edges
+        .join(ranks, col("doc_a") === col("doc"))
+        .select(col("doc_b"), (col("pr") / col("deg")).as("m"))
+        .groupBy(col("doc_b")).agg(sum(col("m")).as("m"))
+      ranks = deg.join(contrib, col("doc") === col("doc_b"))
+        .select(col("doc"), col("deg"), (base + lit(PrDamping) * col("m")).as("pr"))
+        .localCheckpoint(false)
+    }
+    ranks.select(col("doc"), col("deg"), round(col("pr"), 6).as("pagerank"))
+      .orderBy(col("pagerank").desc, col("doc"))
+  }
+
+  val q97Sql: String = {
+    def iter(prev: String, cur: String): String =
+      s"""$cur AS (
+         |  SELECT d.doc, d.deg, (1.0 - $PrDamping) / nn.n + $PrDamping * s.m AS pr
+         |  FROM deg d CROSS JOIN nn
+         |  JOIN (SELECT e.doc_b AS doc, sum(p.pr / p.deg) AS m
+         |        FROM edges e JOIN $prev p ON e.doc_a = p.doc GROUP BY e.doc_b) s
+         |    ON d.doc = s.doc)""".stripMargin
+    s"""WITH RECURSIVE $sqlComponentsCtes,
+       |deg AS (
+       |  SELECT doc_a AS doc, CAST(count(*) AS BIGINT) AS deg
+       |  FROM edges GROUP BY doc_a),
+       |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM deg),
+       |it0 AS (SELECT doc, deg, 1.0 / nn.n AS pr FROM deg CROSS JOIN nn),
+       |${iter("it0", "it1")},
+       |${iter("it1", "it2")},
+       |${iter("it2", "it3")}
+       |SELECT doc, deg, ROUND(pr, 6) AS pagerank FROM it3
+       |ORDER BY pagerank DESC, doc""".stripMargin
+  }
 }

@@ -131,4 +131,21 @@ class DedupSpec extends SparkTestBase {
       .groupBy(col("doc")).agg(min(col("comp")).as("comp"))
     assert(re.exceptAll(labels).isEmpty && labels.exceptAll(re).isEmpty)
   }
+
+  test("q97: pagerank conserves probability mass over exactly the near-dup nodes") {
+    val pr = Dedup.q97PageRank(spark, sf).collect()
+    // node set == nodes of the q22 pair graph
+    val pairs = Dedup.q22NgramJaccard(spark, sf).select(col("doc_a"), col("doc_b"))
+    val nodes = pairs.select(col("doc_a").as("d"))
+      .union(pairs.select(col("doc_b").as("d"))).distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(pr.map(_.getAs[Long]("doc")).toSet === nodes)
+    // an undirected graph has no dangling nodes, so the damped power
+    // iteration preserves total mass exactly
+    val mass = pr.map(_.getAs[Double]("pagerank")).sum
+    assert(math.abs(mass - 1.0) < 1e-4, s"pagerank mass $mass drifted from 1")
+    // the damping floor bounds every rank from below
+    val floorPr = (1.0 - Dedup.PrDamping) / nodes.size
+    assert(pr.forall(_.getAs[Double]("pagerank") >= floorPr - 1e-9))
+  }
 }

@@ -478,4 +478,47 @@ object Curation {
        |FROM m JOIN k ON m.comp = k.comp JOIN mx ON m.comp = mx.comp
        |WHERE m.doc <> keeper
        |ORDER BY doc""".stripMargin
+
+  /** Exemplars reported per source by q98. */
+  val ExemplarK: Int = 3
+
+  /** q98: per-source quality exemplars — the [[ExemplarK]] highest-quality
+    * documents of every source, ranked. The report a curator reads first
+    * when auditing an unfamiliar source ("show me its best"), and the
+    * positive complement of q94's drop ledger.
+    *
+    * Scale shape: grouped top-k WITHOUT a window — `row_number() OVER
+    * (PARTITION BY source)` would shuffle and sort the whole corpus, with
+    * each hot source landing on one task; the
+    * [[graft.functions.TopKPairs]] bounded-heap aggregate (the q25/q65
+    * machinery on a third domain) keeps k candidates per source map-side,
+    * so the exchange carries ≤ k·partitions rows per source regardless of
+    * corpus size. The (score DESC, id ASC) heap order is total, so the
+    * output is row-identical to the window formulation the oracle uses.
+    */
+  def q98QualityExemplars(s: SparkSession, dir: String): DataFrame = {
+    val scored = resplit(documents(s, dir).select(col("doc_id"), col("source"), col("text")))
+      .select(col("doc_id"), col("source"), qualityScore(col("text")).as("quality"))
+    scored.groupBy(col("source"))
+      .agg(graft.functions.TopKPairs.topKPairs(col("quality"), col("doc_id"), ExemplarK)
+        .as("top"))
+      .select(col("source"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("source"), (col("pos") + 1).cast("long").as("rnk"),
+        col("t.id").as("doc_id"), col("t.score").as("quality"))
+      .orderBy(col("source"), col("rnk"))
+  }
+
+  val q98Sql: String =
+    s"""WITH qd AS (
+       |  SELECT doc_id, source, regexp_split_to_array(trim(text), '\\s+') AS ww, text
+       |  FROM documents),
+       |sc AS (
+       |  SELECT doc_id, source, ${qualitySqlExpr("ww", "text")} AS quality FROM qd),
+       |r AS (
+       |  SELECT source, doc_id, quality,
+       |   CAST(row_number() OVER (PARTITION BY source
+       |     ORDER BY quality DESC, doc_id) AS BIGINT) AS rnk
+       |  FROM sc)
+       |SELECT source, rnk, doc_id, quality FROM r WHERE rnk <= $ExemplarK
+       |ORDER BY source, rnk""".stripMargin
 }

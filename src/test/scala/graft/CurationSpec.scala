@@ -255,4 +255,20 @@ class CurationSpec extends SparkTestBase {
       assert(r.getAs[Double]("margin") >= 0.0)
     }
   }
+
+  test("q98: bounded-heap exemplars are row-identical to the window formulation") {
+    import org.apache.spark.sql.expressions.Window
+    val heap = Curation.q98QualityExemplars(spark, sf).collect().toSeq
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("quality").desc, col("doc_id"))
+    val windowed = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source"),
+        graft.functions.TextFns.qualityScore(col("text")).as("quality"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= Curation.ExemplarK)
+      .select(col("source"), col("rnk"), col("doc_id"), col("quality"))
+      .orderBy(col("source"), col("rnk"))
+      .collect().toSeq
+    assert(heap === windowed, "heap top-k must equal the window top-k, ties included")
+  }
 }

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -521,4 +521,63 @@ object Curation {
        |  FROM sc)
        |SELECT source, rnk, doc_id, quality FROM r WHERE rnk <= $ExemplarK
        |ORDER BY source, rnk""".stripMargin
+
+  /** q99: holdout-split drift audit — for every language and every
+    * source, its share of the training split versus the eval split
+    * (q60/q66/q70's `doc_id % 10` holdout convention) and the absolute
+    * drift between them. A holdout whose composition drifts from the
+    * training distribution measures the wrong corpus; this is the
+    * representativeness check run BEFORE trusting any decontamination or
+    * eval number built on the split.
+    *
+    * Scale shape: one scan, two low-cardinality conditional-sum
+    * aggregates (per language, per source) unioned into a (dim, value)
+    * report, and the 1-row split totals broadcast back. Shares are exact
+    * integer ratios, so the drift column is deterministic before its
+    * presentation rounding.
+    */
+  def q99SplitDrift(s: SparkSession, dir: String): DataFrame = {
+    val d = documents(s, dir)
+      .select(col("doc_id"), col("lang"), col("source"))
+      .withColumn("is_eval", col("doc_id") % 10 === 0)
+    def byDim(name: String, c: Column): DataFrame = d.groupBy(c.as("value"))
+      .agg(sum(when(col("is_eval"), lit(0L)).otherwise(lit(1L))).as("n_train"),
+        sum(when(col("is_eval"), lit(1L)).otherwise(lit(0L))).as("n_eval"))
+      .select(lit(name).as("dim"), col("value"), col("n_train"), col("n_eval"))
+    val u = byDim("lang", col("lang")).unionByName(byDim("source", col("source")))
+    val tot = d.agg(
+      sum(when(col("is_eval"), lit(0L)).otherwise(lit(1L))).as("t_train"),
+      sum(when(col("is_eval"), lit(1L)).otherwise(lit(0L))).as("t_eval"))
+    val trShare = col("n_train").cast("double") / col("t_train").cast("double")
+    val evShare = col("n_eval").cast("double") / col("t_eval").cast("double")
+    u.crossJoin(broadcast(tot))
+      .select(col("dim"), col("value"), col("n_train"), col("n_eval"),
+        round(trShare, 6).as("train_share"), round(evShare, 6).as("eval_share"),
+        round(abs(trShare - evShare), 6).as("drift"))
+      .orderBy(col("dim"), col("value"))
+  }
+
+  val q99Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id, lang, source, doc_id % 10 = 0 AS is_eval FROM documents),
+      |u AS (
+      |  SELECT 'lang' AS dim, lang AS value,
+      |   CAST(sum(CASE WHEN is_eval THEN 0 ELSE 1 END) AS BIGINT) AS n_train,
+      |   CAST(sum(CASE WHEN is_eval THEN 1 ELSE 0 END) AS BIGINT) AS n_eval
+      |  FROM d GROUP BY lang
+      |  UNION ALL
+      |  SELECT 'source', source,
+      |   CAST(sum(CASE WHEN is_eval THEN 0 ELSE 1 END) AS BIGINT),
+      |   CAST(sum(CASE WHEN is_eval THEN 1 ELSE 0 END) AS BIGINT)
+      |  FROM d GROUP BY source),
+      |t AS (
+      |  SELECT CAST(sum(CASE WHEN is_eval THEN 0 ELSE 1 END) AS BIGINT) AS t_train,
+      |   CAST(sum(CASE WHEN is_eval THEN 1 ELSE 0 END) AS BIGINT) AS t_eval
+      |  FROM d)
+      |SELECT dim, value, n_train, n_eval,
+      | ROUND(CAST(n_train AS DOUBLE) / t_train, 6) AS train_share,
+      | ROUND(CAST(n_eval AS DOUBLE) / t_eval, 6) AS eval_share,
+      | ROUND(abs(CAST(n_train AS DOUBLE) / t_train
+      |   - CAST(n_eval AS DOUBLE) / t_eval), 6) AS drift
+      |FROM u CROSS JOIN t ORDER BY dim, value""".stripMargin
 }

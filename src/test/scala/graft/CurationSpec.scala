@@ -271,4 +271,21 @@ class CurationSpec extends SparkTestBase {
       .collect().toSeq
     assert(heap === windowed, "heap top-k must equal the window top-k, ties included")
   }
+
+  test("q99: each dimension's shares sum to 1 per split and counts conserve the corpus") {
+    val rows = Curation.q99SplitDrift(spark, sf).collect()
+    val total = Tables.documents(spark, sf).count()
+    rows.groupBy(_.getAs[String]("dim")).foreach { case (dim, g) =>
+      assert(g.map(_.getAs[Long]("n_train")).sum + g.map(_.getAs[Long]("n_eval")).sum
+        === total, s"dim $dim must partition the corpus")
+      assert(math.abs(g.map(_.getAs[Double]("train_share")).sum - 1.0) < 1e-4)
+      assert(math.abs(g.map(_.getAs[Double]("eval_share")).sum - 1.0) < 1e-4)
+    }
+    rows.foreach { r =>
+      val drift = r.getAs[Double]("drift")
+      assert(drift >= 0.0 && drift <= 1.0)
+      assert(math.abs(drift - math.abs(r.getAs[Double]("train_share")
+        - r.getAs[Double]("eval_share"))) < 1e-5)
+    }
+  }
 }

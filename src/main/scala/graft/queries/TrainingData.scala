@@ -721,4 +721,103 @@ object TrainingData {
        | CAST(SUM(CASE WHEN qok AND NOT dropped THEN 1 ELSE 0 END) AS BIGINT) AS n_deduped,
        | CAST(SUM(CASE WHEN qok AND NOT dropped AND samp THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
        |FROM flags GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** Flat sampling rate for the q100 capstone funnel. */
+  val PipelineRate: Double = 0.5
+
+  /** q100: the COMPLETE training-data pipeline as one query — the q58
+    * funnel extended to the full production stage order, reported per
+    * language over the training split:
+    *
+    *   train raw → quality (q18's composite ≥ 0.5)
+    *             → deduped (q45's min-id component representative)
+    *             → clean   (q60's eval-overlap decontamination)
+    *             → sampled (q47's salted-hash thresholding)
+    *
+    * Each stage reuses the EXACT shared definition its standalone
+    * operator verifies — qualityScore, the memoized component labels, the
+    * DecontamN-gram eval overlap, uhash — so the funnel can never drift
+    * from the operators it summarizes. Eval-split documents are not
+    * stages here; they are the decontamination REFERENCE (and duplicates
+    * of eval content drop at the dedup stage when the eval copy owns the
+    * component: that is contamination removal working, not loss).
+    *
+    * Scale shape: the stage flags are one scan with three id-keyed
+    * attachments — the pair-graph-sized labels, the broadcastable
+    * contaminated-id set (distinct flagged TRAINING ids, a small fraction
+    * of the corpus by construction of a held-out eval), and a map-only
+    * hash — feeding one per-language conditional-sum aggregate. No new
+    * exchange shapes beyond its verified components.
+    */
+  def q100FullPipeline(s: SparkSession, dir: String): DataFrame = {
+    val d = documents(s, dir)
+    val labels = Dedup.componentLabels(s, dir)
+      .select(col("doc").as("l_doc"), col("comp"))
+    def grams(df: DataFrame): DataFrame = resplit(df.select(col("doc_id"), col("text")))
+      .select(col("doc_id"), explode(shingles(words(col("text")), DecontamN)).as("g"))
+      .distinct()
+    val evalG = grams(d.filter(col("doc_id") % 10 === 0))
+      .select(col("g").as("eval_g")).distinct()
+    val contaminated = grams(d.filter(col("doc_id") % 10 =!= 0))
+      .join(evalG, col("g") === col("eval_g"), "left_semi")
+      .select(col("doc_id").as("c_doc")).distinct()
+    def cnt(c: Column, name: String): Column =
+      sum(when(c, lit(1L)).otherwise(lit(0L))).as(name)
+    resplit(d.filter(col("doc_id") % 10 =!= 0)
+        .select(col("doc_id"), col("lang"), col("text")))
+      .withColumn("quality", qualityScore(col("text")))
+      .join(labels, col("doc_id") === col("l_doc"), "left")
+      .join(broadcast(contaminated), col("doc_id") === col("c_doc"), "left")
+      .withColumn("qok", col("quality") >= 0.5)
+      .withColumn("kept", col("comp").isNull || col("comp") === col("doc_id"))
+      .withColumn("clean", col("c_doc").isNull)
+      .withColumn("samp", uhash(col("doc_id"), "q100") < PipelineRate)
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_raw"),
+        cnt(col("qok"), "n_quality"),
+        cnt(col("qok") && col("kept"), "n_deduped"),
+        cnt(col("qok") && col("kept") && col("clean"), "n_clean"),
+        cnt(col("qok") && col("kept") && col("clean") && col("samp"), "n_sampled"))
+      .orderBy(col("lang"))
+  }
+
+  val q100Sql: String =
+    s"""WITH RECURSIVE ${Dedup.sqlComponentsCtes},
+       |w5 AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents),
+       |g5 AS (
+       |  SELECT DISTINCT doc_id, s FROM (
+       |    SELECT doc_id, unnest(CASE WHEN len(w) >= $DecontamN
+       |      THEN list_transform(range(1, len(w) - ${DecontamN - 2}),
+       |             i -> array_to_string(w[i:i+${DecontamN - 1}], ' '))
+       |      ELSE [] END) AS s
+       |    FROM w5)),
+       |ev5 AS (SELECT DISTINCT s FROM g5 WHERE doc_id % 10 = 0),
+       |contam AS (
+       |  SELECT DISTINCT doc_id FROM g5
+       |  WHERE doc_id % 10 <> 0 AND s IN (SELECT s FROM ev5)),
+       |qd AS (
+       |  SELECT doc_id, lang, text, regexp_split_to_array(trim(text), '\\s+') AS ww,
+       |   ${uhashSql("doc_id", "q100")} AS u
+       |  FROM documents WHERE doc_id % 10 <> 0),
+       |qs AS (
+       |  SELECT doc_id, lang, u, ${qualitySqlExpr("ww", "text")} AS quality
+       |  FROM qd),
+       |flags AS (
+       |  SELECT qs.doc_id, lang,
+       |   quality >= 0.5 AS qok,
+       |   (l.comp IS NULL OR l.comp = qs.doc_id) AS kept,
+       |   c.doc_id IS NULL AS clean,
+       |   u < $PipelineRate AS samp
+       |  FROM qs LEFT JOIN labels l ON qs.doc_id = l.doc
+       |  LEFT JOIN contam c ON qs.doc_id = c.doc_id)
+       |SELECT lang,
+       | CAST(COUNT(*) AS BIGINT) AS n_raw,
+       | CAST(SUM(CASE WHEN qok THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+       | CAST(SUM(CASE WHEN qok AND kept THEN 1 ELSE 0 END) AS BIGINT) AS n_deduped,
+       | CAST(SUM(CASE WHEN qok AND kept AND clean THEN 1 ELSE 0 END) AS BIGINT) AS n_clean,
+       | CAST(SUM(CASE WHEN qok AND kept AND clean AND samp THEN 1 ELSE 0 END) AS BIGINT)
+       |   AS n_sampled
+       |FROM flags GROUP BY lang ORDER BY lang""".stripMargin
 }

@@ -150,4 +150,23 @@ class TrainingDataSpec extends SparkTestBase {
       .filter(col("a.n_prev_1h") =!= col("b.n_prev_1h"))
     assert(diff.isEmpty)
   }
+
+  test("q100: the capstone funnel is monotone and agrees with its component operators") {
+    import graft.queries.TrainingData
+    val rows = TrainingData.q100FullPipeline(spark, sf).collect()
+    rows.foreach { r =>
+      val (raw, q, d, c, s) = (r.getAs[Long]("n_raw"), r.getAs[Long]("n_quality"),
+        r.getAs[Long]("n_deduped"), r.getAs[Long]("n_clean"), r.getAs[Long]("n_sampled"))
+      assert(raw >= q && q >= d && d >= c && c >= s,
+        s"funnel must be monotone per language: $r")
+    }
+    // stage 0 covers exactly the training split
+    val trainN = Tables.documents(spark, sf).filter(col("doc_id") % 10 =!= 0).count()
+    assert(rows.map(_.getAs[Long]("n_raw")).sum === trainN)
+    // the decontamination stage can never drop more documents than q60 flags
+    val q60n = TrainingData.q60Decontamination(spark, sf).count()
+    val dropped = rows.map(r => r.getAs[Long]("n_deduped") - r.getAs[Long]("n_clean")).sum
+    assert(dropped <= q60n,
+      s"funnel drops $dropped as contaminated but q60 only flags $q60n")
+  }
 }

@@ -207,6 +207,23 @@ object CorpusStats {
   /** Shingle width for the q80 source-similarity matrix. */
   val SrcN: Int = 3
 
+  /** Memoized distinct (source, g) [[SrcN]]-gram vocabulary surface, per
+    * (session, sfDir): the source-composition queries (q80's pairwise
+    * Jaccard and q87's novelty attribution) aggregate the same frame, so
+    * the corpus is shingled once per session, not once per consumer —
+    * [[graft.queries.Dedup]]'s memo sharing and snapshot contract apply.
+    * Eagerly checkpointed: q80 alone reads it twice (per-source sizes +
+    * per-gram pair expansion).
+    */
+  private val sourceGramsMemo = graft.queries.Dedup.registerMemo()
+  private[graft] def sourceGrams(s: SparkSession, dir: String): DataFrame =
+    graft.queries.Dedup.memoized(sourceGramsMemo, s, dir) {
+      resplit(documents(s, dir).select(col("source"), col("text")))
+        .select(col("source"), explode(shingles(words(col("text")), SrcN)).as("g"))
+        .distinct()
+        .localCheckpoint(true)
+    }
+
   /** q80: cross-source n-gram similarity matrix — Jaccard overlap of the
     * distinct word-[[SrcN]]-gram vocabularies of every source pair. The
     * corpus-composition complement of q22 (which scores document pairs):
@@ -222,10 +239,7 @@ object CorpusStats {
     * keyspace and join the broadcast per-source vocabulary sizes.
     */
   def q80SourceJaccard(s: SparkSession, dir: String): DataFrame = {
-    val g = resplit(documents(s, dir).select(col("source"), col("text")))
-      .select(col("source"), explode(shingles(words(col("text")), SrcN)).as("g"))
-      .distinct()
-      .localCheckpoint(true) // read 2×: per-source sizes + per-gram pair expansion
+    val g = sourceGrams(s, dir)
     val sizes = g.groupBy(col("source")).agg(count(lit(1)).as("n"))
     val pairs = g.groupBy(col("g"))
       .agg(array_sort(collect_set(col("source"))).as("ss"))
@@ -403,16 +417,14 @@ object CorpusStats {
     * complementing q80's pairwise overlap with an order-sensitive
     * attribution that sums to the union vocabulary.
     *
-    * Plan: one distinct (source, gram) aggregate, then a gram-keyed
-    * `min(source)` aggregate for first ownership (both hash aggregates
-    * with map-side partials; the gram key is the same exchange shape as
-    * q80's), and two source-sized summaries joined at the end — the
-    * corpus-sized gram surface never rides more than those two exchanges.
+    * Plan: the memoized [[sourceGrams]] surface (shared with q80), then a
+    * gram-keyed `min(source)` aggregate for first ownership (a hash
+    * aggregate with map-side partials), and two source-sized summaries
+    * joined at the end — the corpus-sized gram surface never rides more
+    * than those exchanges.
     */
   def q87SourceNovelty(s: SparkSession, dir: String): DataFrame = {
-    val g = resplit(documents(s, dir).select(col("source"), col("text")))
-      .select(col("source"), explode(shingles(words(col("text")), SrcN)).as("g"))
-      .distinct()
+    val g = sourceGrams(s, dir)
     val vocab = g.groupBy(col("source")).agg(count(lit(1)).as("n_grams"))
     val novel = g.groupBy(col("g")).agg(min(col("source")).as("first_source"))
       .groupBy(col("first_source")).agg(count(lit(1)).as("n_novel"))

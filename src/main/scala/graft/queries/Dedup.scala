@@ -132,6 +132,22 @@ object Dedup {
         round(col("jacc_raw"), 6).as("jaccard"))
   }
 
+  /** Every memo table in the engine (including [[graft.queries.TrainingData]]'s
+    * and [[graft.queries.CorpusStats]]'s shared gram surfaces), so
+    * [[clearMemos]] honors the snapshot contract no matter which object
+    * owns the memo. Registration happens at object construction (a
+    * single-threaded effect under the JVM class-init lock), never after.
+    * Declared BEFORE the first `registerMemo()` call — object vals
+    * initialize in declaration order.
+    */
+  private val allMemos =
+    new java.util.concurrent.CopyOnWriteArrayList[TrieMap[(SparkSession, String), Memo]]
+  private[graft] def registerMemo(): TrieMap[(SparkSession, String), Memo] = {
+    val m = TrieMap.empty[(SparkSession, String), Memo]
+    allMemos.add(m)
+    m
+  }
+
   /** Memoized materialization of [[q22Fresh]] per (session, sfDir): the
     * near-dup pair list is the intermediate every downstream dedup stage
     * consumes (q45's graph, hence q58's funnel), exactly like the label
@@ -142,7 +158,7 @@ object Dedup {
     * assumes it). A caller that rewrites a dir in-session must
     * [[clearMemos]] first or results are the OLD snapshot's.
     */
-  private val q22Memo = TrieMap.empty[(SparkSession, String), Memo]
+  private val q22Memo = registerMemo()
 
   /** Per-key once-only holder: `TrieMap.getOrElseUpdate` evaluates its
     * by-name default BEFORE the atomic install, so two threads racing the
@@ -170,7 +186,7 @@ object Dedup {
   }
 
   /** Drop every memoized frame (see the snapshot contract above). */
-  def clearMemos(): Unit = { q22Memo.clear(); labelsMemo.clear() }
+  def clearMemos(): Unit = allMemos.forEach(_.clear())
 
   private def q22Cached(s: SparkSession, dir: String): DataFrame =
     memoized(q22Memo, s, dir)(q22Fresh(s, dir).localCheckpoint(true))
@@ -345,7 +361,7 @@ object Dedup {
     * evicted once their session stops (see [[memoized]]), and the
     * immutable-snapshot contract on [[q22Memo]] applies here too.
     */
-  private val labelsMemo = TrieMap.empty[(SparkSession, String), Memo]
+  private val labelsMemo = registerMemo()
 
   def componentLabels(s: SparkSession, dir: String): DataFrame =
     memoized(labelsMemo, s, dir)(computeComponentLabels(s, dir))

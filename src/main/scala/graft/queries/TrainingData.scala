@@ -567,23 +567,39 @@ object TrainingData {
     */
   val DecontamN: Int = 5
 
+  /** Memoized distinct (doc_id, g) [[DecontamN]]-gram surface over the
+    * WHOLE corpus, per (session, sfDir): the decontamination queries (q60
+    * and the q100 funnel) both split this one frame into its eval and
+    * train sides, so the corpus is shingled once per session, not once
+    * per consumer — same sharing rationale (and snapshot contract) as
+    * [[Dedup]]'s pair/label memos. Eagerly checkpointed: both consumers
+    * read each half, and the frame is gram-surface-sized (bounded by
+    * corpus tokens), the same thing the join itself must shuffle.
+    */
+  private val docGramsMemo = Dedup.registerMemo()
+  private[graft] def docGrams(s: SparkSession, dir: String): DataFrame =
+    Dedup.memoized(docGramsMemo, s, dir) {
+      resplit(documents(s, dir).select(col("doc_id"), col("text")))
+        .select(col("doc_id"), explode(shingles(words(col("text")), DecontamN)).as("g"))
+        .distinct()
+        .localCheckpoint(true)
+    }
+
   /** q60: benchmark decontamination — flag training documents sharing any
     * word [[DecontamN]]-gram with the held-out eval set (stand-in: every
     * 10th doc), the overlap check run before any benchmark number is
-    * trusted. Both sides explode to distinct (doc, shingle) rows and meet
-    * in one equi-join on the shingle — an inverted-index membership test
-    * like q22's, so cost is bounded by shared shingles, not |train|×|eval|.
-    * At 100 TB the eval side is tiny: Spark broadcasts it and the check
-    * degenerates to a map-side bloom/hash lookup per training shingle.
+    * trusted. Both sides are splits of the memoized [[docGrams]] surface
+    * and meet in one equi-join on the shingle — an inverted-index
+    * membership test like q22's, so cost is bounded by shared shingles,
+    * not |train|×|eval|. At 100 TB the eval side is tiny: Spark
+    * broadcasts it and the check degenerates to a map-side bloom/hash
+    * lookup per training shingle.
     */
   def q60Decontamination(s: SparkSession, dir: String): DataFrame = {
-    val d = documents(s, dir)
-    def grams(df: DataFrame): DataFrame = resplit(df.select(col("doc_id"), col("text")))
-      .select(col("doc_id"), explode(shingles(words(col("text")), DecontamN)).as("g"))
-      .distinct()
-    val evalGrams = grams(d.filter(col("doc_id") % 10 === 0))
+    val g = docGrams(s, dir)
+    val evalGrams = g.filter(col("doc_id") % 10 === 0)
       .select(col("g").as("eval_g"), col("doc_id").as("eval_doc"))
-    val trainGrams = grams(d.filter(col("doc_id") % 10 =!= 0))
+    val trainGrams = g.filter(col("doc_id") % 10 =!= 0)
     trainGrams
       .join(evalGrams, col("g") === col("eval_g"))
       .groupBy(col("doc_id"))
@@ -753,12 +769,10 @@ object TrainingData {
     val d = documents(s, dir)
     val labels = Dedup.componentLabels(s, dir)
       .select(col("doc").as("l_doc"), col("comp"))
-    def grams(df: DataFrame): DataFrame = resplit(df.select(col("doc_id"), col("text")))
-      .select(col("doc_id"), explode(shingles(words(col("text")), DecontamN)).as("g"))
-      .distinct()
-    val evalG = grams(d.filter(col("doc_id") % 10 === 0))
+    val g = docGrams(s, dir)
+    val evalG = g.filter(col("doc_id") % 10 === 0)
       .select(col("g").as("eval_g")).distinct()
-    val contaminated = grams(d.filter(col("doc_id") % 10 =!= 0))
+    val contaminated = g.filter(col("doc_id") % 10 =!= 0)
       .join(evalG, col("g") === col("eval_g"), "left_semi")
       .select(col("doc_id").as("c_doc")).distinct()
     def cnt(c: Column, name: String): Column =

@@ -82,6 +82,26 @@ class DedupSpec extends SparkTestBase {
     assert(out.count() === 0)
   }
 
+  test("clearMemos reaches memos owned by other objects (registry wiring)") {
+    // The shared gram surfaces live in TrainingData/CorpusStats but must
+    // honor Dedup.clearMemos' snapshot contract: same frame back while
+    // memoized, a fresh frame after a clear. `eq` is the right check —
+    // memoization is object identity, not value equality.
+    import graft.queries.{CorpusStats, TrainingData}
+    val dir = docsDir(Seq(
+      "alpha beta gamma delta epsilon zeta eta",
+      "alpha beta gamma delta epsilon zeta theta"))
+    val dg = TrainingData.docGrams(spark, dir)
+    assert(TrainingData.docGrams(spark, dir) eq dg)
+    val sg = CorpusStats.sourceGrams(spark, dir)
+    assert(CorpusStats.sourceGrams(spark, dir) eq sg)
+    Dedup.clearMemos()
+    assert(!(TrainingData.docGrams(spark, dir) eq dg),
+      "clearMemos must evict TrainingData's gram memo")
+    assert(!(CorpusStats.sourceGrams(spark, dir) eq sg),
+      "clearMemos must evict CorpusStats' gram memo")
+  }
+
   test("memoized: concurrent first access runs the compute exactly once") {
     // TrieMap.getOrElseUpdate evaluates its by-name default BEFORE the
     // atomic install, so without the lazy holder two racing threads would

@@ -40,7 +40,16 @@ object Bench {
         failed ::= name
         System.err.println(s"[bench] $name failed: $e")
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      val elapsed = (System.nanoTime() - t0) / 1e9
+      // UNTIMED inter-query GC (JMH-style): without it, the previous
+      // query's garbage — and the RDD blocks of its dropped
+      // localCheckpoints, which the ContextCleaner only frees after
+      // their DataFrames are collected — is billed to whichever query
+      // runs next, the dominant source of the ±15% cross-query jitter
+      // seen on unchanged code (steal=0, ~6/32 cores busy: the suite is
+      // latency-bound, so collector pauses land directly in wall time).
+      System.gc()
+      name -> elapsed
     }
     // 3-decimal (millisecond) formatting, Locale.ROOT so the decimal
     // separator is always '.': full double precision pushed the 67-query

@@ -215,7 +215,7 @@ object CorpusStats {
     * Eagerly checkpointed: q80 alone reads it twice (per-source sizes +
     * per-gram pair expansion).
     */
-  private val sourceGramsMemo = graft.queries.Dedup.registerMemo()
+  private val sourceGramsMemo = graft.queries.Dedup.registerMemo("source_grams")
   private[graft] def sourceGrams(s: SparkSession, dir: String): DataFrame =
     graft.queries.Dedup.memoized(sourceGramsMemo, s, dir) {
       resplit(documents(s, dir).select(col("source"), col("text")))

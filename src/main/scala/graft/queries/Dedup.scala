@@ -142,11 +142,26 @@ object Dedup {
     */
   private val allMemos =
     new java.util.concurrent.CopyOnWriteArrayList[TrieMap[(SparkSession, String), Memo]]
-  private[graft] def registerMemo(): TrieMap[(SparkSession, String), Memo] = {
+  /** Identity map memo-table → human name, so the build log below can say
+    * WHICH shared surface a query paid for (bench memo-tax attribution). */
+  private val memoNames = java.util.Collections.synchronizedMap(
+    new java.util.IdentityHashMap[AnyRef, String])
+  /** Append-only log of completed memo builds, in force order. The bench
+    * snapshots its size around each query timer: any growth means that
+    * query was the first consumer of a shared surface and its time
+    * includes the build — recorded in the metric JSON instead of being
+    * re-litigated from per-query deltas every round.
+    */
+  private val memoBuildLog = new java.util.concurrent.CopyOnWriteArrayList[String]
+  private[graft] def registerMemo(name: String): TrieMap[(SparkSession, String), Memo] = {
     val m = TrieMap.empty[(SparkSession, String), Memo]
     allMemos.add(m)
+    memoNames.put(m, name)
     m
   }
+  private[graft] def memoBuildCount: Int = memoBuildLog.size
+  private[graft] def memoBuildsSince(n: Int): Seq[String] =
+    memoBuildLog.toArray.iterator.map(_.toString).drop(n).toSeq
 
   /** Memoized materialization of [[q22Fresh]] per (session, sfDir): the
     * near-dup pair list is the intermediate every downstream dedup stage
@@ -158,7 +173,7 @@ object Dedup {
     * assumes it). A caller that rewrites a dir in-session must
     * [[clearMemos]] first or results are the OLD snapshot's.
     */
-  private val q22Memo = registerMemo()
+  private val q22Memo = registerMemo("q22_pairs")
 
   /** Per-key once-only holder: `TrieMap.getOrElseUpdate` evaluates its
     * by-name default BEFORE the atomic install, so two threads racing the
@@ -182,7 +197,12 @@ object Dedup {
   private[graft] def memoized(memo: TrieMap[(SparkSession, String), Memo],
       s: SparkSession, dir: String)(compute: => DataFrame): DataFrame = {
     memo.filterInPlace { case ((sess, _), _) => !sess.sparkContext.isStopped }
-    memo.getOrElseUpdate((s, dir), new Memo(() => compute)).value
+    memo.getOrElseUpdate((s, dir), new Memo(() => {
+      val df = compute
+      // logged AFTER the compute succeeds: a failed build isn't a paid tax
+      memoBuildLog.add(Option(memoNames.get(memo)).getOrElse("anon"))
+      df
+    })).value
   }
 
   /** Drop every memoized frame (see the snapshot contract above). */
@@ -361,7 +381,7 @@ object Dedup {
     * evicted once their session stops (see [[memoized]]), and the
     * immutable-snapshot contract on [[q22Memo]] applies here too.
     */
-  private val labelsMemo = registerMemo()
+  private val labelsMemo = registerMemo("component_labels")
 
   def componentLabels(s: SparkSession, dir: String): DataFrame =
     memoized(labelsMemo, s, dir)(computeComponentLabels(s, dir))

@@ -576,7 +576,7 @@ object TrainingData {
     * read each half, and the frame is gram-surface-sized (bounded by
     * corpus tokens), the same thing the join itself must shuffle.
     */
-  private val docGramsMemo = Dedup.registerMemo()
+  private val docGramsMemo = Dedup.registerMemo("decontam_doc_grams")
   private[graft] def docGrams(s: SparkSession, dir: String): DataFrame =
     Dedup.memoized(docGramsMemo, s, dir) {
       resplit(documents(s, dir).select(col("doc_id"), col("text")))

@@ -15,11 +15,12 @@ run / fork := true
 // logger: the logger prefixes every line with "[info] ", which breaks any
 // consumer that parses the bench's final metric line as bare JSON
 // (BENCH_r06.json recorded "parsed": null for exactly this reason).
-// Deliberately UNSCOPED: the bench is launched via `runMain`, whose
-// setting delegation does not reliably consult a `run /`-scoped value —
-// a scoping miss would silently regress the metric parse. The cost is
-// only cosmetic (forked Test output also loses its "[info] " prefixes).
-outputStrategy := Some(StdoutOutput)
+// Scoped to `run /` so forked TEST output keeps its log prefixes;
+// `runMain` DOES delegate to the run-scoped value (verified on sbt
+// 1.10: `runMain graft.Bench` under this scoping still emits the
+// metric line prefix-free — the earlier unscoped-by-caution comment
+// was wrong).
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -70,19 +70,20 @@ object Tables {
     // String match on the PREPARED plan: exchanges are inserted by the
     // preparation rules (EnsureRequirements), so `sparkPlan` doesn't have
     // them yet, and under AQE the executedPlan root is an opaque
-    // AdaptiveSparkPlanExec whose toString renders the exchange-bearing
-    // initial plan. Match the exchange NODE renderings ("Exchange
-    // <partitioning>(" / "BroadcastExchange <mode>"), not a bare
-    // "Exchange" substring, which could false-match a file path in the
-    // scan node. BroadcastExchange counts even though it doesn't
-    // repartition the stream side: the probe on a broadcast-bearing plan
-    // would eagerly build the broadcast (not free, violating the zero-jobs
-    // guarantee pinned by ScaleSpec) — a caller that wants a
-    // broadcast-join output fanned out checkpoints first, exactly like the
-    // shuffle-join consumers (q22/q23/q67).
-    val exchangeNode =
-      ("(BroadcastExchange |Exchange (hashpartitioning|rangepartitioning|" +
-        "SinglePartition|RoundRobinPartitioning))").r
+    // AdaptiveSparkPlanExec (a LeafExecNode — tree collect can't see
+    // inside it) whose toString renders the exchange-bearing initial
+    // plan. Match any "Exchange <something>" NODE at a tree position
+    // (line start or after a "+- "/":- " branch prefix) rather than
+    // enumerating partitioning renderings: an unlisted partitioning
+    // (e.g. DSv2 KeyGroupedPartitioning) must still count as an
+    // exchange, and the tree-prefix anchor keeps a file path containing
+    // the word "Exchange" from false-matching. BroadcastExchange counts
+    // even though it doesn't repartition the stream side: the probe on a
+    // broadcast-bearing plan would eagerly build the broadcast (not
+    // free, violating the zero-jobs guarantee pinned by ScaleSpec) — a
+    // caller that wants a broadcast-join output fanned out checkpoints
+    // first, exactly like the shuffle-join consumers (q22/q23/q67).
+    val exchangeNode = "(?m)(^|[+:]- )(BroadcastExchange|Exchange) \\S".r
     val hasExchange =
       exchangeNode.findFirstIn(df.queryExecution.executedPlan.toString).isDefined
     if (hasExchange) df

@@ -289,8 +289,10 @@ class CorpusStatsSpec extends SparkTestBase {
       assert(attr !== Analytics.FunnelSteps(2), "a purchase can never attribute to itself")
       if (attr == "none") assert(r.isNullAt(r.fieldIndex("avg_gap_min")),
         "no prior touch means no gap to average")
-      else assert(r.getAs[Double]("avg_gap_min") > 0.0,
-        "the attributed touch strictly precedes the purchase")
+      else assert(r.getAs[Double]("avg_gap_min") >= 0.0,
+        // >= not >: a touch sharing the purchase's timestamp (tie broken
+        // by event_id) gives gap 0 — causal, not fixture-impossible
+        "the attributed touch cannot follow the purchase")
     }
   }
 }

@@ -198,11 +198,27 @@ class PlanSpec extends SparkTestBase {
                                // construction of the hold-out split, but a
                                // FILTER, not an aggregate/limit, so the
                                // bounded-by-construction probe can't see it
-    def bounded(p: SparkPlan): Boolean = p.exists {
-      case _: BaseAggregateExec         => true
-      case _: LocalLimitExec            => true
-      case _: TakeOrderedAndProjectExec => true
-      case _                            => false
+    // Boundedness is decided from the build side's ROOT cardinality, not
+    // a subtree `exists`: a corpus scan that merely CONTAINS an aggregate
+    // somewhere below (e.g. corpus ⋈ tiny-aggregate) must NOT pass.
+    // Bounded roots: aggregates (group count), limits/top-k; joins are
+    // bounded iff BOTH inputs are (output ≤ |L|·|R|); unary wrappers
+    // (Project/Filter/Exchange/Sort/codegen, and Generate over a bounded
+    // input — centroid-cell posexplode style) pass through to their
+    // child; unions need every branch bounded; leaves (scans) are not.
+    import org.apache.spark.sql.execution.GlobalLimitExec
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    def bounded(p: SparkPlan): Boolean = p match {
+      case _: BaseAggregateExec                               => true
+      case _: LocalLimitExec                                  => true
+      case _: GlobalLimitExec                                 => true
+      case _: TakeOrderedAndProjectExec                       => true
+      case r: ReusedExchangeExec                              => bounded(r.child)
+      case j: BaseJoinExec        => bounded(j.left) && bounded(j.right)
+      case u if u.children.size == 1                          => bounded(u.children.head)
+      case u if u.children.size > 1                           => u.children.forall(bounded)
+      case _                                                  => false // leaf scan
     }
     val noAqe = spark.newSession()
     noAqe.conf.set("spark.sql.adaptive.enabled", "false")

@@ -154,6 +154,14 @@ class PlanSpec extends SparkTestBase {
     val nd = plan(graft.queries.Similarity.q67NearDupLsh(spark, sf))
     assert(!nd.contains("CartesianProduct") && bnljCount(nd) === 0 && hasEquiJoin(nd),
       s"near-dup LSH candidate join degraded to all-pairs:\n$nd")
+    // q101: same contract as q39 for the TRAINED index — centroid
+    // assignment may broadcast-nested-loop (16 trained centroids per
+    // self-join side), the cell pair join must stay an equi-join. The
+    // training loop itself runs at construction; only the probe's plan
+    // is under test here (the per-round plans are q85's, already pinned).
+    val tr = plan(graft.queries.Similarity.q101IvfTrained(spark, sf))
+    assert(!tr.contains("CartesianProduct") && bnljCount(tr) <= 2 && hasEquiJoin(tr),
+      s"trained-IVF cell join degraded to all-pairs:\n$tr")
   }
 
   test("q79 weighted sample is a bounded top-k, never a global sort") {

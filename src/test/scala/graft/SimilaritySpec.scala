@@ -33,4 +33,38 @@ class SimilaritySpec extends SparkTestBase {
     assert(out.filter(col("cos_old_new") < -1.0 || col("cos_old_new") > 1.0).isEmpty)
     out.unpersist()
   }
+
+  test("q101: trained probe is well-formed, cell-consistent, and training moved vectors") {
+    import org.apache.spark.sql.functions._
+    val out = Similarity.q101IvfTrained(spark, sf).cache()
+    assert(out.count() > 0)
+    // per vector: ranks are dense 1..k (k ≤ 3) and sims non-increasing
+    // along them — the bounded top-k aggregate's contract
+    val byVec = out.groupBy(col("vec_id"))
+      .agg(count(lit(1)).as("n"), max(col("rnk")).as("maxr"))
+    assert(byVec.filter(col("n") =!= col("maxr") || col("maxr") > 3).isEmpty,
+      "ranks must be dense 1..k with k <= 3")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("rnk"))
+    assert(out.withColumn("prev", lag(col("sim"), 1).over(w))
+      .filter(col("prev").isNotNull && col("sim") > col("prev")).isEmpty,
+      "sims must be non-increasing down the ranks")
+    // a vector has ONE cell, and every neighbor lives in the same cell
+    // (the probe never crosses cells at nprobe=1)
+    val cellOf = out.select(col("vec_id"), col("cell")).distinct()
+    assert(cellOf.count() === out.select(col("vec_id")).distinct().count(),
+      "a vector must be assigned to exactly one cell")
+    assert(out.join(cellOf.withColumnRenamed("vec_id", "neighbor_id")
+        .withColumnRenamed("cell", "ncell"), Seq("neighbor_id"))
+      .filter(col("cell") =!= col("ncell")).isEmpty,
+      "neighbors must share the query vector's cell")
+    // Lloyd training must actually do something on the fixture: the
+    // trained assignment differs from q39's seeded assignment
+    val seeded = Similarity.q39AnnIvf(spark, sf)
+      .select(col("vec_id"), col("cell").as("scell")).distinct()
+    val moved = cellOf.join(seeded, Seq("vec_id"))
+      .filter(col("cell") =!= col("scell")).count()
+    assert(moved > 0, "training left every vector in its seed cell — not trained")
+    out.unpersist()
+  }
 }

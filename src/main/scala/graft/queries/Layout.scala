@@ -1,0 +1,237 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Storage-layout scale levers, made first-class and oracle-checked.
+  *
+  * Everything else in the engine treats the input layout as given; at
+  * 100 TB the layout IS the optimization. The three levers every large
+  * warehouse deployment turns, each demonstrated end-to-end here (write
+  * the layout, query through it, pin the plan property that makes it
+  * fast):
+  *
+  *   - '''Bucketing''' (q102): pre-hash-partition both sides of a
+  *     recurring fact-fact join on the join key at WRITE time, so every
+  *     subsequent join co-locates by bucket file and plans ZERO shuffle
+  *     under the join — the exchange that would move the whole fact
+  *     table per query is paid once, at load. (The reference pipeline
+  *     re-sorts its table per run; a bucketed layout is the warehouse
+  *     answer to that same cost.)
+  *   - '''Static partition pruning''' (q103): date-partitioned layout +
+  *     a literal date predicate → the scan lists only the matching
+  *     partition directories. At 100 TB with daily partitions, a 3-day
+  *     query reads 3/N of the data before a single task launches.
+  *   - '''Dynamic partition pruning''' (q104): the date predicate lives
+  *     on a DIMENSION, not the fact — Catalyst broadcasts the filtered
+  *     dim, collects its partition keys at runtime, and prunes the fact
+  *     scan with them (visible as `dynamicpruningexpression` in the
+  *     scan's PartitionFilters). This is the star-schema pruning path a
+  *     literal predicate can't express.
+  *
+  * Layout tables are materialized once per (session, sfDir) through the
+  * central memo registry ([[Dedup.registerMemo]]) — the write cost is a
+  * load-time cost, labeled in the bench's `memo_builds` attribution like
+  * every other shared surface, and the snapshot contract matches the rest
+  * of the engine (corpus dirs are immutable for the session's lifetime;
+  * [[Dedup.clearMemos]] drops the layouts with everything else).
+  *
+  * Fixture constants: [[BucketCount]] = 8 buckets suits the ≤600k-row
+  * harness tables (one ~9 MB bucket file each); a 100 TB deployment
+  * sizes buckets to HDFS-block-ish files (thousands of buckets) — the
+  * plan shape demonstrated here is bucket-count-independent, requiring
+  * only equal counts on both join sides. Daily date partitions are the
+  * production convention already (events span 30 days at every sf).
+  */
+object Layout {
+  /** Buckets per table — equal on both join sides, which is all the
+    * co-location proof needs (see class doc for production sizing). */
+  val BucketCount = 8
+
+  /** Root for the materialized layouts: JVM temp space, namespaced per
+    * sf dir. Scratch semantics on purpose — the layouts are derived
+    * state, rebuilt by the memo on first use per session and safely
+    * deletable between runs (exactly like Spark's own spill/temp dirs).
+    */
+  private def layoutRoot: String =
+    s"${sys.props("java.io.tmpdir")}/graft_layout"
+
+  /** Stable filesystem/catalog-safe tag per sf dir, so one session (or
+    * one JVM's shared external catalog) can hold layouts for several sf
+    * dirs without collisions (tests run sf0.001 while the bench runs
+    * sf0.1). */
+  private def sfTag(dir: String): String = {
+    val h = scala.util.hashing.MurmurHash3.stringHash(dir) & 0x7fffffff
+    java.lang.Integer.toHexString(h)
+  }
+
+  /** Delete a stale layout path (previous JVM's leftovers) so
+    * `saveAsTable` always writes into a fresh location — avoids the
+    * non-empty-location CTAS refusal without touching session confs. */
+  private def freshPath(s: SparkSession, p: String): Unit = {
+    val hp = new org.apache.hadoop.fs.Path(p)
+    val fs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(hp)) fs.delete(hp, true)
+  }
+
+  /** Write `table` bucketed by `key` as an external parquet table and
+    * return it as read through the catalog (bucket metadata attached).
+    *
+    * The `repartition(BucketCount, key)` before the write aligns writer
+    * tasks 1:1 with buckets (Spark's bucket hash and `repartition`'s are
+    * the same Murmur3 `HashPartitioning`), so each bucket is exactly ONE
+    * file — the layout that lets a sorted bucketed scan also skip the
+    * join sort, and the file-count discipline (tasks × buckets files
+    * otherwise) any production bucketed load needs.
+    */
+  private def writeBucketed(s: SparkSession, dir: String,
+      table: String, key: String): DataFrame = {
+    val name = s"graft_${table}_b_${sfTag(dir)}"
+    val path = s"$layoutRoot/${sfTag(dir)}/${table}_b"
+    // Reuse-if-exists, keyed on the JVM-shared external catalog: memos are
+    // per (session, dir), but `newSession()` clones (PlanSpec's AQE-off
+    // plan probes) share the catalog AND the files — a clone REBUILD here
+    // would delete the bucket files out from under every other session's
+    // already-resolved frames. The corpus-snapshot contract still holds
+    // (sf dirs are immutable for the JVM's lifetime); a caller that truly
+    // rewrites a dir must drop the `graft_*` layout tables along with
+    // [[Dedup.clearMemos]].
+    if (!s.catalog.tableExists(name)) {
+      freshPath(s, path)
+      Tables.table(s, dir, table)
+        .repartition(BucketCount, col(key))
+        .write.format("parquet")
+        .bucketBy(BucketCount, key)
+        .sortBy(key)
+        .option("path", path)
+        .saveAsTable(name)
+    }
+    s.table(name)
+  }
+
+  private val bucketedLiMemo  = Dedup.registerMemo("bucketed_lineitem")
+  private val bucketedOrdMemo = Dedup.registerMemo("bucketed_orders")
+  private val eventsByDateMemo = Dedup.registerMemo("events_by_date")
+
+  def bucketedLineitem(s: SparkSession, dir: String): DataFrame =
+    Dedup.memoized(bucketedLiMemo, s, dir)(
+      writeBucketed(s, dir, "lineitem", "l_orderkey"))
+
+  def bucketedOrders(s: SparkSession, dir: String): DataFrame =
+    Dedup.memoized(bucketedOrdMemo, s, dir)(
+      writeBucketed(s, dir, "orders", "o_orderkey"))
+
+  /** Events re-laid-out as a date-partitioned external table
+    * (`event_date=YYYY-MM-DD/` directories, the universal warehouse
+    * convention for append-only event data). `repartition(event_date)`
+    * gives one file per partition directory at fixture scale; partition
+    * column type inference reads `event_date` back as a real DATE.
+    */
+  def partitionedEvents(s: SparkSession, dir: String): DataFrame =
+    Dedup.memoized(eventsByDateMemo, s, dir) {
+      val name = s"graft_events_p_${sfTag(dir)}"
+      val path = s"$layoutRoot/${sfTag(dir)}/events_p"
+      // reuse-if-exists: same shared-catalog reasoning as [[writeBucketed]]
+      if (!s.catalog.tableExists(name)) {
+        freshPath(s, path)
+        Tables.events(s, dir)
+          .withColumn("event_date", to_date(col("ts")))
+          .repartition(col("event_date"))
+          .write.format("parquet")
+          .partitionBy("event_date")
+          .option("path", path)
+          .saveAsTable(name)
+      }
+      s.table(name)
+    }
+
+  /** q102: fact-fact revenue rollup through the BUCKETED layout — the
+    * join co-locates by bucket and plans no exchange under the join
+    * (pinned in PlanSpec). The `merge` hint encodes the fact-fact
+    * intent: at 100 TB neither side broadcasts, and the whole point of
+    * the bucketed layout is that the sort-merge join then needs no
+    * shuffle at all; without the hint the ≤9 MB fixture orders table
+    * would take the broadcast path and demonstrate nothing.
+    *
+    * Sums follow the engine's decimal-cast convention (q16): cast each
+    * term to DECIMAL(18,6) so both engines sum exactly and
+    * order-independently, then present as double.
+    */
+  def q102BucketedJoin(s: SparkSession, dir: String): DataFrame = {
+    val li  = bucketedLineitem(s, dir)
+    val ord = bucketedOrders(s, dir).hint("merge")
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .filter(col("o_orderstatus") === "F")
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(18,6)")).cast("double").as("revenue"))
+      .orderBy("o_orderpriority")
+  }
+
+  val q102Sql: String =
+    """SELECT o_orderpriority, COUNT(*) AS n_items,
+      | CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE o_orderstatus = 'F'
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** q103: literal 3-day window over the date-partitioned layout — the
+    * predicate lands in the scan's PartitionFilters (pinned in
+    * PlanSpec), so only 3 of the 30 partition directories are listed or
+    * read. The oracle computes the same dates from raw `ts`. */
+  def q103PartitionPruned(s: SparkSession, dir: String): DataFrame = {
+    val lo = lit("2024-01-10").cast("date")
+    val hi = lit("2024-01-12").cast("date")
+    partitionedEvents(s, dir)
+      .filter(col("event_date").between(lo, hi))
+      .groupBy(col("event_date"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
+      // DATE → TIMESTAMP for the oracle compare, the q46 convention
+      .select(col("event_date").cast("timestamp").as("event_date"),
+        col("event_type"), col("n_events"), col("sum_value"))
+      .orderBy("event_date", "event_type")
+  }
+
+  val q103Sql: String =
+    """SELECT CAST(CAST(ts AS DATE) AS TIMESTAMP) AS event_date, event_type, COUNT(*) AS n_events,
+      | CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+      |FROM events
+      |WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-10' AND DATE '2024-01-12'
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** q104: the same pruning, but the date restriction lives on a
+    * dimension (mid-month days 8–14), joined to the fact on the
+    * partition key — static pruning cannot see it, DYNAMIC partition
+    * pruning broadcasts the filtered dim and prunes the fact scan at
+    * runtime (`dynamicpruningexpression` in its PartitionFilters,
+    * pinned in PlanSpec). The dim here is derived from the partitioned
+    * table itself (distinct partition values — a metadata-sized frame);
+    * a production star schema would join a real date dimension, with
+    * the identical plan shape.
+    */
+  def q104DynamicPruning(s: SparkSession, dir: String): DataFrame = {
+    val ev = partitionedEvents(s, dir)
+    val dim = ev.select(col("event_date")).distinct()
+      .filter(dayofmonth(col("event_date")).between(8, 14))
+    ev.join(dim, Seq("event_date"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
+      .orderBy("event_type")
+  }
+
+  val q104Sql: String =
+    """WITH dim AS (SELECT DISTINCT CAST(ts AS DATE) AS event_date FROM events)
+      |SELECT event_type, COUNT(*) AS n_events,
+      | CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+      |FROM events e JOIN dim d ON CAST(e.ts AS DATE) = d.event_date
+      |WHERE EXTRACT(DAY FROM d.event_date) BETWEEN 8 AND 14
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+}

@@ -247,4 +247,63 @@ class PlanSpec extends SparkTestBase {
       }
     assert(offenders.isEmpty, offenders.mkString("\n", "\n", ""))
   }
+
+  test("q102: the bucketed fact-fact join plans ZERO shuffle under the join") {
+    // The whole point of the bucketed layout: both scans report the
+    // bucket HashPartitioning, so EnsureRequirements inserts no exchange
+    // under the sort-merge join. Probed with AQE off (the suite
+    // convention) so the prepared tree is traversable.
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    val noAqe = spark.newSession()
+    noAqe.conf.set("spark.sql.adaptive.enabled", "false")
+    val p = graft.queries.Layout.q102BucketedJoin(noAqe, sf)
+      .queryExecution.executedPlan
+    val joins = p.collect { case j: SortMergeJoinExec => j }
+    assert(joins.nonEmpty, s"expected a sort-merge join over the buckets:\n$p")
+    joins.foreach { j =>
+      val shuffles = j.collect { case e: ShuffleExchangeExec => e }
+      assert(shuffles.isEmpty,
+        s"bucketed join still shuffles a fact table per query:\n$p")
+    }
+  }
+
+  test("q103: the literal date predicate prunes at the partition level, not per row") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val noAqe = spark.newSession()
+    noAqe.conf.set("spark.sql.adaptive.enabled", "false")
+    val p = graft.queries.Layout.q103PartitionPruned(noAqe, sf)
+      .queryExecution.executedPlan
+    val scans = p.collect { case f: FileSourceScanExec => f }
+    assert(scans.nonEmpty, s"no file scan found:\n$p")
+    val pruned = scans.filter(_.partitionFilters.exists(
+      _.references.exists(_.name == "event_date")))
+    assert(pruned.nonEmpty,
+      s"date predicate did not reach PartitionFilters (scan reads all 30 days):\n$p")
+    // PruneFileSourcePartitions has already swapped in a pruned file
+    // index at planning time, so the scan's own file list is the 3-day
+    // slice — strictly fewer files than the full table's ~30 daily
+    // partitions (which proves both that pruning fired before execution
+    // and that the fixture has enough partitions for it to matter)
+    val prunedFiles = pruned.head.relation.location.inputFiles.length
+    val totalFiles =
+      graft.queries.Layout.partitionedEvents(noAqe, sf).inputFiles.length
+    assert(prunedFiles > 0 && prunedFiles < totalFiles,
+      s"scan lists $prunedFiles of $totalFiles files — pruning did not shrink the listing")
+  }
+
+  test("q104: the dimension filter prunes the fact scan via DYNAMIC partition pruning") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val noAqe = spark.newSession()
+    noAqe.conf.set("spark.sql.adaptive.enabled", "false")
+    val p = graft.queries.Layout.q104DynamicPruning(noAqe, sf)
+      .queryExecution.executedPlan
+    val scans = p.collect { case f: FileSourceScanExec => f }
+    val dpp = scans.filter(_.partitionFilters.exists(
+      _.find(_.isInstanceOf[
+        org.apache.spark.sql.catalyst.expressions.DynamicPruningExpression]).isDefined))
+    assert(dpp.nonEmpty,
+      s"no dynamicpruningexpression in any scan's PartitionFilters — " +
+        s"the fact side reads all partitions despite the dim filter:\n$p")
+  }
 }

@@ -13,9 +13,11 @@ import graft.functions.DotFold
   *     `local[N]`; on a real cluster this would be tuned to ~2-3× total
   *     cores or left to AQE coalescing).
   *   - UTC session timezone — oracle (DuckDB) parity for timestamps.
-  *   - `parquet.nanosAsLong` — the `events` table is TIMESTAMP(NANOS),
-  *     which Spark 4 otherwise rejects; set once here (not as a hidden
-  *     side effect of a table loader) so behavior is call-order-independent.
+  *   - `parquet.nanosAsLong` — TIMESTAMP(NANOS) parquet (older fixture
+  *     drops; raw-nanos test fixtures) otherwise fails the read in Spark 4;
+  *     set once here (not as a hidden side effect of a table loader) so
+  *     behavior is call-order-independent. [[Tables.events]] dispatches on
+  *     the resulting dtype, so both nanos-long and timestamp[us] drops load.
   *   - AQE on (Spark 4 default, made explicit): runtime coalescing of
   *     shuffle partitions and skew-join splitting are part of the scale
   *     design, not an accident of defaults.

@@ -22,18 +22,36 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 rejects by
-    * default. Sessions must be built with
-    * `spark.sql.legacy.parquet.nanosAsLong=true` (see [[Sessions.builder]])
-    * so the column arrives as a nanos long; we truncate to microseconds with
-    * integer division (`DIV`, not `/` — double division would lose precision
-    * on epoch-nanos magnitudes), matching DuckDB's ns→µs truncation so the
-    * oracle sees identical timestamps. The conf is set at session
-    * construction, not here, to keep this loader side-effect-free.
+  /** `events.ts` normalization: downstream always sees a session-TZ
+    * `TimestampType` column, whatever the file encodes. The fixtures have
+    * shipped two encodings:
+    *
+    *   - parquet `timestamp[us]` without UTC adjustment — Spark reads it as
+    *     `TIMESTAMP_NTZ`; cast to `TimestampType`. The session timezone is
+    *     pinned to UTC ([[Sessions.builder]]), so the cast reinterprets the
+    *     wall-clock value as the identical UTC instant — exactly how the
+    *     DuckDB oracle treats the same naive column.
+    *   - parquet TIMESTAMP(NANOS), which Spark 4 rejects unless
+    *     `spark.sql.legacy.parquet.nanosAsLong=true` (set in
+    *     [[Sessions.builder]]) delivers it as a nanos long; truncate to
+    *     microseconds with integer division (`DIV`, not `/` — double
+    *     division would lose precision at epoch-nanos magnitudes), matching
+    *     DuckDB's ns→µs truncation. Tests also write raw-nanos long fixtures
+    *     through this path (TrainingDataSpec's cross-epoch q54 case).
+    *
+    * Dispatch is on the column's read dtype, so the loader needs no flag and
+    * stays side-effect-free.
     */
-  def events(s: SparkSession, d: String): DataFrame =
-    table(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+  def events(s: SparkSession, d: String): DataFrame = {
+    val df = table(s, d, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => df
+    }
+  }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 

@@ -208,7 +208,7 @@ object Dedup {
   /** Drop every memoized frame (see the snapshot contract above). */
   def clearMemos(): Unit = allMemos.forEach(_.clear())
 
-  private def q22Cached(s: SparkSession, dir: String): DataFrame =
+  private[graft] def q22Cached(s: SparkSession, dir: String): DataFrame =
     memoized(q22Memo, s, dir)(q22Fresh(s, dir).localCheckpoint(true))
 
   /** q22: n-gram Jaccard near-dup pairs (J ≥ [[JaccardT]] on word

@@ -142,4 +142,64 @@ object Temporal {
         round(expr("percentile(o_totalprice, 0.5D)"), 6).as("exact_p50"),
         round(expr("percentile(o_totalprice, 0.99D)"), 6).as("exact_p99"))
       .orderBy(col("o_orderstatus"))
+
+  /** q106: SCD2-style state-history compaction (gaps-and-islands). Each
+    * user's event stream collapses to versioned state intervals: a run of
+    * consecutive identical `event_type` values becomes ONE row with
+    * `[valid_from, valid_to)` validity (half-open, `valid_to` = next run's
+    * start, NULL while current) — the standard slowly-changing-dimension
+    * history build that turns an append-only event log into a
+    * point-in-time-queryable state table. Island detection is the lag →
+    * change-flag → running-sum pattern; the run id doubles as the per-user
+    * version number (1-based).
+    *
+    * Scale shape: both windows partition by user_id (never global), and
+    * the run-collapse groupBy((user_id, version)) aligns with the window
+    * partitioning so the sort-shuffle is paid once; the second window runs
+    * over the RUNS frame (state-change-sized, ≪ events). Validity bounds
+    * ship as epoch micros — a nullable timestamp would trip ns-vs-µs NaT
+    * coercion in pandas-based comparators (same note as q37).
+    */
+  def q106StateHistory(s: SparkSession, dir: String): DataFrame = {
+    val wOrd = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+    val prev = lag(col("event_type"), 1).over(wOrd)
+    val flagged = events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_type"))
+      .withColumn("chg",
+        when(prev.isNull || prev =!= col("event_type"), 1L).otherwise(0L))
+      .withColumn("version", sum(col("chg"))
+        .over(wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val runs = flagged.groupBy(col("user_id"), col("version"))
+      .agg(min(col("event_type")).as("state"),
+        min(col("ts")).as("vf"),
+        count(lit(1)).as("n_events"))
+    val wNext = Window.partitionBy(col("user_id")).orderBy(col("version"))
+    runs
+      .select(col("user_id"), col("version"), col("state"),
+        unix_micros(col("vf")).as("valid_from_us"),
+        unix_micros(lead(col("vf"), 1).over(wNext)).as("valid_to_us"),
+        col("n_events"))
+      .orderBy(col("user_id"), col("version"))
+  }
+
+  val q106Sql: String =
+    """WITH f AS (
+      |  SELECT user_id, ts, event_type,
+      |    CASE WHEN lag(event_type) OVER (PARTITION BY user_id ORDER BY ts)
+      |         IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS chg
+      |  FROM events),
+      |v AS (
+      |  SELECT user_id, ts, event_type,
+      |    CAST(SUM(chg) OVER (PARTITION BY user_id ORDER BY ts
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS version
+      |  FROM f),
+      |runs AS (
+      |  SELECT user_id, version, min(event_type) AS state, min(ts) AS vf,
+      |    CAST(count(*) AS BIGINT) AS n_events
+      |  FROM v GROUP BY user_id, version)
+      |SELECT user_id, version, state,
+      | epoch_us(vf) AS valid_from_us,
+      | epoch_us(lead(vf) OVER (PARTITION BY user_id ORDER BY version)) AS valid_to_us,
+      | n_events
+      |FROM runs ORDER BY user_id, version""".stripMargin
 }

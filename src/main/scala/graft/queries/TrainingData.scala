@@ -834,4 +834,95 @@ object TrainingData {
        | CAST(SUM(CASE WHEN qok AND kept AND clean AND samp THEN 1 ELSE 0 END) AS BIGINT)
        |   AS n_sampled
        |FROM flags GROUP BY lang ORDER BY lang""".stripMargin
+
+  // ---------------------------------------------------------------- q105
+
+  /** q105: leakage-safe train/val/test split. q48's per-document hash
+    * split has a known eval-contamination failure mode: two near-duplicate
+    * documents can land in different splits, so the model trains on a copy
+    * of its own test data. The fix is to make the SPLIT UNIT the near-dup
+    * connected component, not the document — hash the component label
+    * (singletons label themselves), and every member inherits the
+    * component's split. Output: per-split corpus composition plus a leak
+    * audit measuring cross-split near-dup pairs under BOTH schemes —
+    * structurally 0 for the component scheme (an edge's endpoints share a
+    * component by construction; the query MEASURES it rather than assuming
+    * it), and a genuine contamination count for the naive scheme.
+    *
+    * Scale shape: component labels are memoized from q45 (pair-graph-sized,
+    * ≪ corpus) and ride one id-keyed equi-join onto a single corpus scan;
+    * the split is a map-side pure function of the component id (same
+    * salted-hash machinery as q47-q49, reproducible across engines and
+    * retries). The leak audit joins the memoized pair set to the
+    * pair-graph-sized label frame by id — never to the corpus — and its
+    * 1-row result broadcasts onto the 3-row stats frame.
+    */
+  def q105LeakageSafeSplit(s: SparkSession, dir: String): DataFrame = {
+    def splitOf(u: Column): Column =
+      when(u < 0.8, "train").when(u < 0.9, "val").otherwise("test")
+    val labels = Dedup.componentLabels(s, dir).select(col("doc"), col("comp"))
+    val assigned = documents(s, dir)
+      .select(col("doc_id"), col("n_chars"))
+      .join(labels, col("doc_id") === col("doc"), "left")
+      .withColumn("comp_id", coalesce(col("comp"), col("doc_id")))
+      .withColumn("split", splitOf(uhash(col("comp_id"), "q105")))
+    // Leak audit on the pair graph alone: both endpoints of every near-dup
+    // pair are in `labels`, so the corpus never enters this subtree.
+    val sides = labels
+      .withColumn("c_split", splitOf(uhash(col("comp"), "q105")))
+      .withColumn("d_split", splitOf(uhash(col("doc"), "q48")))
+    val leaks = Dedup.q22Cached(s, dir)
+      .select(col("doc_a"), col("doc_b"))
+      .join(sides.select(col("doc").as("pa"), col("c_split").as("ca"),
+        col("d_split").as("da")), col("doc_a") === col("pa"))
+      .join(sides.select(col("doc").as("pb"), col("c_split").as("cb"),
+        col("d_split").as("db")), col("doc_b") === col("pb"))
+      .agg(
+        coalesce(sum(when(col("ca") =!= col("cb"), 1L).otherwise(0L)), lit(0L))
+          .as("comp_leaked_pairs"),
+        coalesce(sum(when(col("da") =!= col("db"), 1L).otherwise(0L)), lit(0L))
+          .as("naive_leaked_pairs"))
+    assigned.groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("comp_id")).as("n_components"),
+        sum(col("n_chars")).as("sum_chars"))
+      .join(broadcast(leaks))
+      .orderBy(col("split"))
+  }
+
+  val q105Sql: String =
+    s"""WITH RECURSIVE ${Dedup.sqlComponentsCtes},
+       |asg AS (
+       |  SELECT d.doc_id, d.n_chars, COALESCE(l.comp, d.doc_id) AS comp_id
+       |  FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc),
+       |sp AS (
+       |  SELECT doc_id, n_chars, comp_id,
+       |    CASE WHEN ${uhashSql("comp_id", "q105")} < 0.8 THEN 'train'
+       |         WHEN ${uhashSql("comp_id", "q105")} < 0.9 THEN 'val'
+       |         ELSE 'test' END AS split
+       |  FROM asg),
+       |sides AS (
+       |  SELECT doc,
+       |    CASE WHEN ${uhashSql("comp", "q105")} < 0.8 THEN 'train'
+       |         WHEN ${uhashSql("comp", "q105")} < 0.9 THEN 'val'
+       |         ELSE 'test' END AS c_split,
+       |    CASE WHEN ${uhashSql("doc", "q48")} < 0.8 THEN 'train'
+       |         WHEN ${uhashSql("doc", "q48")} < 0.9 THEN 'val'
+       |         ELSE 'test' END AS d_split
+       |  FROM labels),
+       |lk AS (
+       |  SELECT
+       |    CAST(COALESCE(SUM(CASE WHEN a.c_split <> b.c_split THEN 1 ELSE 0 END), 0)
+       |      AS BIGINT) AS comp_leaked_pairs,
+       |    CAST(COALESCE(SUM(CASE WHEN a.d_split <> b.d_split THEN 1 ELSE 0 END), 0)
+       |      AS BIGINT) AS naive_leaked_pairs
+       |  FROM near JOIN sides a ON near.doc_a = a.doc
+       |            JOIN sides b ON near.doc_b = b.doc)
+       |SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       | CAST(COUNT(DISTINCT comp_id) AS BIGINT) AS n_components,
+       | CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       | comp_leaked_pairs, naive_leaked_pairs
+       |FROM sp CROSS JOIN lk
+       |GROUP BY split, comp_leaked_pairs, naive_leaked_pairs
+       |ORDER BY split""".stripMargin
 }

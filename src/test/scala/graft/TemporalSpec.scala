@@ -29,4 +29,38 @@ class TemporalSpec extends SparkTestBase {
       }
     }
   }
+
+  test("q106: intervals tile per user, runs alternate states, and every event is covered") {
+    import org.apache.spark.sql.functions._
+    val out = Temporal.q106StateHistory(spark, sf).cache()
+    // run-length conservation: the compaction loses no events
+    assert(out.agg(sum(col("n_events"))).head.getLong(0) ===
+      Tables.events(spark, sf).count())
+    val perUser = out.collect().groupBy(_.getAs[Long]("user_id"))
+    perUser.values.foreach { rows =>
+      val sorted = rows.sortBy(_.getAs[Long]("version"))
+      // versions are dense from 1
+      assert(sorted.map(_.getAs[Long]("version")).toSeq === (1L to sorted.length).toSeq)
+      sorted.sliding(2).filter(_.length == 2).foreach { case Array(a, b) =>
+        // half-open tiling: this run ends exactly where the next begins
+        assert(a.getAs[Long]("valid_to_us") === b.getAs[Long]("valid_from_us"))
+        // maximal compaction: consecutive runs never share a state
+        assert(a.getAs[String]("state") !== b.getAs[String]("state"))
+      }
+      // only the newest run is open-ended
+      assert(sorted.init.forall(!_.isNullAt(sorted.head.fieldIndex("valid_to_us"))))
+      assert(sorted.last.isNullAt(sorted.head.fieldIndex("valid_to_us")))
+    }
+    // point-in-time correctness: each event's covering interval carries
+    // the event's own state (intervals are half-open [from, to))
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id").as("u"), unix_micros(col("ts")).as("t"),
+        col("event_type").as("et"))
+    val bad = ev.join(out, col("u") === col("user_id")
+        && col("t") >= col("valid_from_us")
+        && (col("valid_to_us").isNull || col("t") < col("valid_to_us")))
+      .filter(col("et") =!= col("state"))
+    assert(bad.isEmpty, "an event fell inside an interval of a different state")
+    out.unpersist()
+  }
 }

@@ -33,6 +33,31 @@ class TrainingDataSpec extends SparkTestBase {
     assert(splits.subsetOf(Set("train", "val", "test")))
   }
 
+  test("q105: component split partitions the corpus, conserves components, and leaks zero pairs") {
+    val out = TrainingData.q105LeakageSafeSplit(spark, sf).cache()
+    val rows = out.collect()
+    // splits partition the corpus
+    assert(rows.map(_.getAs[Long]("n_docs")).sum ===
+      Tables.documents(spark, sf).count())
+    // component conservation: summing per-split distinct components equals
+    // the corpus-wide component count — with zero edge leakage (below) and
+    // edge-connectivity of components, this proves every component lands
+    // WHOLLY in one split (a straddling component would be counted twice).
+    val labels = graft.queries.Dedup.componentLabels(spark, sf)
+    val totalComps = Tables.documents(spark, sf).select(col("doc_id"))
+      .join(labels, col("doc_id") === col("doc"), "left")
+      .select(coalesce(col("comp"), col("doc_id")).as("c"))
+      .distinct().count()
+    assert(rows.map(_.getAs[Long]("n_components")).sum === totalComps)
+    // the audit MEASURES zero cross-split near-dup pairs for the component
+    // scheme; the naive per-doc scheme's count is a nonnegative constant
+    // replicated on every row
+    assert(rows.forall(_.getAs[Long]("comp_leaked_pairs") === 0L))
+    val naive = rows.map(_.getAs[Long]("naive_leaked_pairs")).distinct
+    assert(naive.length === 1 && naive.head >= 0L)
+    out.unpersist()
+  }
+
   test("q49: mixture fan-out is bounded by the weight ceiling and matches the copies column") {
     val out = TrainingData.q49SourceMixture(spark, sf).cache()
     // weight ∈ {0.5, 1.25, 2.0, 2.75} ⇒ copies ∈ [0, 3]; copy_idx ≤ copies

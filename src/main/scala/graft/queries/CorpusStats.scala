@@ -503,4 +503,113 @@ object CorpusStats {
       | ROUND(CAST(n_tok AS DOUBLE) / n_total, 6) AS share,
       | ROUND(CAST(cum_tok AS DOUBLE) / n_total, 6) AS cum_share
       |FROM p CROSS JOIN t ORDER BY rnk""".stripMargin
+
+  // ---------------------------------------------------------------- q107
+
+  /** Number of unrolled BPE merge rounds (q107). Small and FIXED so the
+    * oracle can unroll the identical rounds as CTEs.
+    */
+  val BpeRounds: Int = 3
+
+  /** q107: BPE-style merge-rule induction — the counting core of
+    * byte-pair-encoding tokenizer TRAINING, run at the word level (symbols
+    * start as whitespace tokens; each round merges the corpus-wide most
+    * frequent adjacent symbol pair into one symbol, `left_sym_right_sym`).
+    * Output is the learned merge table: one rule per round with its
+    * support count — the artifact a tokenizer trainer persists.
+    *
+    * Distributed shape, per round:
+    *   1. adjacent-pair counts — q86's bigram explode → hash aggregate
+    *      (pair-vocabulary keyspace, map-side partials);
+    *   2. the argmax rule — `TakeOrderedAndProject` top-1 with a total
+    *      (count DESC, left, right) tie order so both engines pick the
+    *      same rule deterministically;
+    *   3. greedy leftmost non-overlapping merge applied corpus-wide as a
+    *      map-only string rewrite against the BROADCAST 1-row rule.
+    * The rewritten corpus is eagerly localCheckpoint'd each round (the
+    * q45/q97/q101 iterative pattern: corpus-sized state, constant lineage
+    * depth), while the rule frames keep their top-k roots so every
+    * broadcast build side stays bounded by construction (PlanSpec's
+    * suite-wide nested-loop guard).
+    *
+    * The merge itself uses plain leftmost `replace` in BOTH engines, on a
+    * space-doubled rendering (` l  r ` → ` l_r `): doubling gives every
+    * token its own delimiters, so consecutive matches don't contend for a
+    * shared space and the scan order implements exactly BPE's greedy
+    * left-to-right non-overlapping semantics ("a a a a" → "a_a a_a",
+    * "a a a" → "a_a a").
+    */
+  def q107BpeMerges(s: SparkSession, dir: String): DataFrame = {
+    val docs0 = resplit(documents(s, dir).select(col("doc_id"), col("text")))
+      .select(col("doc_id"), array_join(words(col("text")), " ").as("txt"))
+      .localCheckpoint(true)
+    def pairCounts(docs: DataFrame): DataFrame =
+      docs.select(split(col("txt"), " ").as("ww"))
+        .filter(size(col("ww")) >= 2)
+        .select(explode(transform(sequence(lit(1), size(col("ww")) - 1),
+          i => struct(element_at(col("ww"), i).as("l"),
+            element_at(col("ww"), i + 1).as("r")))).as("b"))
+        .groupBy(col("b.l").as("left_sym"), col("b.r").as("right_sym"))
+        .agg(count(lit(1)).as("pair_count"))
+    def topRule(docs: DataFrame): DataFrame =
+      pairCounts(docs)
+        .orderBy(col("pair_count").desc, col("left_sym"), col("right_sym"))
+        .limit(1)
+    def applyMerge(docs: DataFrame, rule: DataFrame): DataFrame =
+      docs.crossJoin(broadcast(rule.select(col("left_sym"), col("right_sym"))))
+        .select(col("doc_id"), trim(regexp_replace(
+          expr("replace(concat(' ', replace(txt, ' ', '  '), ' '), " +
+            "concat(' ', left_sym, '  ', right_sym, ' '), " +
+            "concat(' ', left_sym, '_', right_sym, ' '))"),
+          " +", " ")).as("txt"))
+    val (rulesRev, _) = (1 to BpeRounds)
+      .foldLeft((List.empty[DataFrame], docs0)) { case ((acc, docs), r) =>
+        val rule = topRule(docs)
+        val next = applyMerge(docs, rule).localCheckpoint(true)
+        (rule.withColumn("round", lit(r.toLong)) :: acc, next)
+      }
+    rulesRev.reverse.reduce(_ unionByName _)
+      .select(col("round"), col("left_sym"), col("right_sym"),
+        concat(col("left_sym"), lit("_"), col("right_sym")).as("merged"),
+        col("pair_count"))
+      .orderBy(col("round"))
+  }
+
+  val q107Sql: String = {
+    def pc(src: String): String =
+      s"""SELECT bg.l AS left_sym, bg.r AS right_sym, CAST(count(*) AS BIGINT) AS pair_count
+         |  FROM (
+         |    SELECT unnest(CASE WHEN len(ww) >= 2
+         |      THEN list_transform(range(1, len(ww)),
+         |             i -> struct_pack(l := ww[i], r := ww[i+1]))
+         |      ELSE [] END) AS bg
+         |    FROM (SELECT string_split(txt, ' ') AS ww FROM $src))
+         |  GROUP BY 1, 2""".stripMargin
+    def merge(src: String, rule: String): String =
+      s"""SELECT doc_id, trim(regexp_replace(
+         |    replace(' ' || replace(txt, ' ', '  ') || ' ',
+         |            ' ' || $rule.left_sym || '  ' || $rule.right_sym || ' ',
+         |            ' ' || $rule.left_sym || '_' || $rule.right_sym || ' '),
+         |    ' +', ' ', 'g')) AS txt
+         |  FROM $src, $rule""".stripMargin
+    s"""WITH w0 AS (
+       |  SELECT doc_id,
+       |    array_to_string(regexp_split_to_array(trim(text), '\\s+'), ' ') AS txt
+       |  FROM documents),
+       |c1 AS (${pc("w0")}),
+       |t1 AS (SELECT * FROM c1 ORDER BY pair_count DESC, left_sym, right_sym LIMIT 1),
+       |w1 AS (${merge("w0", "t1")}),
+       |c2 AS (${pc("w1")}),
+       |t2 AS (SELECT * FROM c2 ORDER BY pair_count DESC, left_sym, right_sym LIMIT 1),
+       |w2 AS (${merge("w1", "t2")}),
+       |c3 AS (${pc("w2")}),
+       |t3 AS (SELECT * FROM c3 ORDER BY pair_count DESC, left_sym, right_sym LIMIT 1)
+       |SELECT CAST(1 AS BIGINT) AS round, left_sym, right_sym,
+       |  left_sym || '_' || right_sym AS merged, pair_count FROM t1
+       |UNION ALL SELECT 2, left_sym, right_sym,
+       |  left_sym || '_' || right_sym, pair_count FROM t2
+       |UNION ALL SELECT 3, left_sym, right_sym,
+       |  left_sym || '_' || right_sym, pair_count FROM t3
+       |ORDER BY round""".stripMargin
+  }
 }

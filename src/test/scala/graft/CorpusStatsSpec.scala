@@ -295,4 +295,48 @@ class CorpusStatsSpec extends SparkTestBase {
         "the attributed touch cannot follow the purchase")
     }
   }
+
+  test("q107: hand-computed merges — greedy non-overlap, tie-break, and rule chaining") {
+    // corpus: "a a a a" (3 (a,a) pairs), "a a a" (2), "b c b c b"
+    // round 1: (a,a)=5 wins; greedy rewrite → "a_a a_a" / "a_a a" (NOT
+    //          "a_a a_a a" from overlapping matches)
+    // round 2: (b,c)=2 wins the (b,c)/(c,b) tie lexicographically
+    // round 3: all pairs count 1; (a_a, a) is the (left, right) minimum
+    val dir = java.nio.file.Files.createTempDirectory("graft_bpe").toString
+    import spark.implicits._
+    Seq((1L, "a a a a", "en", "web", 7L), (2L, "a a a", "en", "web", 5L),
+      (3L, "b c b c b", "en", "web", 9L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = CorpusStats.q107BpeMerges(spark, dir)
+      .collect().map(r => (r.getAs[Long]("round"), r.getAs[String]("left_sym"),
+        r.getAs[String]("right_sym"), r.getAs[String]("merged"),
+        r.getAs[Long]("pair_count"))).toSeq
+    assert(got === Seq(
+      (1L, "a", "a", "a_a", 5L),
+      (2L, "b", "c", "b_c", 2L),
+      (3L, "a_a", "a", "a_a_a", 1L)))
+  }
+
+  test("q107: real-corpus merge table is well-formed and support is non-increasing") {
+    val rows = CorpusStats.q107BpeMerges(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("round")).toSeq === (1L to BpeRounds.toLong))
+    // every adjacent pair in round r+1 maps injectively into a round-r
+    // pair ((x, l_r) instances come from old (x, l) ones), so the winning
+    // support can never grow across rounds
+    val support = rows.map(_.getAs[Long]("pair_count"))
+    assert(support.zip(support.tail).forall { case (a, b) => a >= b })
+    // round 1 equals an independently computed corpus bigram argmax
+    val ww = Tables.documents(spark, sf)
+      .select(graft.functions.TextFns.words(col("text")).as("ww"))
+      .filter(size(col("ww")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(ww) - 1), i -> struct(element_at(ww, i) AS l, element_at(ww, i + 1) AS r))")).as("b"))
+      .groupBy(col("b.l"), col("b.r")).count()
+      .orderBy(col("count").desc, col("l"), col("r")).limit(1)
+      .head()
+    assert((rows.head.getAs[String]("left_sym"), rows.head.getAs[String]("right_sym"),
+      rows.head.getAs[Long]("pair_count")) ===
+      (ww.getAs[String]("l"), ww.getAs[String]("r"), ww.getAs[Long]("count")))
+  }
 }

@@ -620,4 +620,111 @@ object Dedup {
        |SELECT doc, deg, ROUND(pr, 6) AS pagerank FROM it3
        |ORDER BY pagerank DESC, doc""".stripMargin
   }
+
+  // ---------------------------------------------------------------- q108
+
+  /** q108: incremental near-dup ingest — dedup a DELTA batch (today's
+    * crawl, stood in by `doc_id % 10 = 3`) against the BASE corpus without
+    * any base×base work. This is the operation a production pipeline runs
+    * per increment: the base's banded MinHash signatures are the persisted
+    * INDEX; the delta computes its own signatures, probes the index with a
+    * band equi-join (delta-sized fan-out only), and candidates are
+    * exact-verified by re-joining shingle sets BY ID (q23's ids-only
+    * band-shuffle rule). Output is the ingest decision per delta document
+    * — `dup` (≥1 base near-dup, with match count and best Jaccard) or
+    * `novel` — anchored on the delta docs so zero-match documents can't
+    * vanish (q70's report rule).
+    *
+    * Scale: per-increment cost is O(delta signatures + band probe +
+    * candidate verify); the base index is scanned once and never
+    * self-joined — the whole point of incremental ingest at 100 TB, where
+    * re-running q23 over base∪delta would redo the base×base quadrant
+    * daily. (Here the base signatures are recomputed per run since the
+    * harness persists nothing between invocations; the JOIN SHAPE — probe
+    * vs index, never index vs index — is the scale property, and the spec
+    * pins q108's dup set to q23's full pair list restricted to delta-base
+    * pairs, so the shortcut provably loses nothing.)
+    */
+  def q108IncrementalDedup(s: SparkSession, dir: String): DataFrame = {
+    val ex = shingleRows(s, dir).withColumn("h32", hash32(col("shingle")))
+    val minCols = (0 until MinHashK).map(j =>
+      min((col("h32") * MinHashA(j) + MinHashB(j)) % MinHashPrime).as(s"m$j"))
+    val aggs = minCols :+ count(lit(1)).as("n") :+ collect_list(col("shingle")).as("sh")
+    val state = ex.groupBy(col("doc_id"))
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("sig", array((0 until MinHashK).map(j => col(s"m$j")): _*))
+      .select(col("doc_id"), col("sig"), col("n").cast("long").as("n"), col("sh"))
+      .localCheckpoint(true)
+    val bands = state.select(col("doc_id"), col("sig"),
+      explode(sequence(lit(0), lit(MinHashBands - 1))).as("band"))
+      .withColumn("band_sig",
+        array_join(slice(col("sig"), col("band") * MinHashRowsPerBand + 1, lit(MinHashRowsPerBand)), ","))
+      .select(col("doc_id"), col("band"), col("band_sig"))
+    val isDelta = col("doc_id") % 10 === 3
+    val cand = resplit(bands.filter(isDelta).as("d")
+      .join(bands.filter(!isDelta).as("b"),
+        col("d.band") === col("b.band") && col("d.band_sig") === col("b.band_sig"))
+      .select(col("d.doc_id").as("delta_id"), col("b.doc_id").as("base_id"))
+      .distinct()
+      .localCheckpoint(true))
+    val matches = cand
+      .join(state.as("sa"), col("delta_id") === col("sa.doc_id"))
+      .join(state.as("sb"), col("base_id") === col("sb.doc_id"))
+      .withColumn("inter", size(array_intersect(col("sa.sh"), col("sb.sh"))).cast("long"))
+      .withColumn("jacc_raw", col("inter").cast("double")
+        / (col("sa.n") + col("sb.n") - col("inter")).cast("double"))
+      .filter(col("jacc_raw") >= JaccardT)
+      .groupBy(col("delta_id"))
+      .agg(count(lit(1)).as("nm"), round(max(col("jacc_raw")), 6).as("bj"))
+    documents(s, dir).filter(isDelta).select(col("doc_id"), col("lang"))
+      .join(matches, col("doc_id") === col("delta_id"), "left")
+      .select(col("doc_id"), col("lang"),
+        coalesce(col("nm"), lit(0L)).as("n_base_matches"),
+        col("bj").as("best_jaccard"),
+        when(col("delta_id").isNotNull, "dup").otherwise("novel").as("verdict"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q108Sql: String = {
+    val aList = MinHashA.mkString("[", ", ", "]")
+    val bList = MinHashB.mkString("[", ", ", "]")
+    s"""WITH $sqlShingles,
+       |docs AS (
+       |  SELECT doc_id, list(s) AS sh FROM sh GROUP BY doc_id),
+       |sigs AS (
+       |  SELECT doc_id, sh, CAST(len(sh) AS BIGINT) AS n,
+       |   list_transform(range(0, $MinHashK), j ->
+       |     list_min(list_transform(sh, s ->
+       |       (($aList)[j + 1] * CAST(concat('0x', substr(md5(s), 1, 8)) AS BIGINT)
+       |        + ($bList)[j + 1]) % $MinHashPrime))) AS sig
+       |  FROM docs),
+       |bands AS (
+       |  SELECT doc_id, sh, n, sig, band,
+       |   array_to_string(sig[band * $MinHashRowsPerBand + 1 : band * $MinHashRowsPerBand + $MinHashRowsPerBand], ',') AS band_sig
+       |  FROM sigs, unnest(range(0, $MinHashBands)) AS t(band)),
+       |cand AS (
+       |  SELECT DISTINCT d.doc_id AS delta_id, b.doc_id AS base_id,
+       |   d.sh AS sh_a, b.sh AS sh_b, d.n AS na, b.n AS nb
+       |  FROM bands d JOIN bands b
+       |    ON d.band = b.band AND d.band_sig = b.band_sig
+       |   AND d.doc_id % 10 = 3 AND b.doc_id % 10 <> 3),
+       |scored AS (
+       |  SELECT delta_id, base_id,
+       |   CAST(len(list_intersect(sh_a, sh_b)) AS BIGINT) AS inter, na, nb
+       |  FROM cand),
+       |m AS (
+       |  SELECT delta_id, CAST(count(*) AS BIGINT) AS n_base_matches,
+       |   ROUND(MAX(CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE)), 6)
+       |     AS best_jaccard
+       |  FROM scored
+       |  WHERE CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE) >= $JaccardT
+       |  GROUP BY delta_id)
+       |SELECT d.doc_id, d.lang,
+       | COALESCE(m.n_base_matches, 0) AS n_base_matches,
+       | m.best_jaccard,
+       | CASE WHEN m.delta_id IS NOT NULL THEN 'dup' ELSE 'novel' END AS verdict
+       |FROM documents d LEFT JOIN m ON d.doc_id = m.delta_id
+       |WHERE d.doc_id % 10 = 3
+       |ORDER BY d.doc_id""".stripMargin
+  }
 }

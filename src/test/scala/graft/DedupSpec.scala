@@ -168,4 +168,30 @@ class DedupSpec extends SparkTestBase {
     val floorPr = (1.0 - Dedup.PrDamping) / nodes.size
     assert(pr.forall(_.getAs[Double]("pagerank") >= floorPr - 1e-9))
   }
+
+  test("q108: incremental ingest equals q23's full run restricted to delta-base pairs") {
+    def isDelta(id: Long): Boolean = id % 10 == 3
+    val out = Dedup.q108IncrementalDedup(spark, sf).cache()
+    // delta anchoring: exactly one verdict row per delta document
+    val deltaIds = Tables.documents(spark, sf).select("doc_id").collect()
+      .map(_.getLong(0)).filter(isDelta).toSet
+    val outIds = out.collect().map(_.getAs[Long]("doc_id"))
+    assert(outIds.length === deltaIds.size && outIds.toSet === deltaIds)
+    // the probe-vs-index shortcut provably loses nothing: its dup set
+    // equals the full q23 pair list filtered to (delta, base) pairs —
+    // both use the same bands, so candidates and verification coincide
+    val expectDup = Dedup.q23MinHashLsh(spark, sf).select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .flatMap { case (a, b) =>
+        (if (isDelta(a) && !isDelta(b)) Seq(a) else Nil) ++
+          (if (isDelta(b) && !isDelta(a)) Seq(b) else Nil)
+      }.toSet
+    val gotDup = out.filter(col("verdict") === "dup")
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(gotDup === expectDup)
+    // verdict/columns consistency: dup ⟺ matches > 0 ⟺ best_jaccard present
+    assert(out.filter((col("verdict") === "dup") =!= (col("n_base_matches") > 0)).isEmpty)
+    assert(out.filter((col("verdict") === "dup") =!= col("best_jaccard").isNotNull).isEmpty)
+    out.unpersist()
+  }
 }

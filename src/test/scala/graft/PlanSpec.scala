@@ -84,6 +84,35 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("SinglePartition"), s"global shuffle collapsed to one partition:\n$p")
   }
 
+  test("q106: one user_id shuffle serves the window chain AND the run collapse") {
+    // hashpartitioning(user_id) satisfies both window partitionings and
+    // the groupBy((user_id, version)) clustering (subset rule), so the
+    // whole lag → running-sum → collapse → next-start chain pays exactly
+    // one hash exchange; anything more means a re-shuffle crept in.
+    val p = plan(graft.queries.Temporal.q106StateHistory(spark, sf))
+    val hashEx = p.split("Exchange hashpartitioning").length - 1
+    assert(hashEx == 1, s"window/collapse chain re-shuffles ($hashEx hash exchanges):\n$p")
+    assert(!p.contains("SinglePartition"), s"unpartitioned stage:\n$p")
+  }
+
+  test("q107: the returned merge table is checkpoint-fed aggregates — no join, 3 pair shuffles") {
+    // The per-round crossJoins against the broadcast rule happen at BUILD
+    // time (eagerly checkpointed); the final frame must be the union of
+    // the three pair-count aggregates over checkpointed corpus state —
+    // one hash exchange per round, no join of any kind.
+    val p = plan(graft.queries.CorpusStats.q107BpeMerges(spark, sf))
+    assert(!p.contains("Join"), s"final merge-table plan grew a join:\n$p")
+    val hashEx = p.split("Exchange hashpartitioning").length - 1
+    assert(hashEx == BpeRoundsRef, s"expected $BpeRoundsRef pair-count shuffles, got $hashEx:\n$p")
+  }
+  private val BpeRoundsRef = graft.queries.CorpusStats.BpeRounds
+
+  test("q108: incremental probe is equi-join only — no all-pairs anywhere") {
+    val p = plan(Dedup.q108IncrementalDedup(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoopJoin"),
+      s"band probe or verify degraded to all-pairs:\n$p")
+  }
+
   test("suite-wide: no query plans an unpartitioned window or an unbounded single-partition shuffle") {
     // The q50 class of regression (row_number() OVER (ORDER BY …) with no
     // PARTITION BY → one task sorts the whole input) must never silently

@@ -645,24 +645,43 @@ object Dedup {
     * pins q108's dup set to q23's full pair list restricted to delta-base
     * pairs, so the shortcut provably loses nothing.)
     */
-  def q108IncrementalDedup(s: SparkSession, dir: String): DataFrame = {
+  /** Per-doc MinHash state (doc_id, sig, n, sh) for every document —
+    * q108's index substrate, eagerly checkpointed (band explode, probe,
+    * and both verify sides all read it).
+    */
+  private[graft] def minhashState(s: SparkSession, dir: String): DataFrame = {
     val ex = shingleRows(s, dir).withColumn("h32", hash32(col("shingle")))
     val minCols = (0 until MinHashK).map(j =>
       min((col("h32") * MinHashA(j) + MinHashB(j)) % MinHashPrime).as(s"m$j"))
     val aggs = minCols :+ count(lit(1)).as("n") :+ collect_list(col("shingle")).as("sh")
-    val state = ex.groupBy(col("doc_id"))
+    ex.groupBy(col("doc_id"))
       .agg(aggs.head, aggs.tail: _*)
       .withColumn("sig", array((0 until MinHashK).map(j => col(s"m$j")): _*))
       .select(col("doc_id"), col("sig"), col("n").cast("long").as("n"), col("sh"))
       .localCheckpoint(true)
-    val bands = state.select(col("doc_id"), col("sig"),
+  }
+
+  /** (doc_id, band, band_sig) band rows over a state frame — the LSH
+    * index key space.
+    */
+  private[graft] def bandRows(state: DataFrame): DataFrame =
+    state.select(col("doc_id"), col("sig"),
       explode(sequence(lit(0), lit(MinHashBands - 1))).as("band"))
       .withColumn("band_sig",
         array_join(slice(col("sig"), col("band") * MinHashRowsPerBand + 1, lit(MinHashRowsPerBand)), ","))
       .select(col("doc_id"), col("band"), col("band_sig"))
-    val isDelta = col("doc_id") % 10 === 3
-    val cand = resplit(bands.filter(isDelta).as("d")
-      .join(bands.filter(!isDelta).as("b"),
+
+  /** The probe-vs-index core of q108, factored so STREAMING ingest can run
+    * it per micro-batch (StreamingSpec drives it under foreachBatch):
+    * delta band rows probe the base band rows, candidates dedup to bare id
+    * pairs, exact verification re-joins per-doc state by id, and the
+    * verdict frame is anchored on `deltaDocs` so zero-match documents
+    * can't vanish.
+    */
+  private[graft] def probeVerdicts(state: DataFrame, baseBands: DataFrame,
+      deltaBands: DataFrame, deltaDocs: DataFrame): DataFrame = {
+    val cand = resplit(deltaBands.as("d")
+      .join(baseBands.as("b"),
         col("d.band") === col("b.band") && col("d.band_sig") === col("b.band_sig"))
       .select(col("d.doc_id").as("delta_id"), col("b.doc_id").as("base_id"))
       .distinct()
@@ -676,13 +695,21 @@ object Dedup {
       .filter(col("jacc_raw") >= JaccardT)
       .groupBy(col("delta_id"))
       .agg(count(lit(1)).as("nm"), round(max(col("jacc_raw")), 6).as("bj"))
-    documents(s, dir).filter(isDelta).select(col("doc_id"), col("lang"))
+    deltaDocs.select(col("doc_id"), col("lang"))
       .join(matches, col("doc_id") === col("delta_id"), "left")
       .select(col("doc_id"), col("lang"),
         coalesce(col("nm"), lit(0L)).as("n_base_matches"),
         col("bj").as("best_jaccard"),
         when(col("delta_id").isNotNull, "dup").otherwise("novel").as("verdict"))
       .orderBy(col("doc_id"))
+  }
+
+  def q108IncrementalDedup(s: SparkSession, dir: String): DataFrame = {
+    val state = minhashState(s, dir)
+    val bands = bandRows(state)
+    val isDelta = col("doc_id") % 10 === 3
+    probeVerdicts(state, bands.filter(!isDelta), bands.filter(isDelta),
+      documents(s, dir).filter(isDelta))
   }
 
   val q108Sql: String = {

@@ -274,4 +274,52 @@ class StreamingSpec extends SparkTestBase {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(streamed === batch && batch.nonEmpty)
   }
+
+  test("incremental ingest under foreachBatch: micro-batched verdicts equal the batch q108 run") {
+    // The q108 probe-vs-index core is the per-increment operation; here
+    // the delta arrives as a STREAM of doc ids in two micro-batches, each
+    // probing the same base index under foreachBatch. Because the probe is
+    // per-delta-doc independent (candidates, verify, and verdict never
+    // look at other delta docs), the union of micro-batch verdicts must
+    // equal the one-shot batch run — the exactly-once ingest contract.
+    import graft.queries.Dedup
+    implicit val sq = spark.sqlContext
+    import sq.implicits._
+    val state = Dedup.minhashState(spark, sf)
+    val bands = Dedup.bandRows(state).localCheckpoint(true)
+    val isDelta = col("doc_id") % 10 === 3
+    val baseBands = bands.filter(!isDelta).localCheckpoint(true)
+    val deltaIds = Tables.documents(spark, sf).filter(isDelta)
+      .select("doc_id").as[Long].collect().sorted
+    val (firstBatch, secondBatch) = deltaIds.splitAt(deltaIds.length / 2)
+    val acc = scala.collection.mutable.ArrayBuffer.empty[
+      (Long, Long, Option[Double], String)]
+    val in = MemoryStream[Long]
+    val q = in.toDS().writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Long], _: Long) =>
+        val ids = batch.toDF("doc_id")
+        val out = Dedup.probeVerdicts(state,
+          baseBands,
+          bands.join(ids, "doc_id"),
+          Tables.documents(spark, sf).join(ids, "doc_id"))
+        acc.synchronized {
+          acc ++= out.collect().map(r => (r.getAs[Long]("doc_id"),
+            r.getAs[Long]("n_base_matches"),
+            Option(r.getAs[java.lang.Double]("best_jaccard")).map(_.doubleValue),
+            r.getAs[String]("verdict")))
+        }
+        ()
+      }.start()
+    in.addData(firstBatch.toSeq: _*)
+    q.processAllAvailable()
+    in.addData(secondBatch.toSeq: _*)
+    q.processAllAvailable()
+    q.stop()
+    val batchRun = Dedup.q108IncrementalDedup(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_base_matches"),
+        Option(r.getAs[java.lang.Double]("best_jaccard")).map(_.doubleValue),
+        r.getAs[String]("verdict")))
+    assert(acc.size === batchRun.length)
+    assert(acc.toSet === batchRun.toSet)
+  }
 }

@@ -269,30 +269,17 @@ object Dedup {
     * entirely.
     */
   def q23MinHashLsh(s: SparkSession, dir: String): DataFrame = {
-    // Signature components as 16 codegen'd min-aggregates over the
-    // exploded distinct-shingle rows (one hash-aggregate pass), not an
-    // interpreted fold per document.
-    val ex = shingleRows(s, dir).withColumn("h32", hash32(col("shingle")))
-    val minCols = (0 until MinHashK).map(j =>
-      min((col("h32") * MinHashA(j) + MinHashB(j)) % MinHashPrime).as(s"m$j"))
-    val aggs = minCols :+ count(lit(1)).as("n") :+ collect_list(col("shingle")).as("sh")
-    // ONE eager checkpoint of the per-doc state (sig, shingle set, size):
-    // the band explode, both candidate-join sides, and both verify sides
-    // all read it, and Spark does not CSE across self-join branches.
-    val base = ex.groupBy(col("doc_id"))
-      .agg(aggs.head, aggs.tail: _*)
-      .withColumn("sig", array((0 until MinHashK).map(j => col(s"m$j")): _*))
-      .select(col("doc_id"), col("sig"), col("n").cast("long").as("n"), col("sh"))
-      .localCheckpoint(true)
-    // Band rows carry ONLY (doc_id, band, band_sig) — the shingle arrays
-    // never ride the band fan-out or the candidate shuffle (cf. q67, which
-    // keeps vectors out of its band join the same way); signatures and
-    // sets are re-fetched by id in the verify joins below.
-    val bands = base.select(col("doc_id"), col("sig"),
-      explode(sequence(lit(0), lit(MinHashBands - 1))).as("band"))
-      .withColumn("band_sig",
-        array_join(slice(col("sig"), col("band") * MinHashRowsPerBand + 1, lit(MinHashRowsPerBand)), ","))
-      .select(col("doc_id"), col("band"), col("band_sig"))
+    // Per-doc state and band rows come from the SHARED helpers q108 also
+    // probes with ([[minhashState]]/[[bandRows]]) — one copy of the
+    // MinHash math, so the spec-pinned "q108 ≡ q23 restricted to
+    // delta-base pairs" equivalence can't drift. The state is eagerly
+    // checkpointed inside minhashState: the band explode, both
+    // candidate-join sides, and both verify sides all read it, and Spark
+    // does not CSE across self-join branches. Band rows carry ONLY
+    // (doc_id, band, band_sig) — shingle arrays never ride the band
+    // fan-out (cf. q67); state is re-fetched by id in the verify joins.
+    val base = minhashState(s, dir)
+    val bands = bandRows(base)
     // checkpoint THEN resplit before the verify (cf. q22): candidate
     // verification is CPU-bound set intersection, and AQE's size-based
     // coalescing would pack the tiny-by-bytes id-pair list onto few cores
@@ -318,11 +305,15 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  val q23Sql: String = {
+  /** DuckDB fragment: per-doc MinHash signatures + band rows — the SQL
+    * twin of [[minhashState]]/[[bandRows]], shared by the q23 and q108
+    * oracles so the two engines' and two queries' MinHash math is defined
+    * exactly once per side. Requires [[sqlShingles]] in scope.
+    */
+  private def sqlMinhashCtes: String = {
     val aList = MinHashA.mkString("[", ", ", "]")
     val bList = MinHashB.mkString("[", ", ", "]")
-    s"""WITH $sqlShingles,
-       |docs AS (
+    s"""docs AS (
        |  SELECT doc_id, list(s) AS sh FROM sh GROUP BY doc_id),
        |sigs AS (
        |  SELECT doc_id, sh, CAST(len(sh) AS BIGINT) AS n,
@@ -334,7 +325,12 @@ object Dedup {
        |bands AS (
        |  SELECT doc_id, sh, n, sig, band,
        |   array_to_string(sig[band * $MinHashRowsPerBand + 1 : band * $MinHashRowsPerBand + $MinHashRowsPerBand], ',') AS band_sig
-       |  FROM sigs, unnest(range(0, $MinHashBands)) AS t(band)),
+       |  FROM sigs, unnest(range(0, $MinHashBands)) AS t(band))""".stripMargin
+  }
+
+  val q23Sql: String = {
+    s"""WITH $sqlShingles,
+       |$sqlMinhashCtes,
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
        |   a.sig AS sig_a, b.sig AS sig_b, a.sh AS sh_a, b.sh AS sh_b,
@@ -713,22 +709,8 @@ object Dedup {
   }
 
   val q108Sql: String = {
-    val aList = MinHashA.mkString("[", ", ", "]")
-    val bList = MinHashB.mkString("[", ", ", "]")
     s"""WITH $sqlShingles,
-       |docs AS (
-       |  SELECT doc_id, list(s) AS sh FROM sh GROUP BY doc_id),
-       |sigs AS (
-       |  SELECT doc_id, sh, CAST(len(sh) AS BIGINT) AS n,
-       |   list_transform(range(0, $MinHashK), j ->
-       |     list_min(list_transform(sh, s ->
-       |       (($aList)[j + 1] * CAST(concat('0x', substr(md5(s), 1, 8)) AS BIGINT)
-       |        + ($bList)[j + 1]) % $MinHashPrime))) AS sig
-       |  FROM docs),
-       |bands AS (
-       |  SELECT doc_id, sh, n, sig, band,
-       |   array_to_string(sig[band * $MinHashRowsPerBand + 1 : band * $MinHashRowsPerBand + $MinHashRowsPerBand], ',') AS band_sig
-       |  FROM sigs, unnest(range(0, $MinHashBands)) AS t(band)),
+       |$sqlMinhashCtes,
        |cand AS (
        |  SELECT DISTINCT d.doc_id AS delta_id, b.doc_id AS base_id,
        |   d.sh AS sh_a, b.sh AS sh_b, d.n AS na, b.n AS nb

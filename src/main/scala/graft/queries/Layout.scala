@@ -35,8 +35,14 @@ import graft.Tables
   * central memo registry ([[Dedup.registerMemo]]) — the write cost is a
   * load-time cost, labeled in the bench's `memo_builds` attribution like
   * every other shared surface, and the snapshot contract matches the rest
-  * of the engine (corpus dirs are immutable for the session's lifetime;
-  * [[Dedup.clearMemos]] drops the layouts with everything else).
+  * of the engine (corpus dirs are immutable for the session's lifetime).
+  * The files live under a PER-JVM temp directory: cross-JVM reuse never
+  * happens anyway (reuse is keyed on the JVM-shared in-memory catalog),
+  * and a stable shared path would let a second JVM's rebuild delete
+  * bucket files out from under a live first JVM. Note [[Dedup.clearMemos]]
+  * drops only the memo handles — the catalog tables and files persist for
+  * the JVM (by design: `newSession()` clones share them); a caller that
+  * truly rewrites an sf dir in-session must also call [[dropLayouts]].
   *
   * Fixture constants: [[BucketCount]] = 8 buckets suits the ≤600k-row
   * harness tables (one ~9 MB bucket file each); a 100 TB deployment
@@ -50,13 +56,26 @@ object Layout {
     * co-location proof needs (see class doc for production sizing). */
   val BucketCount = 8
 
-  /** Root for the materialized layouts: JVM temp space, namespaced per
-    * sf dir. Scratch semantics on purpose — the layouts are derived
-    * state, rebuilt by the memo on first use per session and safely
-    * deletable between runs (exactly like Spark's own spill/temp dirs).
+  /** Root for the materialized layouts: a PER-JVM temp directory (see
+    * class doc — a stable shared path would race a concurrent JVM's
+    * rebuild against this JVM's live scans). Scratch semantics on
+    * purpose — the layouts are derived state, rebuilt by the memo on
+    * first use per JVM and safely deletable between runs (exactly like
+    * Spark's own spill/temp dirs).
     */
-  private def layoutRoot: String =
-    s"${sys.props("java.io.tmpdir")}/graft_layout"
+  private lazy val layoutRoot: String =
+    java.nio.file.Files.createTempDirectory("graft_layout").toString
+
+  /** Drop this JVM's layout catalog tables (the complement of
+    * [[Dedup.clearMemos]] for the one memoized surface whose state
+    * outlives the memo handles — see class doc). Files are left for the
+    * temp-dir reaper; the next build writes a fresh path via
+    * [[freshPath]].
+    */
+  private[graft] def dropLayouts(s: SparkSession): Unit =
+    s.catalog.listTables().collect()
+      .map(_.name).filter(_.startsWith("graft_"))
+      .foreach(n => s.sql(s"DROP TABLE IF EXISTS $n"))
 
   /** Stable filesystem/catalog-safe tag per sf dir, so one session (or
     * one JVM's shared external catalog) can hold layouts for several sf
@@ -96,7 +115,7 @@ object Layout {
     // would delete the bucket files out from under every other session's
     // already-resolved frames. The corpus-snapshot contract still holds
     // (sf dirs are immutable for the JVM's lifetime); a caller that truly
-    // rewrites a dir must drop the `graft_*` layout tables along with
+    // rewrites a dir must call [[dropLayouts]] along with
     // [[Dedup.clearMemos]].
     if (!s.catalog.tableExists(name)) {
       freshPath(s, path)

@@ -534,10 +534,16 @@ object Similarity {
     var cents = e.orderBy(col("vec_id")).limit(IvfCells)
       .select(col("vec_id").as("c_id"), col("v").as("cv"), col("norm").as("cnorm"))
     var prev: Option[DataFrame] = None
+    // the final iteration's checkpointed assignment: on the CONVERGED
+    // exit it is exactly assign(cents) for the current centroids (the
+    // convergence check just proved the assignment stable), so the probe
+    // reuses it instead of recomputing the corpus × centroid pass
+    var lastA: Option[DataFrame] = None
     var round_ = 0
     var converged = false
     while (round_ < TrainRounds && !converged) {
       val a = assign(cents).localCheckpoint(true)
+      lastA = Some(a)
       converged = prev.exists { p =>
         a.select(col("vec_id"), col("cell"))
           .join(p.select(col("vec_id"), col("cell").as("pcell")), Seq("vec_id"))
@@ -558,8 +564,13 @@ object Similarity {
       }
       round_ += 1
     }
-    // probe the trained index: q39's per-cell self-join + bounded top-k
-    val assigned = assign(cents)
+    // probe the trained index: q39's per-cell self-join + bounded top-k.
+    // Checkpointed: the self-join reads `assigned` from BOTH branches and
+    // Spark does not CSE across them (the q23 rule); on the converged
+    // path the loop's final checkpointed assignment IS assign(cents), so
+    // no recomputation happens at all.
+    val assigned = (if (converged) lastA else None)
+      .getOrElse(assign(cents).localCheckpoint(true))
     val pairs = assigned.as("a").join(assigned.as("b"),
         col("a.cell") === col("b.cell") && col("a.vec_id") =!= col("b.vec_id"))
       .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("neighbor_id"),

@@ -161,12 +161,17 @@ object Temporal {
     * coercion in pandas-based comparators (same note as q37).
     */
   def q106StateHistory(s: SparkSession, dir: String): DataFrame = {
-    val wOrd = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+    // (ts, event_id) order, not ts alone: (user_id, ts) happens to be
+    // unique in the fixtures, but a tied timestamp would otherwise make
+    // the run segmentation engine- and run-nondeterministic (same rule as
+    // q37's (ts, tag) and q96's (ts, event_id) tie-breaks)
+    val wOrd = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
     val prev = lag(col("event_type"), 1).over(wOrd)
     val flagged = events(s, dir)
-      .select(col("user_id"), col("ts"), col("event_type"))
-      .withColumn("chg",
-        when(prev.isNull || prev =!= col("event_type"), 1L).otherwise(0L))
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      // null-SAFE inequality (<=>), mirroring the oracle's IS DISTINCT
+      // FROM: a NULL event_type must start its own run in both engines
+      .withColumn("chg", when(!(prev <=> col("event_type")), 1L).otherwise(0L))
       .withColumn("version", sum(col("chg"))
         .over(wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
     val runs = flagged.groupBy(col("user_id"), col("version"))
@@ -184,13 +189,13 @@ object Temporal {
 
   val q106Sql: String =
     """WITH f AS (
-      |  SELECT user_id, ts, event_type,
-      |    CASE WHEN lag(event_type) OVER (PARTITION BY user_id ORDER BY ts)
+      |  SELECT user_id, ts, event_id, event_type,
+      |    CASE WHEN lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
       |         IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS chg
       |  FROM events),
       |v AS (
       |  SELECT user_id, ts, event_type,
-      |    CAST(SUM(chg) OVER (PARTITION BY user_id ORDER BY ts
+      |    CAST(SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
       |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS version
       |  FROM f),
       |runs AS (

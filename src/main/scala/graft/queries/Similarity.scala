@@ -270,22 +270,32 @@ object Similarity {
     * matters at scale — is identical either way). nprobe=1; raising it
     * unions more cells per query, the standard recall knob.
     */
-  def q39AnnIvf(s: SparkSession, dir: String): DataFrame = {
-    val e = vecs(s, dir)
-    val cents = e.orderBy(col("vec_id")).limit(IvfCells)
-      .select(col("vec_id").as("c_id"), col("v").as("cv"), col("norm").as("cnorm"))
+  /** Nearest-centroid assignment — one map-side pass of the BROADCAST
+    * centroid table (c_id, cv, cnorm) over the vector frame (vec_id, v,
+    * norm); 6dp-rounded cosine, ties to the lowest c_id. ONE copy shared
+    * by q39's probe and q101's per-round training + trained probe, so the
+    * two queries' assignment semantics can never drift apart.
+    */
+  private def assignToCells(e: DataFrame, cents: DataFrame): DataFrame = {
     val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("cscore").desc, col("c_id"))
-    val assigned = e.crossJoin(broadcast(cents))
+    e.crossJoin(broadcast(cents))
       .withColumn("cscore", round(dot(col("v"), col("cv")) / (col("norm") * col("cnorm")), 6))
       .withColumn("crn", row_number().over(wAssign))
       .filter(col("crn") === 1)
       .select(col("vec_id"), col("v"), col("norm"), col("c_id").as("cell"))
+  }
+
+  /** IVF probe over an assignment frame: per-cell self-join (shuffle
+    * equi-join on `cell`), 6dp cosine, bounded top-3 via the TopKPairs
+    * heap (cf. q25), ranked output. The shared tail of q39 and q101.
+    */
+  private def probeCells(assigned: DataFrame): DataFrame = {
     val pairs = assigned.as("a").join(assigned.as("b"),
         col("a.cell") === col("b.cell") && col("a.vec_id") =!= col("b.vec_id"))
       .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("neighbor_id"),
         col("a.cell").as("cell"),
         round(dot(col("a.v"), col("b.v")) / (col("a.norm") * col("b.norm")), 6).as("sim"))
-    // bounded top-k aggregate (cf. q25); cell is constant per vector
+    // bounded top-k aggregate; cell is constant per vector
     pairs
       .groupBy(col("vec_id"), col("cell"))
       .agg(topKPairs(col("sim"), col("neighbor_id"), 3).as("nb"))
@@ -293,6 +303,13 @@ object Similarity {
       .select(col("vec_id"), col("nb.id").as("neighbor_id"), col("cell"),
         col("nb.score").as("sim"), (col("pos") + 1).cast("long").as("rnk"))
       .orderBy(col("vec_id"), col("rnk"))
+  }
+
+  def q39AnnIvf(s: SparkSession, dir: String): DataFrame = {
+    val e = vecs(s, dir)
+    val cents = e.orderBy(col("vec_id")).limit(IvfCells)
+      .select(col("vec_id").as("c_id"), col("v").as("cv"), col("norm").as("cnorm"))
+    probeCells(assignToCells(e, cents))
   }
 
   val q39Sql: String =
@@ -523,13 +540,9 @@ object Similarity {
   def q101IvfTrained(s: SparkSession, dir: String): DataFrame = {
     // one materialization of the widened vectors: every round scans them
     val e = vecs(s, dir).localCheckpoint(true)
-    val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("cscore").desc, col("c_id"))
-    def assign(cents: DataFrame): DataFrame =
-      e.crossJoin(broadcast(cents))
-        .withColumn("cscore", round(dot(col("v"), col("cv")) / (col("norm") * col("cnorm")), 6))
-        .withColumn("crn", row_number().over(wAssign))
-        .filter(col("crn") === 1)
-        .select(col("vec_id"), col("v"), col("norm"), col("c_id").as("cell"))
+    // SHARED assignment semantics with q39 ([[assignToCells]]) — the
+    // trained probe and the untrained yardstick can't drift apart
+    def assign(cents: DataFrame): DataFrame = assignToCells(e, cents)
     // round-0 seeds: the K lowest-vec_id vectors (q39/q85's seed rule)
     var cents = e.orderBy(col("vec_id")).limit(IvfCells)
       .select(col("vec_id").as("c_id"), col("v").as("cv"), col("norm").as("cnorm"))
@@ -571,18 +584,7 @@ object Similarity {
     // no recomputation happens at all.
     val assigned = (if (converged) lastA else None)
       .getOrElse(assign(cents).localCheckpoint(true))
-    val pairs = assigned.as("a").join(assigned.as("b"),
-        col("a.cell") === col("b.cell") && col("a.vec_id") =!= col("b.vec_id"))
-      .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("neighbor_id"),
-        col("a.cell").as("cell"),
-        round(dot(col("a.v"), col("b.v")) / (col("a.norm") * col("b.norm")), 6).as("sim"))
-    pairs
-      .groupBy(col("vec_id"), col("cell"))
-      .agg(topKPairs(col("sim"), col("neighbor_id"), 3).as("nb"))
-      .select(col("vec_id"), col("cell"), posexplode(col("nb")).as(Seq("pos", "nb")))
-      .select(col("vec_id"), col("nb.id").as("neighbor_id"), col("cell"),
-        col("nb.score").as("sim"), (col("pos") + 1).cast("long").as("rnk"))
-      .orderBy(col("vec_id"), col("rnk"))
+    probeCells(assigned)
   }
 
   /** Oracle for q101: [[TrainRounds]] Lloyd rounds unrolled as CTE pairs

@@ -84,4 +84,21 @@ class LayoutSpec extends SparkTestBase {
     assert(sliced > 0L && sliced < total,
       s"mid-month slice ($sliced of $total) is not a proper subset")
   }
+
+  test("dropLayouts + clearMemos round-trip: layouts rebuild and answer identically") {
+    // the documented in-session rewrite protocol for the one memoized
+    // surface whose state outlives its memo handles (Layout class doc):
+    // dropLayouts removes this JVM's graft_* catalog tables, clearMemos
+    // the handles; the next consumer must rebuild from the sf dir and
+    // answer exactly as before
+    val before = Layout.q102BucketedJoin(spark, sf).collect().toSeq
+    Layout.dropLayouts(spark)
+    graft.queries.Dedup.clearMemos()
+    assert(!spark.catalog.tableExists(s"graft_lineitem_b_test_gone"),
+      "sanity: catalog lookup works")
+    val after = Layout.q102BucketedJoin(spark, sf).collect().toSeq
+    assert(after === before, "rebuilt layout diverged from the original")
+    assert(Layout.bucketedLineitem(spark, sf).inputFiles.length === Layout.BucketCount,
+      "rebuild lost the one-file-per-bucket discipline")
+  }
 }

@@ -533,11 +533,19 @@ object CorpusStats {
     * suite-wide nested-loop guard).
     *
     * The merge itself uses plain leftmost `replace` in BOTH engines, on a
-    * space-doubled rendering (` l  r ` → ` l_r `): doubling gives every
+    * space-doubled rendering (` l  r ` → ` l␁r `): doubling gives every
     * token its own delimiters, so consecutive matches don't contend for a
     * shared space and the scan order implements exactly BPE's greedy
-    * left-to-right non-overlapping semantics ("a a a a" → "a_a a_a",
-    * "a a a" → "a_a a").
+    * left-to-right non-overlapping semantics ("a a a a" → "a␁a a␁a",
+    * "a a a" → "a␁a a").
+    *
+    * Merged symbols join with the non-printable sentinel chr(1) (shown
+    * as ␁ above), which `words`' whitespace tokenizer can never emit —
+    * so a literal corpus token like "a_a" is never confused with the
+    * merge of ("a","a"), on any corpus. The rule is applied via a LEFT
+    * join (both engines): a round that finds zero adjacent pairs (corpus
+    * fully merged) passes the corpus through unchanged and simply stops
+    * emitting rules, instead of silently emptying it.
     */
   def q107BpeMerges(s: SparkSession, dir: String): DataFrame = {
     val docs0 = resplit(documents(s, dir).select(col("doc_id"), col("text")))
@@ -556,12 +564,14 @@ object CorpusStats {
         .orderBy(col("pair_count").desc, col("left_sym"), col("right_sym"))
         .limit(1)
     def applyMerge(docs: DataFrame, rule: DataFrame): DataFrame =
-      docs.crossJoin(broadcast(rule.select(col("left_sym"), col("right_sym"))))
-        .select(col("doc_id"), trim(regexp_replace(
-          expr("replace(concat(' ', replace(txt, ' ', '  '), ' '), " +
-            "concat(' ', left_sym, '  ', right_sym, ' '), " +
-            "concat(' ', left_sym, '_', right_sym, ' '))"),
-          " +", " ")).as("txt"))
+      docs.join(broadcast(rule.select(col("left_sym"), col("right_sym"))),
+          lit(true), "left")
+        .select(col("doc_id"), when(col("left_sym").isNull, col("txt"))
+          .otherwise(trim(regexp_replace(
+            expr("replace(concat(' ', replace(txt, ' ', '  '), ' '), " +
+              "concat(' ', left_sym, '  ', right_sym, ' '), " +
+              "concat(' ', left_sym, chr(1), right_sym, ' '))"),
+            " +", " "))).as("txt"))
     val (rulesRev, _) = (1 to BpeRounds)
       .foldLeft((List.empty[DataFrame], docs0)) { case ((acc, docs), r) =>
         val rule = topRule(docs)
@@ -570,7 +580,7 @@ object CorpusStats {
       }
     rulesRev.reverse.reduce(_ unionByName _)
       .select(col("round"), col("left_sym"), col("right_sym"),
-        concat(col("left_sym"), lit("_"), col("right_sym")).as("merged"),
+        concat(col("left_sym"), lit("\u0001"), col("right_sym")).as("merged"),
         col("pair_count"))
       .orderBy(col("round"))
   }
@@ -586,12 +596,13 @@ object CorpusStats {
          |    FROM (SELECT string_split(txt, ' ') AS ww FROM $src))
          |  GROUP BY 1, 2""".stripMargin
     def merge(src: String, rule: String): String =
-      s"""SELECT doc_id, trim(regexp_replace(
+      s"""SELECT doc_id, CASE WHEN $rule.left_sym IS NULL THEN txt
+         |    ELSE trim(regexp_replace(
          |    replace(' ' || replace(txt, ' ', '  ') || ' ',
          |            ' ' || $rule.left_sym || '  ' || $rule.right_sym || ' ',
-         |            ' ' || $rule.left_sym || '_' || $rule.right_sym || ' '),
-         |    ' +', ' ', 'g')) AS txt
-         |  FROM $src, $rule""".stripMargin
+         |            ' ' || $rule.left_sym || chr(1) || $rule.right_sym || ' '),
+         |    ' +', ' ', 'g')) END AS txt
+         |  FROM $src LEFT JOIN $rule ON TRUE""".stripMargin
     s"""WITH w0 AS (
        |  SELECT doc_id,
        |    array_to_string(regexp_split_to_array(trim(text), '\\s+'), ' ') AS txt
@@ -605,11 +616,11 @@ object CorpusStats {
        |c3 AS (${pc("w2")}),
        |t3 AS (SELECT * FROM c3 ORDER BY pair_count DESC, left_sym, right_sym LIMIT 1)
        |SELECT CAST(1 AS BIGINT) AS round, left_sym, right_sym,
-       |  left_sym || '_' || right_sym AS merged, pair_count FROM t1
+       |  left_sym || chr(1) || right_sym AS merged, pair_count FROM t1
        |UNION ALL SELECT 2, left_sym, right_sym,
-       |  left_sym || '_' || right_sym, pair_count FROM t2
+       |  left_sym || chr(1) || right_sym, pair_count FROM t2
        |UNION ALL SELECT 3, left_sym, right_sym,
-       |  left_sym || '_' || right_sym, pair_count FROM t3
+       |  left_sym || chr(1) || right_sym, pair_count FROM t3
        |ORDER BY round""".stripMargin
   }
 }

@@ -66,16 +66,31 @@ object Layout {
   private lazy val layoutRoot: String =
     java.nio.file.Files.createTempDirectory("graft_layout").toString
 
+  /** Catalog tables THIS object registered (and only those) — so
+    * [[dropLayouts]] can never destroy an unrelated `graft_`-prefixed
+    * table some future feature registers. Synchronized: the build paths
+    * already serialize per-table through the memo locks, but two
+    * different tables can register concurrently.
+    */
+  private val registeredTables =
+    java.util.Collections.newSetFromMap(
+      new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]())
+
   /** Drop this JVM's layout catalog tables (the complement of
     * [[Dedup.clearMemos]] for the one memoized surface whose state
-    * outlives the memo handles — see class doc). Files are left for the
-    * temp-dir reaper; the next build writes a fresh path via
-    * [[freshPath]].
+    * outlives the memo handles — see class doc). Only the names this
+    * object actually registered are dropped (tracked in
+    * [[registeredTables]]), never other tables that merely share the
+    * prefix. Files are left for the temp-dir reaper; the next build
+    * writes a fresh path via [[freshPath]].
     */
-  private[graft] def dropLayouts(s: SparkSession): Unit =
-    s.catalog.listTables().collect()
-      .map(_.name).filter(_.startsWith("graft_"))
-      .foreach(n => s.sql(s"DROP TABLE IF EXISTS $n"))
+  private[graft] def dropLayouts(s: SparkSession): Unit = {
+    val it = registeredTables.iterator()
+    while (it.hasNext) {
+      s.sql(s"DROP TABLE IF EXISTS ${it.next()}")
+      it.remove()
+    }
+  }
 
   /** Stable filesystem/catalog-safe tag per sf dir, so one session (or
     * one JVM's shared external catalog) can hold layouts for several sf
@@ -127,6 +142,7 @@ object Layout {
         .option("path", path)
         .saveAsTable(name)
     }
+    registeredTables.add(name)
     s.table(name)
   }
 
@@ -163,6 +179,7 @@ object Layout {
           .option("path", path)
           .saveAsTable(name)
       }
+      registeredTables.add(name)
       s.table(name)
     }
 

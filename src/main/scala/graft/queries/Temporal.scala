@@ -170,8 +170,13 @@ object Temporal {
     val flagged = events(s, dir)
       .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
       // null-SAFE inequality (<=>), mirroring the oracle's IS DISTINCT
-      // FROM: a NULL event_type must start its own run in both engines
-      .withColumn("chg", when(!(prev <=> col("event_type")), 1L).otherwise(0L))
+      // FROM: a NULL event_type must start its own run in both engines.
+      // The row_number()=1 disjunct pins the documented 1-based contract
+      // when a partition OPENS with NULL: there, lag's boundary NULL <=>
+      // NULL is true, so the change flag alone would yield a version-0
+      // run. Same window spec, so no extra shuffle or sort.
+      .withColumn("chg", when(row_number().over(wOrd) === 1 ||
+        !(prev <=> col("event_type")), 1L).otherwise(0L))
       .withColumn("version", sum(col("chg"))
         .over(wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
     val runs = flagged.groupBy(col("user_id"), col("version"))
@@ -190,7 +195,8 @@ object Temporal {
   val q106Sql: String =
     """WITH f AS (
       |  SELECT user_id, ts, event_id, event_type,
-      |    CASE WHEN lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |    CASE WHEN row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) = 1
+      |      OR lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
       |         IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS chg
       |  FROM events),
       |v AS (

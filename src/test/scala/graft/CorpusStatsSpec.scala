@@ -298,10 +298,13 @@ class CorpusStatsSpec extends SparkTestBase {
 
   test("q107: hand-computed merges — greedy non-overlap, tie-break, and rule chaining") {
     // corpus: "a a a a" (3 (a,a) pairs), "a a a" (2), "b c b c b"
-    // round 1: (a,a)=5 wins; greedy rewrite → "a_a a_a" / "a_a a" (NOT
-    //          "a_a a_a a" from overlapping matches)
+    // round 1: (a,a)=5 wins; greedy rewrite → "a␁a a␁a" / "a␁a a" (NOT
+    //          "a␁a a␁a a" from overlapping matches; ␁ = chr(1), the
+    //          sentinel the whitespace tokenizer can never emit, so a
+    //          literal corpus token "a_a" never collides with a merge)
     // round 2: (b,c)=2 wins the (b,c)/(c,b) tie lexicographically
-    // round 3: all pairs count 1; (a_a, a) is the (left, right) minimum
+    // round 3: all pairs count 1; (a␁a, a) is the (left, right) minimum
+    val J = "\u0001"
     val dir = java.nio.file.Files.createTempDirectory("graft_bpe").toString
     import spark.implicits._
     Seq((1L, "a a a a", "en", "web", 7L), (2L, "a a a", "en", "web", 5L),
@@ -313,9 +316,25 @@ class CorpusStatsSpec extends SparkTestBase {
         r.getAs[String]("right_sym"), r.getAs[String]("merged"),
         r.getAs[Long]("pair_count"))).toSeq
     assert(got === Seq(
-      (1L, "a", "a", "a_a", 5L),
-      (2L, "b", "c", "b_c", 2L),
-      (3L, "a_a", "a", "a_a_a", 1L)))
+      (1L, "a", "a", s"a${J}a", 5L),
+      (2L, "b", "c", s"b${J}c", 2L),
+      (3L, s"a${J}a", "a", s"a${J}a${J}a", 1L)))
+  }
+
+  test("q107: an exhausted corpus stops emitting rules instead of being emptied") {
+    // Round 1 merges the only pair; rounds 2-3 find zero adjacent pairs.
+    // The LEFT-join rule application must pass the corpus through
+    // unchanged (not empty it via a join against zero rule rows), and the
+    // output simply has fewer than BpeRounds rows.
+    val dir = java.nio.file.Files.createTempDirectory("graft_bpe_dry").toString
+    import spark.implicits._
+    Seq((1L, "x y", "en", "web", 3L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = CorpusStats.q107BpeMerges(spark, dir)
+      .collect().map(r => (r.getAs[Long]("round"), r.getAs[String]("left_sym"),
+        r.getAs[String]("right_sym"), r.getAs[Long]("pair_count"))).toSeq
+    assert(got === Seq((1L, "x", "y", 1L)))
   }
 
   test("q107: real-corpus merge table is well-formed and support is non-increasing") {

@@ -92,8 +92,14 @@ class LayoutSpec extends SparkTestBase {
     // the handles; the next consumer must rebuild from the sf dir and
     // answer exactly as before
     val before = Layout.q102BucketedJoin(spark, sf).collect().toSeq
+    // an unrelated table that merely shares the graft_ prefix must
+    // survive: dropLayouts removes only the tables Layout registered
+    spark.sql("CREATE TABLE IF NOT EXISTS graft_unrelated_probe AS SELECT 1 AS x")
     Layout.dropLayouts(spark)
     graft.queries.Dedup.clearMemos()
+    assert(spark.catalog.tableExists("graft_unrelated_probe"),
+      "dropLayouts destroyed a table it did not register")
+    spark.sql("DROP TABLE graft_unrelated_probe")
     assert(!spark.catalog.tableExists(s"graft_lineitem_b_test_gone"),
       "sanity: catalog lookup works")
     val after = Layout.q102BucketedJoin(spark, sf).collect().toSeq

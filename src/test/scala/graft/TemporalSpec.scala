@@ -63,4 +63,28 @@ class TemporalSpec extends SparkTestBase {
     assert(bad.isEmpty, "an event fell inside an interval of a different state")
     out.unpersist()
   }
+
+  test("q106: a stream opening with NULL event_type still versions densely from 1") {
+    // Regression guard for the lag-boundary corner: for the FIRST row of a
+    // partition, lag's NULL <=> a NULL event_type is true, so the change
+    // flag alone would emit a version-0 run; the row_number()=1 disjunct
+    // pins the documented 1-based contract.
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_scd2null").toString
+    Seq(
+      (1L, "2024-01-01 00:00:00", 1L, null.asInstanceOf[String], 1.0, "{}"),
+      (2L, "2024-01-01 00:01:00", 1L, "view", 1.0, "{}"),
+      (3L, "2024-01-01 00:02:00", 1L, null.asInstanceOf[String], 1.0, "{}"),
+      (4L, "2024-01-01 00:00:00", 2L, "click", 1.0, "{}"))
+      .toDF("event_id", "ts_s", "user_id", "event_type", "value", "props")
+      .withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = Temporal.q106StateHistory(spark, dir).collect()
+    val u1 = out.filter(_.getAs[Long]("user_id") == 1L).sortBy(_.getAs[Long]("version"))
+    assert(u1.map(_.getAs[Long]("version")).toSeq === Seq(1L, 2L, 3L))
+    assert(u1.map(_.getAs[String]("state")).toSeq === Seq(null, "view", null))
+    assert(out.filter(_.getAs[Long]("user_id") == 2L)
+      .map(_.getAs[Long]("version")).toSeq === Seq(1L))
+  }
 }

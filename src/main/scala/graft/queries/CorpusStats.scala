@@ -547,7 +547,12 @@ object CorpusStats {
     * fully merged) passes the corpus through unchanged and simply stops
     * emitting rules, instead of silently emptying it.
     */
-  def q107BpeMerges(s: SparkSession, dir: String): DataFrame = {
+  /** The [[BpeRounds]]-round training fold shared by q107 (which reads
+    * the RULES) and q111 (which reads the final ENCODED corpus): per
+    * round, count adjacent pairs, pick the top rule, rewrite the corpus,
+    * checkpoint. Returns the in-order rule frames and the final corpus.
+    */
+  private def bpeFold(s: SparkSession, dir: String): (Seq[DataFrame], DataFrame) = {
     val docs0 = resplit(documents(s, dir).select(col("doc_id"), col("text")))
       .select(col("doc_id"), array_join(words(col("text")), " ").as("txt"))
       .localCheckpoint(true)
@@ -572,20 +577,29 @@ object CorpusStats {
               "concat(' ', left_sym, '  ', right_sym, ' '), " +
               "concat(' ', left_sym, chr(1), right_sym, ' '))"),
             " +", " "))).as("txt"))
-    val (rulesRev, _) = (1 to BpeRounds)
+    val (rulesRev, fin) = (1 to BpeRounds)
       .foldLeft((List.empty[DataFrame], docs0)) { case ((acc, docs), r) =>
         val rule = topRule(docs)
         val next = applyMerge(docs, rule).localCheckpoint(true)
         (rule.withColumn("round", lit(r.toLong)) :: acc, next)
       }
-    rulesRev.reverse.reduce(_ unionByName _)
+    (rulesRev.reverse, fin)
+  }
+
+  def q107BpeMerges(s: SparkSession, dir: String): DataFrame =
+    bpeFold(s, dir)._1.reduce(_ unionByName _)
       .select(col("round"), col("left_sym"), col("right_sym"),
         concat(col("left_sym"), lit("\u0001"), col("right_sym")).as("merged"),
         col("pair_count"))
       .orderBy(col("round"))
-  }
 
-  val q107Sql: String = {
+  /** Oracle CTE chain shared by q107 and q111: w0 (whitespace-normalized
+    * corpus), then per round r: cr (pair counts), tr (top rule), wr
+    * (rewritten corpus). `bpeChainCtes` ends at w3 — the fully-encoded
+    * corpus — which q107 simply doesn't reference (an unreferenced CTE is
+    * never executed).
+    */
+  private def bpeChainCtes: String = {
     def pc(src: String): String =
       s"""SELECT bg.l AS left_sym, bg.r AS right_sym, CAST(count(*) AS BIGINT) AS pair_count
          |  FROM (
@@ -603,7 +617,7 @@ object CorpusStats {
          |            ' ' || $rule.left_sym || chr(1) || $rule.right_sym || ' '),
          |    ' +', ' ', 'g')) END AS txt
          |  FROM $src LEFT JOIN $rule ON TRUE""".stripMargin
-    s"""WITH w0 AS (
+    s"""w0 AS (
        |  SELECT doc_id,
        |    array_to_string(regexp_split_to_array(trim(text), '\\s+'), ' ') AS txt
        |  FROM documents),
@@ -614,7 +628,12 @@ object CorpusStats {
        |t2 AS (SELECT * FROM c2 ORDER BY pair_count DESC, left_sym, right_sym LIMIT 1),
        |w2 AS (${merge("w1", "t2")}),
        |c3 AS (${pc("w2")}),
-       |t3 AS (SELECT * FROM c3 ORDER BY pair_count DESC, left_sym, right_sym LIMIT 1)
+       |t3 AS (SELECT * FROM c3 ORDER BY pair_count DESC, left_sym, right_sym LIMIT 1),
+       |w3 AS (${merge("w2", "t3")})""".stripMargin
+  }
+
+  val q107Sql: String =
+    s"""WITH $bpeChainCtes
        |SELECT CAST(1 AS BIGINT) AS round, left_sym, right_sym,
        |  left_sym || chr(1) || right_sym AS merged, pair_count FROM t1
        |UNION ALL SELECT 2, left_sym, right_sym,
@@ -622,5 +641,44 @@ object CorpusStats {
        |UNION ALL SELECT 3, left_sym, right_sym,
        |  left_sym || chr(1) || right_sym, pair_count FROM t3
        |ORDER BY round""".stripMargin
+
+  /** q111: BPE ENCODE — apply the [[BpeRounds]] learned merge rules to
+    * the whole corpus (the inference half of the q107/q111 tokenizer
+    * pair) and report per-document token counts before and after, the
+    * number of merges that landed, and the compression ratio. This is
+    * the accounting a tokenizer-training loop actually reads: which
+    * documents compress, and by how much, under the current rule set.
+    *
+    * Scale shape: identical to q107's fold — the encode is [[BpeRounds]]
+    * map-only corpus rewrites against broadcast 1-row rules (the corpus
+    * never shuffles), plus one id-keyed join of two document-sized
+    * frames to attach the raw token counts. At 100 TB the rules are
+    * still a driver-sized broadcast and every rewrite stays in the scan
+    * stage.
+    */
+  def q111BpeEncode(s: SparkSession, dir: String): DataFrame = {
+    val fin = bpeFold(s, dir)._2
+    val raw = documents(s, dir)
+      .select(col("doc_id"),
+        size(words(col("text"))).cast("long").as("n_tok_raw"))
+    fin.select(col("doc_id"),
+        size(split(col("txt"), " ")).cast("long").as("n_tok_bpe"))
+      .join(raw, Seq("doc_id"))
+      .select(col("doc_id"), col("n_tok_raw"), col("n_tok_bpe"),
+        (col("n_tok_raw") - col("n_tok_bpe")).as("n_merged"),
+        round(col("n_tok_bpe").cast("double") / col("n_tok_raw").cast("double"), 6)
+          .as("compression"))
+      .orderBy(col("doc_id"))
   }
+
+  val q111Sql: String =
+    s"""WITH $bpeChainCtes
+       |SELECT w0.doc_id AS doc_id,
+       | CAST(len(string_split(w0.txt, ' ')) AS BIGINT) AS n_tok_raw,
+       | CAST(len(string_split(w3.txt, ' ')) AS BIGINT) AS n_tok_bpe,
+       | CAST(len(string_split(w0.txt, ' ')) - len(string_split(w3.txt, ' ')) AS BIGINT) AS n_merged,
+       | ROUND(CAST(len(string_split(w3.txt, ' ')) AS DOUBLE)
+       |       / len(string_split(w0.txt, ' ')), 6) AS compression
+       |FROM w0 JOIN w3 ON w0.doc_id = w3.doc_id
+       |ORDER BY w0.doc_id""".stripMargin
 }

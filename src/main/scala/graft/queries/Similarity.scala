@@ -644,4 +644,100 @@ object Similarity {
        |SELECT vec_id, neighbor_id, cell, sim, rnk FROM r WHERE rnk <= 3
        |ORDER BY vec_id, rnk""".stripMargin
   }
+
+  /** q110: label-prototype mislabel audit — compute each label class's
+    * mean-embedding prototype, then score every vector's cosine to its
+    * OWN class prototype vs the best FOREIGN prototype; a vector whose
+    * nearest prototype is a foreign class (positive margin) is a label
+    * suspect. This is the standard embedding-space label-noise sweep a
+    * curation pipeline runs over classifier training data (confident-
+    * learning's geometric cousin): cheap, model-free, and it localizes
+    * exactly which examples to re-review.
+    *
+    * Scale shape: prototypes aggregate by (label, pos) — the q85 Lloyd
+    * pattern keyed by label, so the exchange carries |labels|×dims rows,
+    * never vectors; the tiny prototype frame (|labels| rows) broadcasts
+    * back onto one corpus scan, and the per-vector foreign-argmax window
+    * has bounded fan-out (|labels| rows per vector). Nothing here grows
+    * faster than corpus × |labels|.
+    *
+    * Determinism: prototype means are 6dp-rounded BEFORE the norm/dot
+    * (q85's rule — folds the engines' avg() summation orders), cosines
+    * are 6dp-rounded, and the foreign argmax breaks ties by label id.
+    */
+  def q110LabelAudit(s: SparkSession, dir: String): DataFrame = {
+    val e = resplit(embeddings(s, dir)
+      .select(col("vec_id"), col("embedding"), col("label").cast("long").as("label")))
+      .select(col("vec_id"), col("label"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .withColumn("norm", sqrt(dotFold(col("v"), col("v"))))
+    val protos = e.select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("label"), col("pos"))
+      .agg(round(avg(col("x")), 6).as("c_val"))
+      .groupBy(col("label"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("c_val")))),
+        x => x.getField("c_val")).as("pv"))
+      .select(col("label").as("p_label"), col("pv"),
+        sqrt(dotFold(col("pv"), col("pv"))).as("pnorm"))
+    val scored = e.crossJoin(broadcast(protos))
+      .select(col("vec_id"), col("label"), col("p_label"),
+        round(dot(col("v"), col("pv")) / (col("norm") * col("pnorm")), 6).as("pcos"))
+    val own = scored.filter(col("p_label") === col("label"))
+      .select(col("vec_id"), col("label"), col("pcos").as("cos_own"))
+    val wForeign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("pcos").desc, col("p_label"))
+    val foreign = scored.filter(col("p_label") =!= col("label"))
+      .withColumn("frn", row_number().over(wForeign))
+      .filter(col("frn") === 1)
+      .select(col("vec_id"), col("p_label").as("other_label"),
+        col("pcos").as("cos_other"))
+    own.join(foreign, Seq("vec_id"))
+      .select(col("vec_id"), col("label"), col("cos_own"),
+        col("other_label"), col("cos_other"),
+        round(col("cos_other") - col("cos_own"), 6).as("margin"),
+        (col("cos_other") > col("cos_own")).as("suspect"))
+      .orderBy(col("vec_id"))
+  }
+
+  val q110Sql: String = {
+    val dotL =
+      s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |     list_transform(range(1, ${AnnDims + 1}), i -> n.v[i] * p.pv[i])), (x, y) -> x + y)""".stripMargin
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(label AS BIGINT) AS label,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |n AS (
+       |  SELECT vec_id, label, v,
+       |   sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |     list_transform(v, x -> x * x)), (a, b) -> a + b)) AS norm
+       |  FROM e),
+       |d AS (
+       |  SELECT label, unnest(list_transform(range(1, ${AnnDims + 1}),
+       |    i -> struct_pack(pos := i - 1, x := v[i]))) AS u
+       |  FROM n),
+       |g AS (
+       |  SELECT label, CAST(u.pos AS BIGINT) AS pos, ROUND(avg(u.x), 6) AS c_val
+       |  FROM d GROUP BY label, u.pos),
+       |p AS (
+       |  SELECT p_label, pv, sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |    list_transform(pv, x -> x * x)), (a, b) -> a + b)) AS pnorm
+       |  FROM (SELECT label AS p_label, list(c_val ORDER BY pos) AS pv
+       |        FROM g GROUP BY label) t),
+       |sc AS (
+       |  SELECT n.vec_id, n.label, p.p_label,
+       |   ROUND($dotL / (n.norm * p.pnorm), 6) AS pcos
+       |  FROM n CROSS JOIN p),
+       |own AS (
+       |  SELECT vec_id, label, pcos AS cos_own FROM sc WHERE p_label = label),
+       |fr AS (
+       |  SELECT vec_id, p_label AS other_label, pcos AS cos_other,
+       |   row_number() OVER (PARTITION BY vec_id ORDER BY pcos DESC, p_label) AS frn
+       |  FROM sc WHERE p_label <> label)
+       |SELECT own.vec_id AS vec_id, label, cos_own, other_label, cos_other,
+       | ROUND(cos_other - cos_own, 6) AS margin,
+       | cos_other > cos_own AS suspect
+       |FROM own JOIN fr ON own.vec_id = fr.vec_id AND frn = 1
+       |ORDER BY own.vec_id""".stripMargin
+  }
 }

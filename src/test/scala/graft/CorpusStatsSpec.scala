@@ -321,6 +321,39 @@ class CorpusStatsSpec extends SparkTestBase {
       (3L, s"a${J}a", "a", s"a${J}a${J}a", 1L)))
   }
 
+  test("q111: hand-computed encode counts on the q107 fixture") {
+    // same corpus as the q107 fixture; after the 3 learned rules:
+    // doc1 "a a a a" → "a␁a a␁a"   (raw 4 → 2)
+    // doc2 "a a a"   → "a␁a␁a"     (r1: "a␁a a", r3 merges (a␁a, a) → 1)
+    // doc3 "b c b c b" → "b␁c b␁c b" (r2 greedy → 3)
+    val dir = java.nio.file.Files.createTempDirectory("graft_bpe_enc").toString
+    import spark.implicits._
+    Seq((1L, "a a a a", "en", "web", 7L), (2L, "a a a", "en", "web", 5L),
+      (3L, "b c b c b", "en", "web", 9L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = CorpusStats.q111BpeEncode(spark, dir)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_tok_raw"),
+        r.getAs[Long]("n_tok_bpe"), r.getAs[Long]("n_merged"))).toSeq
+    assert(got === Seq((1L, 4L, 2L, 2L), (2L, 3L, 1L, 2L), (3L, 5L, 3L, 2L)))
+  }
+
+  test("q111: real-corpus encode accounting is conservative against the q107 rule supports") {
+    val enc = CorpusStats.q111BpeEncode(spark, sf).cache()
+    assert(enc.count() === Tables.documents(spark, sf).count())
+    assert(enc.filter(col("n_merged") < 0 || col("n_tok_bpe") < 1).isEmpty)
+    // every merge event consumes one adjacent pair that the winning rule
+    // counted in ITS round, and greedy non-overlap can only apply a rule
+    // at most pair_count times — so corpus-wide merges are bounded by the
+    // sum of the learned rules' supports (and at least one must land)
+    val totalMerged = enc.agg(sum(col("n_merged"))).head().getLong(0)
+    val ruleSupport = CorpusStats.q107BpeMerges(spark, sf)
+      .agg(sum(col("pair_count"))).head().getLong(0)
+    assert(totalMerged >= 1L && totalMerged <= ruleSupport,
+      s"total merges $totalMerged outside (0, $ruleSupport]")
+    enc.unpersist()
+  }
+
   test("q107: an exhausted corpus stops emitting rules instead of being emptied") {
     // Round 1 merges the only pair; rounds 2-3 find zero adjacent pairs.
     // The LEFT-join rule application must pass the corpus through

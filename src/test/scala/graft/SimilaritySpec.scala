@@ -67,4 +67,31 @@ class SimilaritySpec extends SparkTestBase {
     assert(moved > 0, "training left every vector in its seed cell — not trained")
     out.unpersist()
   }
+
+  test("q110: every vector audited once; margins consistent; suspects are the positive margins") {
+    import org.apache.spark.sql.functions._
+    val out = Similarity.q110LabelAudit(spark, sf).cache()
+    // one audit row per corpus vector
+    assert(out.count() === Tables.embeddings(spark, sf).count())
+    // the foreign champion is never the vector's own label
+    assert(out.filter(col("other_label") === col("label")).isEmpty)
+    // margin is exactly the rounded difference, and the suspect flag is
+    // its sign
+    assert(out.filter(abs(col("margin") -
+      round(col("cos_other") - col("cos_own"), 6)) > 1e-9).isEmpty)
+    assert(out.filter(col("suspect") =!=
+      (col("cos_other") > col("cos_own"))).isEmpty)
+    // cosines are valid
+    assert(out.filter(col("cos_own") < -1.0 || col("cos_own") > 1.0).isEmpty)
+    // the audit must separate: under label-independent geometry a vector
+    // would side with its own prototype ~1/|labels| of the time (10
+    // labels → 10%); the fixture's labels are noisy but real, so demand
+    // comfortably above that random baseline (measured ~37% at sf0.001)
+    val n = out.count().toDouble
+    val nOwn = out.filter(!col("suspect")).count().toDouble
+    val nLabels = out.select(col("label")).distinct().count().toDouble
+    assert(nOwn / n > 2.0 / nLabels,
+      s"own-prototype wins ($nOwn/$n) at the random baseline (1/$nLabels): no signal")
+    out.unpersist()
+  }
 }

@@ -213,4 +213,75 @@ object Temporal {
       | epoch_us(lead(vf) OVER (PARTITION BY user_id ORDER BY version)) AS valid_to_us,
       | n_events
       |FROM runs ORDER BY user_id, version""".stripMargin
+
+  /** Snapshot cutoff for q112's OLD side (mid-stream; the new side is the
+    * full log). Events span 2024-01-01..30 at every sf. */
+  val DiffCutoff = "2024-01-16 00:00:00"
+
+  /** q112: snapshot diff / CDC reconciliation — reduce the event log to
+    * per-user LAST-state at two snapshot times and emit the change ledger
+    * between them: `added` (user appears only in the new snapshot),
+    * `removed` (only in the old — impossible on an append-only log, but
+    * the branch is part of the operator), `changed` (state or value
+    * differs, null-safely), `unchanged`. This is the table-reconciliation
+    * primitive behind incremental loads, replication audits, and
+    * warehouse MERGE planning: diff two keyed snapshots without trusting
+    * either side's change feed.
+    *
+    * Scale shape: each snapshot is one user_id-partitioned window
+    * (row_number=1 by (ts, event_id) DESC — q96's last-touch shape), and
+    * the reconciliation is a full outer join of two user-sized frames on
+    * the SAME key their windows just partitioned by, so AQE plans the
+    * join off the existing exchanges. Nothing is driver-side; `value`
+    * passes through unrounded (no arithmetic — exact in both engines).
+    */
+  def q112SnapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    def stateAt(cut: Option[String]): DataFrame = {
+      val base = cut.foldLeft(events(s, dir))((e, c) => e.filter(col("ts") <= lit(c).cast("timestamp")))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      base.select(col("user_id"), col("event_type"), col("value"),
+          row_number().over(w).as("rn"))
+        .filter(col("rn") === 1)
+        .drop("rn")
+    }
+    val old = stateAt(Some(DiffCutoff))
+      .select(col("user_id").as("o_uid"), col("event_type").as("old_state"),
+        col("value").as("old_value"))
+    val neu = stateAt(None)
+      .select(col("user_id").as("n_uid"), col("event_type").as("new_state"),
+        col("value").as("new_value"))
+    old.join(neu, col("o_uid") === col("n_uid"), "full_outer")
+      .select(
+        coalesce(col("o_uid"), col("n_uid")).as("user_id"),
+        when(col("o_uid").isNull, lit("added"))
+          .when(col("n_uid").isNull, lit("removed"))
+          .when(!(col("old_state") <=> col("new_state")) ||
+                !(col("old_value") <=> col("new_value")), lit("changed"))
+          .otherwise(lit("unchanged")).as("change_type"),
+        col("old_state"), col("new_state"), col("old_value"), col("new_value"))
+      .orderBy(col("user_id"))
+  }
+
+  val q112Sql: String =
+    s"""WITH s1 AS (
+       |  SELECT user_id, event_type, value FROM (
+       |    SELECT user_id, event_type, value,
+       |      row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+       |    FROM events WHERE ts <= TIMESTAMP '$DiffCutoff') WHERE rn = 1),
+       |s2 AS (
+       |  SELECT user_id, event_type, value FROM (
+       |    SELECT user_id, event_type, value,
+       |      row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+       |    FROM events) WHERE rn = 1)
+       |SELECT COALESCE(s1.user_id, s2.user_id) AS user_id,
+       | CASE WHEN s1.user_id IS NULL THEN 'added'
+       |      WHEN s2.user_id IS NULL THEN 'removed'
+       |      WHEN s1.event_type IS DISTINCT FROM s2.event_type
+       |        OR s1.value IS DISTINCT FROM s2.value THEN 'changed'
+       |      ELSE 'unchanged' END AS change_type,
+       | s1.event_type AS old_state, s2.event_type AS new_state,
+       | s1.value AS old_value, s2.value AS new_value
+       |FROM s1 FULL OUTER JOIN s2 ON s1.user_id = s2.user_id
+       |ORDER BY COALESCE(s1.user_id, s2.user_id)""".stripMargin
 }

@@ -64,6 +64,33 @@ class TemporalSpec extends SparkTestBase {
     out.unpersist()
   }
 
+  test("q112: ledger covers every user once; verdicts agree with the raw log") {
+    import org.apache.spark.sql.functions._
+    val out = Temporal.q112SnapshotDiff(spark, sf).cache()
+    val ev = Tables.events(spark, sf)
+    assert(out.count() === ev.select(col("user_id")).distinct().count(),
+      "one ledger row per user in either snapshot")
+    // an append-only log can never lose a user
+    assert(out.filter(col("change_type") === "removed").isEmpty)
+    val cut = lit(Temporal.DiffCutoff).cast("timestamp")
+    val spans = ev.groupBy(col("user_id"))
+      .agg(min(col("ts")).as("first_ts"), max(col("ts")).as("last_ts"))
+    val j = out.join(spans, Seq("user_id")).cache()
+    // a user born after the cutoff must be 'added'; one silent since the
+    // cutoff must be 'unchanged' (their last state IS the old state)
+    assert(j.filter(col("first_ts") > cut && col("change_type") =!= "added").isEmpty)
+    assert(j.filter(col("last_ts") <= cut && col("change_type") =!= "unchanged").isEmpty)
+    // verdict internal consistency
+    assert(out.filter(col("change_type") === "changed" &&
+      (col("old_state") <=> col("new_state")) &&
+      (col("old_value") <=> col("new_value"))).isEmpty)
+    assert(out.filter(col("change_type") === "unchanged" &&
+      (!(col("old_state") <=> col("new_state")) ||
+       !(col("old_value") <=> col("new_value")))).isEmpty)
+    assert(out.filter(col("change_type") === "added" && col("old_state").isNotNull).isEmpty)
+    j.unpersist(); out.unpersist()
+  }
+
   test("q106: a stream opening with NULL event_type still versions densely from 1") {
     // Regression guard for the lag-boundary corner: for the FIRST row of a
     // partition, lag's NULL <=> a NULL event_type is true, so the change

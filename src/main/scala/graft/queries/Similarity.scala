@@ -645,6 +645,157 @@ object Similarity {
        |ORDER BY vec_id, rnk""".stripMargin
   }
 
+  /** Product-quantization geometry for q109: [[PqM]] subspaces of
+    * [[PqSubDims]] dims each (4×16 = 64 = [[AnnDims]]), [[PqK]] codewords
+    * per subspace seeded from the first [[PqK]] vectors' subvectors
+    * (codeword ids are dense ranks 0..K-1 in vec_id order), [[PqQueries]]
+    * query vectors, top-[[PqTopK]] by asymmetric distance.
+    */
+  val PqM = 4
+  val PqSubDims = 16
+  val PqK = 16
+  val PqQueries = 8
+  val PqTopK = 5
+
+  /** (vec_id, m, sv): each vector split into its [[PqM]] subvectors. */
+  private def subvecs(df: DataFrame): DataFrame =
+    df.select(col("vec_id"), posexplode(
+      array((0 until PqM).map(m =>
+        slice(col("v"), m * PqSubDims + 1, PqSubDims)): _*)).as(Seq("m", "sv")))
+
+  /** Squared L2 between two equal-length double arrays, as the same
+    * sequential fold both engines run: Σ (a[i]-b[i])·(a[i]-b[i]). */
+  private def l2sq(a: Column, b: Column): Column = {
+    val diff = zip_with(a, b, (x, y) => x - y)
+    dotFold(diff, diff)
+  }
+
+  /** q109: product-quantization ANN — encode every vector as [[PqM]]
+    * one-byte codewords (nearest codebook centroid per subspace, squared
+    * L2), then answer top-k by ASYMMETRIC DISTANCE COMPUTATION: per
+    * query, precompute the query-to-codeword distance table per
+    * subspace, and score a candidate as the SUM of [[PqM]] table
+    * lookups — never touching the original vectors. This is the
+    * Jégou-style PQ index (the companion to q61's scalar quantization):
+    * 64 floats collapse to 4 bytes per vector, and the scan cost per
+    * candidate drops from 64 multiplies to 4 integer lookups.
+    *
+    * Scale shape — the part that matters at 100 TB:
+    *   - the codebook is M×K rows, BROADCAST everywhere it appears;
+    *   - encoding aggregates by (vec_id, m) then vec_id — a one-time
+    *     index-build cost, like the q102 bucketed write;
+    *   - the ADC scan is MAP-ONLY: the code table never shuffles; the
+    *     per-query distance tables (queries × M × K lookups) broadcast
+    *     as nested arrays, each candidate's distance is 4 `element_at`
+    *     lookups summed as exact integer micros, and the only exchange
+    *     is [[graft.functions.TopKPairs]]' bounded per-partition heads.
+    *
+    * Determinism: subspace distances are the same sequential fold in
+    * both engines (bit-identical doubles), codeword argmins order by
+    * (6dp distance, codeword id), table entries quantize to integer
+    * micros BEFORE the sum (4-term addition becomes order-independent
+    * long arithmetic), and the top-k orders by (distance, neighbor id).
+    */
+  def q109PqAdc(s: SparkSession, dir: String): DataFrame = {
+    val e = vecs(s, dir)
+    // codebook: dense 0-based codeword ranks over the first PqK vectors
+    // (16-row frame; the single-partition window is bounded by LIMIT)
+    val seeds = e.orderBy(col("vec_id")).limit(PqK)
+      .withColumn("c_id", row_number().over(Window.orderBy(col("vec_id"))).cast("long") - 1L)
+    val cb = subvecs(seeds.select(col("c_id").as("vec_id"), col("v")))
+      .select(col("vec_id").as("c_id"), col("m"), col("sv").as("cv"))
+    // encode: nearest codeword per (vector, subspace); min(struct) is a
+    // codegen hash-aggregate champion, not a window sort
+    val codes = subvecs(e).join(broadcast(cb), Seq("m"))
+      .select(col("vec_id"), col("m"),
+        round(l2sq(col("sv"), col("cv")), 6).as("d2"), col("c_id"))
+      .groupBy(col("vec_id"), col("m"))
+      .agg(min(struct(col("d2"), col("c_id"))).as("ch"))
+      .groupBy(col("vec_id"))
+      .agg(transform(array_sort(collect_list(struct(col("m"), col("ch.c_id").as("code")))),
+        x => x.getField("code")).as("codes"))
+    // per-query distance tables, shaped (q_id, dtm[m][c_id+1] = micros)
+    val dtq = subvecs(e.orderBy(col("vec_id")).limit(PqQueries))
+      .select(col("vec_id").as("q_id"), col("m"), col("sv"))
+      .join(broadcast(cb), Seq("m"))
+      .select(col("q_id"), col("m"), col("c_id"),
+        round(l2sq(col("sv"), col("cv")) * 1e6).cast("long").as("qd2_u"))
+      .groupBy(col("q_id"), col("m"))
+      .agg(transform(array_sort(collect_list(struct(col("c_id"), col("qd2_u")))),
+        x => x.getField("qd2_u")).as("row_k"))
+      .groupBy(col("q_id"))
+      .agg(transform(array_sort(collect_list(struct(col("m"), col("row_k")))),
+        x => x.getField("row_k")).as("dtm"))
+    val adistU = (0 until PqM).map { m =>
+      element_at(element_at(col("dtm"), m + 1),
+        (element_at(col("codes"), m + 1) + 1L).cast("int"))
+    }.reduce(_ + _)
+    codes.crossJoin(broadcast(dtq))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), adistU.as("adist_u"))
+      .groupBy(col("q_id"))
+      .agg(topKPairs(-col("adist_u").cast("double"), col("vec_id"), PqTopK).as("nb"))
+      .select(col("q_id"), posexplode(col("nb")).as(Seq("pos", "nb")))
+      .select(col("q_id"), col("nb.id").as("neighbor_id"),
+        (-col("nb.score") / 1e6).as("adist"),
+        (col("pos") + 1).cast("long").as("rnk"))
+      .orderBy(col("q_id"), col("rnk"))
+  }
+
+  val q109Sql: String = {
+    def l2(a: String, b: String): String =
+      s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |      list_transform(range(1, ${PqSubDims + 1}),
+         |        i -> ($a[i] - $b[i]) * ($a[i] - $b[i]))), (x, y) -> x + y)""".stripMargin
+    val adist = (1 to PqM)
+      .map(m => s"dtm[$m][CAST(codes[$m] + 1 AS INT)]").mkString(" + ")
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |sub AS (
+       |  SELECT vec_id, u.m AS m, u.sv AS sv FROM (
+       |    SELECT vec_id, unnest(list_transform(range(0, $PqM),
+       |      m -> struct_pack(m := m, sv := v[m*$PqSubDims+1 : (m+1)*$PqSubDims]))) AS u
+       |    FROM e)),
+       |seeds AS (
+       |  SELECT vec_id, v, CAST(row_number() OVER (ORDER BY vec_id) AS BIGINT) - 1 AS c_id
+       |  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT $PqK)),
+       |cb AS (
+       |  SELECT c_id, u.m AS m, u.cv AS cv FROM (
+       |    SELECT c_id, unnest(list_transform(range(0, $PqM),
+       |      m -> struct_pack(m := m, cv := v[m*$PqSubDims+1 : (m+1)*$PqSubDims]))) AS u
+       |    FROM seeds)),
+       |enc AS (
+       |  SELECT vec_id, m, c_id AS code FROM (
+       |    SELECT sub.vec_id, sub.m, cb.c_id,
+       |      row_number() OVER (PARTITION BY sub.vec_id, sub.m
+       |        ORDER BY ROUND(${l2("sub.sv", "cb.cv")}, 6), cb.c_id) AS ern
+       |    FROM sub JOIN cb ON sub.m = cb.m) WHERE ern = 1),
+       |codes AS (
+       |  SELECT vec_id, list(code ORDER BY m) AS codes FROM enc GROUP BY vec_id),
+       |qs AS (SELECT vec_id FROM e ORDER BY vec_id LIMIT $PqQueries),
+       |dt AS (
+       |  SELECT sub.vec_id AS q_id, sub.m, cb.c_id,
+       |    CAST(round(${l2("sub.sv", "cb.cv")} * 1e6) AS BIGINT) AS qd2_u
+       |  FROM sub JOIN cb ON sub.m = cb.m
+       |  WHERE sub.vec_id IN (SELECT vec_id FROM qs)),
+       |dtr AS (
+       |  SELECT q_id, m, list(qd2_u ORDER BY c_id) AS row_k
+       |  FROM dt GROUP BY q_id, m),
+       |dtq AS (
+       |  SELECT q_id, list(row_k ORDER BY m) AS dtm FROM dtr GROUP BY q_id),
+       |adc AS (
+       |  SELECT q_id, vec_id, $adist AS adist_u
+       |  FROM codes CROSS JOIN dtq WHERE vec_id <> q_id),
+       |r AS (
+       |  SELECT q_id, vec_id AS neighbor_id, adist_u,
+       |   CAST(row_number() OVER (PARTITION BY q_id ORDER BY adist_u, vec_id) AS BIGINT) AS rnk
+       |  FROM adc)
+       |SELECT q_id, neighbor_id, CAST(adist_u AS DOUBLE) / 1e6 AS adist, rnk
+       |FROM r WHERE rnk <= $PqTopK
+       |ORDER BY q_id, rnk""".stripMargin
+  }
+
   /** q110: label-prototype mislabel audit — compute each label class's
     * mean-embedding prototype, then score every vector's cosine to its
     * OWN class prototype vs the best FOREIGN prototype; a vector whose

@@ -68,6 +68,51 @@ class SimilaritySpec extends SparkTestBase {
     out.unpersist()
   }
 
+  test("q109: shape, monotone distances, and run-to-run determinism") {
+    import org.apache.spark.sql.functions._
+    val out = Similarity.q109PqAdc(spark, sf).cache()
+    assert(out.count() === Similarity.PqQueries.toLong * Similarity.PqTopK)
+    assert(out.filter(col("neighbor_id") === col("q_id")).isEmpty,
+      "a query must never be its own neighbor")
+    assert(out.filter(col("adist") < 0.0).isEmpty, "squared distances are non-negative")
+    val byQ = out.collect().groupBy(_.getAs[Long]("q_id"))
+    byQ.values.foreach { rows =>
+      val sorted = rows.sortBy(_.getAs[Long]("rnk"))
+      assert(sorted.map(_.getAs[Long]("rnk")).toSeq === (1L to Similarity.PqTopK).toSeq)
+      val ds = sorted.map(_.getAs[Double]("adist"))
+      assert(ds.zip(ds.tail).forall { case (a, b) => a <= b },
+        "ADC distances must be non-decreasing down the ranks")
+    }
+    assert(Similarity.q109PqAdc(spark, sf).collect().toSeq ===
+      out.collect().toSeq, "PQ index answers must be reproducible")
+    out.unpersist()
+  }
+
+  test("q109: an exact copy of a codebook seed is found at distance zero") {
+    // fixture: 16 distinct seed vectors (these BECOME the codebook) plus
+    // exact copies of seeds 0..7 as vec 16..23. Each seed's subvectors
+    // quantize to themselves (encode error 0), so for query i (= seed i)
+    // the copy 16+i shares its exact code and the ADC lookup chain must
+    // return it at distance exactly 0, rank 1 — pinning encode, table
+    // build, and lookup end-to-end with no reference to the query's own
+    // internals.
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_pq").toString
+    def vec(i: Int): Seq[Float] =
+      (0 until Similarity.AnnDims).map(d => (((i * 37 + d * 11) % 101) / 101.0f))
+    val rows = (0 until 16).map(i => (i.toLong, vec(i), i % 10)) ++
+      (0 until 8).map(i => ((16 + i).toLong, vec(i), i % 10))
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val top1 = Similarity.q109PqAdc(spark, dir)
+      .filter(col("rnk") === 1).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("neighbor_id"),
+        r.getAs[Double]("adist"))).sortBy(_._1)
+    assert(top1.toSeq === (0 until 8).map(i => (i.toLong, (16 + i).toLong, 0.0)),
+      "each query's exact copy must surface at rank 1, distance 0")
+  }
+
   test("q110: every vector audited once; margins consistent; suspects are the positive margins") {
     import org.apache.spark.sql.functions._
     val out = Similarity.q110LabelAudit(spark, sf).cache()

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -269,5 +269,86 @@ object Layout {
       | CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
       |FROM events e JOIN dim d ON CAST(e.ts AS DATE) = d.event_date
       |WHERE EXTRACT(DAY FROM d.event_date) BETWEEN 8 AND 14
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** 8-bit Morton bit-spread (x → x with a zero bit between every pair):
+    * the classic mask cascade, pure integer bitwise ops. */
+  private def spread8(c: Column): Column = {
+    val a = c.bitwiseOR(shiftleft(c, 4)).bitwiseAND(lit(0x0F0F))
+    val b = a.bitwiseOR(shiftleft(a, 2)).bitwiseAND(lit(0x3333))
+    b.bitwiseOR(shiftleft(b, 1)).bitwiseAND(lit(0x5555))
+  }
+
+  /** 16-bit Morton interleave of two 8-bit codes (x even bits, y odd). */
+  private[graft] def morton(x: Column, y: Column): Column =
+    spread8(x).bitwiseOR(shiftleft(spread8(y), 1))
+
+  private val eventsZMemo = Dedup.registerMemo("events_zorder")
+
+  /** Events re-laid-out on a 2-D Z-ORDER (Morton) curve over (user_id,
+    * day) — the multi-dimensional clustering lever (Delta/Iceberg
+    * OPTIMIZE ZORDER BY): range-partition + sort by the interleaved
+    * code, and every file's min/max footer stats become tight on BOTH
+    * dimensions at once, so a 2-D box predicate skips most files — the
+    * pruning a single-column sort can only deliver for its own column.
+    *
+    * user_id quantizes to 8 bits against data-driven bounds carried by a
+    * broadcast 1-row bounds frame (the same sampling job a production
+    * z-order write runs; never a driver-side collect); day is already
+    * 5-bit and stretches monotonically across the byte. The layout is a
+    * one-time write cost, exactly like [[writeBucketed]].
+    */
+  private[graft] def zorderedEvents(s: SparkSession, dir: String): DataFrame =
+    Dedup.memoized(eventsZMemo, s, dir) {
+      val name = s"graft_events_z_${sfTag(dir)}"
+      val path = s"$layoutRoot/${sfTag(dir)}/events_z"
+      if (!s.catalog.tableExists(name)) {
+        freshPath(s, path)
+        val ev = Tables.events(s, dir)
+        val bounds = ev.agg(min(col("user_id")).as("u_lo"), max(col("user_id")).as("u_hi"))
+        ev.crossJoin(broadcast(bounds))
+          .withColumn("x8", floor((col("user_id") - col("u_lo")) * 256 /
+            (col("u_hi") - col("u_lo") + 1)).cast("int"))
+          .withColumn("y8", ((dayofmonth(col("ts")) - 1) * 8).cast("int"))
+          .withColumn("zcode", morton(col("x8"), col("y8")))
+          .drop("u_lo", "u_hi", "x8", "y8")
+          .repartitionByRange(ZFiles, col("zcode"))
+          .sortWithinPartitions(col("zcode"))
+          .write.format("parquet")
+          .option("path", path)
+          .saveAsTable(name)
+      }
+      registeredTables.add(name)
+      s.table(name)
+    }
+
+  /** Target file count for the z-ordered layout (fixture-sized; a 100 TB
+    * deployment targets HDFS-block-ish files, same curve). */
+  val ZFiles = 16
+
+  /** q113: 2-D box query over the z-ordered layout — user slice × day
+    * slice, answered from [[zorderedEvents]]. The result is layout-
+    * independent (the oracle computes it from raw events); what the
+    * layout buys is FILE SKIPPING, pinned in LayoutSpec: under the
+    * z-order clustering, at most half the files' (user_id, day) min/max
+    * envelopes intersect the box, while a day-only or user-only sort
+    * leaves the other dimension's envelope full-width in every file.
+    * The user_id half of the predicate also pushes down to the parquet
+    * row-group stats (PushedFilters, pinned).
+    */
+  def q113ZorderBox(s: SparkSession, dir: String): DataFrame =
+    zorderedEvents(s, dir)
+      .filter(col("user_id").between(3, 5) && dayofmonth(col("ts")).between(5, 9))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
+      .orderBy("event_type")
+
+  val q113Sql: String =
+    """SELECT event_type, COUNT(*) AS n_events,
+      | CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+      |FROM events
+      |WHERE user_id BETWEEN 3 AND 5 AND EXTRACT(DAY FROM ts) BETWEEN 5 AND 9
       |GROUP BY 1 ORDER BY 1""".stripMargin
 }

@@ -85,6 +85,57 @@ class LayoutSpec extends SparkTestBase {
       s"mid-month slice ($sliced of $total) is not a proper subset")
   }
 
+  test("morton interleave: known values, range, and corner cases") {
+    import org.apache.spark.sql.functions._
+    val got = spark.range(1).select(
+      Layout.morton(lit(3), lit(5)).as("a"),   // spread8(3)=5, spread8(5)=17 → 5|34
+      Layout.morton(lit(0), lit(0)).as("b"),
+      Layout.morton(lit(255), lit(255)).as("c"),
+      Layout.morton(lit(255), lit(0)).as("d"),
+      Layout.morton(lit(0), lit(255)).as("e")).head()
+    assert(got.getInt(0) === 39)
+    assert(got.getInt(1) === 0)
+    assert(got.getInt(2) === 65535)
+    assert(got.getInt(3) === 0x5555)
+    assert(got.getInt(4) === 0xAAAA)
+  }
+
+  test("q113 equals raw; z-order confines the 2-D box to a minority of files") {
+    val raw = Tables.events(spark, sf)
+      .filter(col("user_id").between(3, 5) && dayofmonth(col("ts")).between(5, 9))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
+      .orderBy("event_type")
+      .collect().toSeq
+    val got = Layout.q113ZorderBox(spark, sf).collect().toSeq
+    assert(got === raw)
+    assert(got.nonEmpty, "box matched no events — fixture drifted")
+    // the skipping claim itself: per file, the (user_id, day) min/max
+    // envelope (what parquet footers would carry) must exclude the box
+    // for at least half the files — the 2-D tightness only a space-
+    // filling curve delivers (a day-only sort leaves user_id full-width
+    // in every file and vice versa)
+    val z = Layout.zorderedEvents(spark, sf)
+    val perFile = z.withColumn("f", input_file_name())
+      .withColumn("day", dayofmonth(col("ts")))
+      .groupBy(col("f"))
+      .agg(min(col("user_id")).as("ulo"), max(col("user_id")).as("uhi"),
+        min(col("day")).as("dlo"), max(col("day")).as("dhi"))
+      .collect()
+    assert(z.count() === Tables.events(spark, sf).count(),
+      "z-layout lost or duplicated rows")
+    val total = perFile.length
+    val hit = perFile.count { r =>
+      r.getAs[Long]("ulo") <= 5L && r.getAs[Long]("uhi") >= 3L &&
+      r.getAs[Int]("dlo") <= 9 && r.getAs[Int]("dhi") >= 5
+    }
+    assert(total >= 8, s"only $total files — too few to demonstrate skipping")
+    assert(hit * 2 <= total,
+      s"box envelope intersects $hit of $total files — the curve is not clustering")
+  }
+
   test("dropLayouts + clearMemos round-trip: layouts rebuild and answer identically") {
     // the documented in-session rewrite protocol for the one memoized
     // surface whose state outlives its memo handles (Layout class doc):

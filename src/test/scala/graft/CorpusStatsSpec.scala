@@ -321,6 +321,28 @@ class CorpusStatsSpec extends SparkTestBase {
       (3L, s"a${J}a", "a", s"a${J}a${J}a", 1L)))
   }
 
+  test("q114: merged daily sketches equal the direct sketch exactly, inside the HLL envelope") {
+    val rows = Analytics.q114SketchRollup(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      // THE pre-aggregation algebra: HLL registers merge by max, so the
+      // union of the daily sketches is byte-for-byte the global sketch —
+      // estimates must agree exactly, or materialized sketch tables would
+      // silently drift from the log they summarize
+      assert(r.getAs[Long]("users_merged") === r.getAs[Long]("users_direct"),
+        s"${r.getAs[String]("event_type")}: merged user sketch diverged from direct")
+      assert(r.getAs[Long]("events_merged") === r.getAs[Long]("events_direct"),
+        s"${r.getAs[String]("event_type")}: merged event sketch diverged from direct")
+      // default lgConfigK=12 → relative standard error ~1.6%; 5% ≈ 3σ
+      def within(est: Long, exact: Long): Boolean =
+        math.abs(est - exact) <= math.max(1L, math.ceil(exact * 0.05).toLong)
+      assert(within(r.getAs[Long]("users_merged"), r.getAs[Long]("users_exact")),
+        s"user estimate outside the HLL envelope: $r")
+      assert(within(r.getAs[Long]("events_merged"), r.getAs[Long]("events_exact")),
+        s"event estimate outside the HLL envelope: $r")
+    }
+  }
+
   test("q111: hand-computed encode counts on the q107 fixture") {
     // same corpus as the q107 fixture; after the 3 learned rules:
     // doc1 "a a a a" → "a␁a a␁a"   (raw 4 → 2)

@@ -698,10 +698,13 @@ object Similarity {
     */
   def q109PqAdc(s: SparkSession, dir: String): DataFrame = {
     val e = vecs(s, dir)
-    // codebook: dense 0-based codeword ranks over the first PqK vectors
-    // (16-row frame; the single-partition window is bounded by LIMIT)
+    // codebook: dense 0-based codeword ranks over the first PqK vectors.
+    // Ranks come from collect_list+array_sort+posexplode on the LIMIT-16
+    // frame (bounded by construction), not an unpartitioned rank window.
     val seeds = e.orderBy(col("vec_id")).limit(PqK)
-      .withColumn("c_id", row_number().over(Window.orderBy(col("vec_id"))).cast("long") - 1L)
+      .agg(array_sort(collect_list(struct(col("vec_id"), col("v")))).as("ss"))
+      .select(posexplode(col("ss")).as(Seq("c_id", "sv0")))
+      .select(col("c_id").cast("long").as("c_id"), col("sv0.v").as("v"))
     val cb = subvecs(seeds.select(col("c_id").as("vec_id"), col("v")))
       .select(col("vec_id").as("c_id"), col("m"), col("sv").as("cv"))
     // encode: nearest codeword per (vector, subspace); min(struct) is a

@@ -16,7 +16,8 @@ class RelationalSpec extends SparkTestBase {
   test("every query has an oracle or is explicitly rows-only") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     // rows-only ops (sketch-based, not SQL-oracle-expressible) documented here
-    val allowed = Set("q35_approx_distinct", "q55_approx_quantiles")
+    val allowed = Set("q35_approx_distinct", "q55_approx_quantiles",
+      "q114_sketch_rollup")
     assert(noOracle.subsetOf(allowed), s"queries missing oracle SQL: $noOracle")
   }
 

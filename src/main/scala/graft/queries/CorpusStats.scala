@@ -681,4 +681,79 @@ object CorpusStats {
        |       / len(string_split(w0.txt, ' ')), 6) AS compression
        |FROM w0 JOIN w3 ON w0.doc_id = w3.doc_id
        |ORDER BY w0.doc_id""".stripMargin
+
+  /** Add-k smoothing constant for q115 (k = 1/2, Jeffreys; a power of two,
+    * so the smoothed counts are exact in IEEE doubles). */
+  val BigramAddK: Double = 0.5
+
+  /** q115: bigram-LM document perplexity — score every document by its
+    * average negative log-likelihood under an add-k-smoothed bigram
+    * language model trained on the corpus itself: p(r|l) = (c(l,r)+k) /
+    * (c(l·)+k·V). The bigram step past q84's unigram surprisal is what a
+    * CCNet-style perplexity filter actually runs: word-order breakage
+    * (boilerplate splices, shuffled scrapes) leaves unigram stats intact
+    * but craters bigram likelihood.
+    *
+    * Scale shape (q84/q86's vocabulary discipline): the token stream
+    * collapses to (doc, l, r) counts map-side; the model lives on the
+    * bigram-vocabulary keyspace (≪ corpus), its prefix marginals come
+    * from one more vocab-sized aggregate, the vocabulary size V is a
+    * broadcast 1-row frame, and the doc-side rejoin keys on (l, r) where
+    * AQE's skew split absorbs stopword-pair heads. Docs with fewer than
+    * 2 tokens have no bigram distribution and are excluded (documented
+    * contract, mirrored by the oracle).
+    *
+    * Determinism: smoothed counts are integer+0.5 exact doubles; ln may
+    * differ in the last ulp and the per-doc sum order differs between
+    * engines — both ~1e-12, absorbed by the 4dp round (q84's rule).
+    */
+  def q115BigramPerplexity(s: SparkSession, dir: String): DataFrame = {
+    val docBi = resplit(documents(s, dir).select(col("doc_id"), col("text")))
+      .select(col("doc_id"), words(col("text")).as("ww"))
+      .filter(size(col("ww")) >= 2)
+      .select(col("doc_id"), explode(transform(sequence(lit(1), size(col("ww")) - 1),
+        i => struct(element_at(col("ww"), i).as("l"),
+          element_at(col("ww"), i + 1).as("r")))).as("b"))
+      .groupBy(col("doc_id"), col("b.l").as("l"), col("b.r").as("r"))
+      .agg(count(lit(1)).as("k"))
+    val big = docBi.groupBy(col("l"), col("r")).agg(sum(col("k")).as("c_lr"))
+    val pre = big.groupBy(col("l")).agg(sum(col("c_lr")).as("c_l"))
+    val vocabF = big.select(col("l").as("w")).union(big.select(col("r").as("w")))
+      .distinct().agg(count(lit(1)).as("v"))
+    val model = big.join(pre, Seq("l")).crossJoin(broadcast(vocabF))
+      .select(col("l"), col("r"),
+        (log(col("c_lr").cast("double") + BigramAddK)
+          - log(col("c_l").cast("double") + lit(BigramAddK) * col("v").cast("double")))
+          .as("logp"))
+    docBi.join(model, Seq("l", "r"))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("k")).as("n_bigrams"),
+        round(-sum(col("k").cast("double") * col("logp"))
+          / sum(col("k")).cast("double"), 4).as("nll_per_token"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q115Sql: String =
+    s"""WITH w AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ww FROM documents),
+       |db AS (
+       |  SELECT doc_id, b.l AS l, b.r AS r, CAST(count(*) AS BIGINT) AS k FROM (
+       |    SELECT doc_id, unnest(list_transform(range(1, len(ww)),
+       |      i -> struct_pack(l := ww[i], r := ww[i+1]))) AS b
+       |    FROM w WHERE len(ww) >= 2)
+       |  GROUP BY doc_id, b.l, b.r),
+       |big AS (SELECT l, r, CAST(sum(k) AS BIGINT) AS c_lr FROM db GROUP BY l, r),
+       |pre AS (SELECT l, CAST(sum(c_lr) AS BIGINT) AS c_l FROM big GROUP BY l),
+       |voc AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS v FROM (
+       |    SELECT l AS tok FROM big UNION SELECT r FROM big)),
+       |m AS (
+       |  SELECT big.l, big.r,
+       |   ln(c_lr + $BigramAddK) - ln(c_l + $BigramAddK * v) AS logp
+       |  FROM big JOIN pre ON big.l = pre.l CROSS JOIN voc)
+       |SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_bigrams,
+       | ROUND(-sum(k * logp) / sum(k), 4) AS nll_per_token
+       |FROM db JOIN m ON db.l = m.l AND db.r = m.r
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 }

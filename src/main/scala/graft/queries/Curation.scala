@@ -580,4 +580,84 @@ object Curation {
       | ROUND(abs(CAST(n_train AS DOUBLE) / t_train
       |   - CAST(n_eval AS DOUBLE) / t_eval), 6) AS drift
       |FROM u CROSS JOIN t ORDER BY dim, value""".stripMargin
+
+  /** Quality cutoffs swept by q116. */
+  val SweepThresholds: Seq[Double] = (1 to 9).map(_ / 10.0)
+
+  /** q116: quality-filter threshold sweep — the operating-curve table a
+    * curation pipeline reads before committing to a quality cutoff. For
+    * each candidate threshold τ: how much of the corpus survives
+    * (`kept_frac`), what fraction of the KNOWN-BAD proxy population
+    * (near-dup cluster members, the q45 labels) leaks through
+    * (`dup_leak`), and how contaminated the kept set is
+    * (`dup_rate_kept`). Sweeping thresholds against a proxy label is the
+    * standard way to pick a filter point without human labels; the dup
+    * graph is the proxy every corpus already has.
+    *
+    * Scale shape: quality + dup flag ride ONE corpus scan (the dup side
+    * is an id-keyed join against the memoized q45 labels); the sweep
+    * explodes each row against the 9-threshold literal array and
+    * hash-aggregates to 9 rows with map-side partials — corpus × 9 rows
+    * into partials, 9 out. Rate denominators are conditional on
+    * emptiness (a threshold that keeps nothing reports NULL rates, not a
+    * division blow-up) — in both engines.
+    */
+  def q116FilterSweep(s: SparkSession, dir: String): DataFrame = {
+    val scored = resplit(documents(s, dir).select(col("doc_id"), col("text")))
+      .select(col("doc_id"), qualityScore(col("text")).as("quality"))
+    val dups = Dedup.componentLabels(s, dir)
+      .select(col("doc").as("doc_id"), lit(1L).as("dup_flag"))
+    val flagged = scored.join(dups, Seq("doc_id"), "left")
+      .select(col("quality"), coalesce(col("dup_flag"), lit(0L)).as("is_dup"))
+    flagged
+      .select(col("quality"), col("is_dup"),
+        explode(array(SweepThresholds.map(lit): _*)).as("tau"))
+      .groupBy(col("tau"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("is_dup")).as("n_dup"),
+        sum(when(col("quality") >= col("tau"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("quality") >= col("tau"), col("is_dup")).otherwise(0L))
+          .as("n_dup_kept"))
+      .select(col("tau"), col("n_kept"),
+        round(col("n_kept").cast("double") / col("n_docs").cast("double"), 6)
+          .as("kept_frac"),
+        col("n_dup_kept"),
+        when(col("n_dup") > 0,
+          round(col("n_dup_kept").cast("double") / col("n_dup").cast("double"), 6))
+          .as("dup_leak"),
+        when(col("n_kept") > 0,
+          round(col("n_dup_kept").cast("double") / col("n_kept").cast("double"), 6))
+          .as("dup_rate_kept"))
+      .orderBy(col("tau"))
+  }
+
+  val q116Sql: String = {
+    val taus = SweepThresholds.mkString("[", ", ", "]")
+    s"""WITH RECURSIVE ${Dedup.sqlComponentsCtes},
+       |qd AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ww, text
+       |  FROM documents),
+       |sc AS (
+       |  SELECT doc_id, ${qualitySqlExpr("ww", "text")} AS quality FROM qd),
+       |fl AS (
+       |  SELECT quality,
+       |   CASE WHEN l.doc IS NOT NULL THEN 1 ELSE 0 END AS is_dup
+       |  FROM sc LEFT JOIN (SELECT DISTINCT doc FROM labels) l ON sc.doc_id = l.doc),
+       |ex AS (SELECT quality, is_dup, unnest($taus) AS tau FROM fl),
+       |a AS (
+       |  SELECT tau, CAST(count(*) AS BIGINT) AS n_docs,
+       |   CAST(sum(is_dup) AS BIGINT) AS n_dup,
+       |   CAST(sum(CASE WHEN quality >= tau THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |   CAST(sum(CASE WHEN quality >= tau THEN is_dup ELSE 0 END) AS BIGINT) AS n_dup_kept
+       |  FROM ex GROUP BY tau)
+       |SELECT tau, n_kept,
+       | ROUND(CAST(n_kept AS DOUBLE) / n_docs, 6) AS kept_frac,
+       | n_dup_kept,
+       | CASE WHEN n_dup > 0
+       |   THEN ROUND(CAST(n_dup_kept AS DOUBLE) / n_dup, 6) END AS dup_leak,
+       | CASE WHEN n_kept > 0
+       |   THEN ROUND(CAST(n_dup_kept AS DOUBLE) / n_kept, 6) END AS dup_rate_kept
+       |FROM a ORDER BY tau""".stripMargin
+  }
 }

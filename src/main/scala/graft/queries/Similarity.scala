@@ -799,6 +799,73 @@ object Similarity {
        |ORDER BY q_id, rnk""".stripMargin
   }
 
+  /** The q39/q101 seeded-centroid cell assignment as a reusable frame
+    * (vec_id, v, norm, cell) — shared by q117 and the SemDeDup spec. */
+  private[graft] def seededAssignment(s: SparkSession, dir: String): DataFrame = {
+    val e = vecs(s, dir)
+    val cents = e.orderBy(col("vec_id")).limit(IvfCells)
+      .select(col("vec_id").as("c_id"), col("v").as("cv"), col("norm").as("cnorm"))
+    assignToCells(e, cents)
+  }
+
+  /** q117: SemDeDup — semantic dedup with CLUSTER-bucketed candidates:
+    * assign every vector to its IVF cell (the q39 seeded assignment),
+    * generate candidate pairs only WITHIN a cell (shuffle equi-join on
+    * `cell`), and emit the q40-convention (keep_id, drop_id, sim) ledger
+    * for pairs above the calibrated threshold. This is the published
+    * SemDeDup recipe (cluster the embedding space, dedup inside each
+    * cluster) and the third candidate-generation strategy in the family:
+    * q40 scores all pairs (yardstick), q67 buckets by LSH bands, q117
+    * buckets by learned/seeded cells — per-cell work is (n/K)² and the
+    * pair stream never crosses cells. The recall trade is explicit and
+    * spec-pinned: q117 equals q40 EXACTLY restricted to co-celled pairs
+    * (a cross-cell near-dup is the recall loss you pay for cluster
+    * candidates; raising nprobe or cell overlap buys it back).
+    */
+  def q117SemanticDedup(s: SparkSession, dir: String): DataFrame = {
+    val a = seededAssignment(s, dir)
+    a.as("a").join(a.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("keep_id"), col("b.vec_id").as("drop_id"),
+        col("a.cell").as("cell"),
+        (dot(col("a.v"), col("b.v")) / (col("a.norm") * col("b.norm"))).as("sim_raw"))
+      // unrounded-threshold, rounded-presentation: q40's boundary rule
+      .filter(col("sim_raw") >= NearDupThreshold)
+      .select(col("keep_id"), col("drop_id"), col("cell"),
+        round(col("sim_raw"), 6).as("sim"))
+      .orderBy(col("keep_id"), col("drop_id"))
+  }
+
+  val q117Sql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |n AS (
+       |  SELECT vec_id, v,
+       |   sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |     list_transform(v, x -> x * x)), (a, b) -> a + b)) AS norm
+       |  FROM e),
+       |cents AS (
+       |  SELECT vec_id AS c_id, v AS cv, norm AS cnorm FROM n
+       |  ORDER BY vec_id LIMIT $IvfCells),
+       |assign AS (
+       |  SELECT vec_id, v, norm, c_id AS cell,
+       |   row_number() OVER (PARTITION BY vec_id ORDER BY
+       |     ROUND(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |         list_transform(range(1, ${AnnDims + 1}), i -> n.v[i] * cents.cv[i])), (x, y) -> x + y)
+       |       / (n.norm * cents.cnorm), 6) DESC, c_id) AS crn
+       |  FROM n CROSS JOIN cents),
+       |cells AS (SELECT vec_id, v, norm, cell FROM assign WHERE crn = 1)
+       |SELECT a.vec_id AS keep_id, b.vec_id AS drop_id, a.cell AS cell,
+       | ROUND(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |     list_transform(range(1, ${AnnDims + 1}), i -> a.v[i] * b.v[i])), (x, y) -> x + y)
+       |   / (a.norm * b.norm), 6) AS sim
+       |FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |WHERE list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |     list_transform(range(1, ${AnnDims + 1}), i -> a.v[i] * b.v[i])), (x, y) -> x + y)
+       |   / (a.norm * b.norm) >= $NearDupThreshold
+       |ORDER BY keep_id, drop_id""".stripMargin
+
   /** q110: label-prototype mislabel audit — compute each label class's
     * mean-embedding prototype, then score every vector's cosine to its
     * OWN class prototype vs the best FOREIGN prototype; a vector whose

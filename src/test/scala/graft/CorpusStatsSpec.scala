@@ -321,6 +321,28 @@ class CorpusStatsSpec extends SparkTestBase {
       (3L, s"a${J}a", "a", s"a${J}a${J}a", 1L)))
   }
 
+  test("q115: every multi-token doc scored, nll positive, repetition scores as more predictable") {
+    val out = CorpusStats.q115BigramPerplexity(spark, sf).cache()
+    val expected = Tables.documents(spark, sf)
+      .filter(size(graft.functions.TextFns.words(col("text"))) >= 2).count()
+    assert(out.count() === expected, "one score per document with >= 2 tokens")
+    // smoothed probabilities are strictly < 1, so nll is strictly positive
+    assert(out.filter(col("nll_per_token") <= 0.0).isEmpty)
+    out.unpersist()
+    // a doc of one repeated transition must score far more predictable
+    // than a doc of singleton transitions, under the model both induce
+    val dir = java.nio.file.Files.createTempDirectory("graft_bigram").toString
+    import spark.implicits._
+    Seq((1L, "p p p p p p p p", "en", "web", 15L),
+      (2L, "q r s t u v w x", "en", "web", 15L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = CorpusStats.q115BigramPerplexity(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("nll_per_token")).toMap
+    assert(rows(1L) < rows(2L),
+      s"repetitive doc (${rows(1L)}) must beat the singleton-transition doc (${rows(2L)})")
+  }
+
   test("q114: merged daily sketches equal the direct sketch exactly, inside the HLL envelope") {
     val rows = Analytics.q114SketchRollup(spark, sf).collect()
     assert(rows.nonEmpty)

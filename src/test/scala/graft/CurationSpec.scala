@@ -288,4 +288,24 @@ class CurationSpec extends SparkTestBase {
         - r.getAs[Double]("eval_share"))) < 1e-5)
     }
   }
+
+  test("q116: the operating curve is monotone and agrees with a direct recount") {
+    import graft.functions.TextFns
+    val rows = Curation.q116FilterSweep(spark, sf).collect().sortBy(_.getAs[Double]("tau"))
+    assert(rows.map(_.getAs[Double]("tau")).toSeq === Curation.SweepThresholds)
+    // raising the bar can only shrink the kept set and the leaked dups
+    val kept = rows.map(_.getAs[Long]("n_kept"))
+    val leaked = rows.map(_.getAs[Long]("n_dup_kept"))
+    assert(kept.zip(kept.tail).forall { case (a, b) => b <= a })
+    assert(leaked.zip(leaked.tail).forall { case (a, b) => b <= a })
+    rows.foreach(r => assert(r.getAs[Long]("n_dup_kept") <= r.getAs[Long]("n_kept")))
+    // spot-verify one row against a direct recount at its threshold
+    val mid = rows(4)
+    val tau = mid.getAs[Double]("tau")
+    val directKept = Tables.documents(spark, sf)
+      .select(TextFns.qualityScore(col("text")).as("q"))
+      .filter(col("q") >= tau).count()
+    assert(mid.getAs[Long]("n_kept") === directKept,
+      s"sweep row at tau=$tau disagrees with the direct recount")
+  }
 }

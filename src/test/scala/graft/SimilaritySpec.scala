@@ -113,6 +113,30 @@ class SimilaritySpec extends SparkTestBase {
       "each query's exact copy must surface at rank 1, distance 0")
   }
 
+  test("q117: SemDeDup equals the brute-force ledger restricted to co-celled pairs") {
+    import org.apache.spark.sql.functions._
+    // the exact recall statement from the scaladoc: cluster-bucketed
+    // candidates find precisely the q40 pairs whose endpoints share a
+    // cell — no more (candidates never cross cells), no less (within a
+    // cell the verify is exhaustive)
+    val cells = Similarity.seededAssignment(spark, sf)
+      .select(col("vec_id"), col("cell"))
+    val expected = Similarity.q40EmbeddingNearDup(spark, sf)
+      .join(cells.withColumnRenamed("vec_id", "keep_id")
+        .withColumnRenamed("cell", "kc"), Seq("keep_id"))
+      .join(cells.withColumnRenamed("vec_id", "drop_id")
+        .withColumnRenamed("cell", "dc"), Seq("drop_id"))
+      .filter(col("kc") === col("dc"))
+      .select(col("keep_id"), col("drop_id"), col("sim"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val got = Similarity.q117SemanticDedup(spark, sf)
+      .select(col("keep_id"), col("drop_id"), col("sim"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got === expected,
+      s"cell-bucketed ledger diverged: extra=${got -- expected}, missing=${expected -- got}")
+    assert(got.nonEmpty, "no co-celled near-dup pairs at this sf — test proves nothing")
+  }
+
   test("q110: every vector audited once; margins consistent; suspects are the positive margins") {
     import org.apache.spark.sql.functions._
     val out = Similarity.q110LabelAudit(spark, sf).cache()

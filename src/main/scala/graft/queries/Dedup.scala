@@ -736,4 +736,63 @@ object Dedup {
        |WHERE d.doc_id % 10 = 3
        |ORDER BY d.doc_id""".stripMargin
   }
+
+  /** q119: triangle count + local clustering coefficient of the near-dup
+    * graph — the graph-topology report read next to q75's cluster sizes
+    * and q97's PageRank: a component held together by triangles is true
+    * mutual duplication (safe to collapse to one keeper), while a
+    * triangle-free star is one template touching many near-misses (the
+    * keeper policy should review the hub). Per node: degree, incident
+    * triangles, and clustering = 2T/(d(d−1)).
+    *
+    * Scale shape — the standard distributed node-iterator: edges are
+    * canonical (a<b) from the MEMOIZED q22 pair list, wedges come from
+    * ONE edge-keyed equi-join (e1.b = e2.a, so a<b<c by construction and
+    * each triangle is generated exactly once), closed by a left-semi
+    * probe of the edge list; per-node counts explode each triangle to
+    * its 3 corners and hash-aggregate. Every join keys on node ids; the
+    * wedge stream is Σdeg² — the inherent cost of exact triangle
+    * counting — and nothing is quadratic in nodes.
+    */
+  def q119Triangles(s: SparkSession, dir: String): DataFrame = {
+    val e = q22Cached(s, dir).select(col("doc_a"), col("doc_b"))
+    val deg = e.select(col("doc_a").as("doc"))
+      .union(e.select(col("doc_b").as("doc")))
+      .groupBy(col("doc")).agg(count(lit(1)).as("degree"))
+    val tri = e.as("e1").join(e.as("e2"), col("e1.doc_b") === col("e2.doc_a"))
+      .select(col("e1.doc_a").as("a"), col("e1.doc_b").as("b"), col("e2.doc_b").as("c"))
+      .join(e.as("e3"),
+        col("a") === col("e3.doc_a") && col("c") === col("e3.doc_b"), "left_semi")
+    val perNode = tri.select(explode(array(col("a"), col("b"), col("c"))).as("doc"))
+      .groupBy(col("doc")).agg(count(lit(1)).as("n_tri"))
+    deg.join(perNode, Seq("doc"), "left")
+      .select(col("doc"), col("degree"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+        when(col("degree") >= 2, round(lit(2.0) * coalesce(col("n_tri"), lit(0L))
+          / (col("degree") * (col("degree") - 1)).cast("double"), 6)).as("clustering"))
+      .orderBy(col("doc"))
+  }
+
+  val q119Sql: String =
+    s"""WITH RECURSIVE $sqlComponentsCtes,
+       |e AS (SELECT doc_a, doc_b FROM near),
+       |deg AS (
+       |  SELECT doc, CAST(count(*) AS BIGINT) AS degree FROM (
+       |    SELECT doc_a AS doc FROM e UNION ALL SELECT doc_b FROM e)
+       |  GROUP BY doc),
+       |tri AS (
+       |  SELECT e1.doc_a AS a, e1.doc_b AS b, e2.doc_b AS c
+       |  FROM e e1 JOIN e e2 ON e1.doc_b = e2.doc_a
+       |  WHERE EXISTS (SELECT 1 FROM e e3
+       |                WHERE e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b)),
+       |pn AS (
+       |  SELECT doc, CAST(count(*) AS BIGINT) AS n_tri FROM (
+       |    SELECT unnest([a, b, c]) AS doc FROM tri)
+       |  GROUP BY doc)
+       |SELECT deg.doc AS doc, degree,
+       | COALESCE(n_tri, CAST(0 AS BIGINT)) AS n_tri,
+       | CASE WHEN degree >= 2 THEN ROUND(2.0 * COALESCE(n_tri, 0)
+       |   / CAST(degree * (degree - 1) AS DOUBLE), 6) END AS clustering
+       |FROM deg LEFT JOIN pn ON deg.doc = pn.doc
+       |ORDER BY deg.doc""".stripMargin
 }

@@ -284,4 +284,68 @@ object Temporal {
        | s1.value AS old_value, s2.value AS new_value
        |FROM s1 FULL OUTER JOIN s2 ON s1.user_id = s2.user_id
        |ORDER BY COALESCE(s1.user_id, s2.user_id)""".stripMargin
+
+  /** q118: per-key time-series resample — every user's event stream
+    * re-gridded to an HOURLY spine spanning their own first..last event
+    * hour, with last-observation-carried-forward state and a running
+    * seen-event count at each grid point. This is the alignment step
+    * before any cross-signal join of irregular event streams (features
+    * at training time must be sampled on a common clock); q46 fills a
+    * GLOBAL calendar with zeros — this one generates a spine PER KEY and
+    * carries state, the LOCF semantics a zero-fill can't express.
+    *
+    * Scale shape: the spine generates from each user's own (min, max)
+    * aggregate — per-user `sequence()` explode, distributed by the same
+    * user_id key everything else here uses, bounded by the calendar (≤
+    * 720 points/user-month); the LOCF is q37's union + ordered
+    * carry-forward merge (one user_id-partitioned window pass — never a
+    * per-grid-point range join). Grid rows order after event rows at
+    * equal ts (tag 0 < 1), so an on-the-hour event is visible to its own
+    * grid point — inclusive `<=` semantics, exactly q37's rule.
+    */
+  def q118ResampleLocf(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+    val grid = ev.groupBy(col("user_id"))
+      .agg(date_trunc("hour", min(col("ts"))).as("h0"),
+        date_trunc("hour", max(col("ts"))).as("h1"))
+      .select(col("user_id"),
+        explode(sequence(col("h0"), col("h1"), expr("INTERVAL 1 HOUR"))).as("ts"))
+    val unioned = ev.select(col("user_id"), col("ts"), lit(0).as("tag"),
+        col("event_id"), col("event_type"))
+      .union(grid.select(col("user_id"), col("ts"), lit(1).as("tag"),
+        lit(null).cast("long").as("event_id"), lit(null).cast("string").as("event_type")))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("tag"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    unioned
+      .withColumn("state", last(col("event_type"), ignoreNulls = true).over(w))
+      .withColumn("n_seen", sum(when(col("tag") === 0, 1L).otherwise(0L)).over(w))
+      .filter(col("tag") === 1)
+      .select(col("user_id"), unix_micros(col("ts")).as("grid_us"),
+        col("state"), col("n_seen"))
+      .orderBy(col("user_id"), col("grid_us"))
+  }
+
+  val q118Sql: String =
+    """WITH span AS (
+      |  SELECT user_id, date_trunc('hour', min(ts)) AS h0,
+      |    date_trunc('hour', max(ts)) AS h1
+      |  FROM events GROUP BY user_id),
+      |grid AS (
+      |  SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS ts
+      |  FROM span),
+      |u AS (
+      |  SELECT user_id, ts, 0 AS tag, event_id, event_type FROM events
+      |  UNION ALL
+      |  SELECT user_id, ts, 1, NULL, NULL FROM grid),
+      |l AS (
+      |  SELECT user_id, ts, tag,
+      |   last_value(event_type IGNORE NULLS) OVER (PARTITION BY user_id
+      |     ORDER BY ts, tag, event_id ROWS UNBOUNDED PRECEDING) AS state,
+      |   CAST(sum(CASE WHEN tag = 0 THEN 1 ELSE 0 END) OVER (PARTITION BY user_id
+      |     ORDER BY ts, tag, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_seen
+      |  FROM u)
+      |SELECT user_id, epoch_us(ts) AS grid_us, state, n_seen
+      |FROM l WHERE tag = 1 ORDER BY user_id, grid_us""".stripMargin
 }

@@ -194,4 +194,35 @@ class DedupSpec extends SparkTestBase {
     assert(out.filter((col("verdict") === "dup") =!= col("best_jaccard").isNotNull).isEmpty)
     out.unpersist()
   }
+
+  test("q119: per-node triangle counts match an in-memory brute-force recount") {
+    val out = Dedup.q119Triangles(spark, sf).collect()
+    val edges = Dedup.q22NgramJaccard(spark, sf).select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val edgeSet = edges.toSet
+    // brute-force ground truth on the (small) fixture pair list
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    val triCount = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    for {
+      (a, b) <- edges
+      (b2, c) <- edges if b2 == b && edgeSet.contains((a, c))
+    } { triCount(a) += 1; triCount(b) += 1; triCount(c) += 1 }
+    val degree = edges.flatMap(e => Seq(e._1, e._2))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    assert(out.map(_.getAs[Long]("doc")).toSeq === nodes.toSeq,
+      "one report row per graph node, in order")
+    out.foreach { r =>
+      val d = r.getAs[Long]("doc")
+      assert(r.getAs[Long]("degree") === degree(d), s"degree mismatch at $d")
+      assert(r.getAs[Long]("n_tri") === triCount(d), s"triangle count mismatch at $d")
+      val cl = Option(r.getAs[java.lang.Double]("clustering")).map(_.doubleValue)
+      if (degree(d) >= 2) {
+        val expect = 2.0 * triCount(d) / (degree(d) * (degree(d) - 1.0))
+        assert(math.abs(cl.get - expect) < 1e-6, s"clustering mismatch at $d")
+        assert(cl.get >= 0.0 && cl.get <= 1.0 + 1e-9)
+      } else assert(cl.isEmpty, s"degree-1 node $d must have NULL clustering")
+    }
+    // a triangle exists on the fixture, else the test proves nothing
+    assert(triCount.values.sum > 0, "fixture graph has no triangles")
+  }
 }

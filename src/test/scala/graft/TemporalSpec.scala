@@ -91,6 +91,37 @@ class TemporalSpec extends SparkTestBase {
     j.unpersist(); out.unpersist()
   }
 
+  test("q118: dense per-user hourly spine; LOCF state matches a direct recompute") {
+    import org.apache.spark.sql.functions._
+    val out = Temporal.q118ResampleLocf(spark, sf).collect()
+    val evRows = Tables.events(spark, sf)
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_id"), col("event_type"))
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("ts_us"),
+        r.getAs[Long]("event_id"), r.getAs[String]("event_type")))
+    val byUser = evRows.groupBy(_._1)
+    val hourUs = 3600L * 1000000L
+    out.groupBy(_.getAs[Long]("user_id")).foreach { case (u, rows) =>
+      val ev = byUser(u).sortBy(e => (e._2, e._3))
+      val h0 = ev.map(_._2).min / hourUs * hourUs
+      val h1 = ev.map(_._2).max / hourUs * hourUs
+      val grid = rows.sortBy(_.getAs[Long]("grid_us"))
+      // the spine is exactly the dense hour grid of the user's own span
+      assert(grid.map(_.getAs[Long]("grid_us")).toSeq ===
+        (h0 to h1 by hourUs).toSeq, s"user $u spine not dense")
+      grid.foreach { g =>
+        val t = g.getAs[Long]("grid_us")
+        val seen = ev.filter(_._2 <= t)
+        assert(g.getAs[Long]("n_seen") === seen.length.toLong,
+          s"user $u at $t: n_seen mismatch")
+        val expectState = seen.lastOption.map(_._4).orNull
+        assert(g.getAs[String]("state") === expectState,
+          s"user $u at $t: LOCF state mismatch")
+      }
+    }
+  }
+
   test("q106: a stream opening with NULL event_type still versions densely from 1") {
     // Regression guard for the lag-boundary corner: for the FIRST row of a
     // partition, lag's NULL <=> a NULL event_type is true, so the change

@@ -343,6 +343,37 @@ class CorpusStatsSpec extends SparkTestBase {
       s"repetitive doc (${rows(1L)}) must beat the singleton-transition doc (${rows(2L)})")
   }
 
+  test("q120: incremental merge equals the full recompute and is split-invariant") {
+    val got = Analytics.q120IncrementalAgg(spark, sf).collect().toSeq
+    val full = Tables.events(spark, sf)
+      .select(to_date(col("ts")).as("day"), col("event_type"), col("value"))
+      .groupBy(col("day"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
+      .select(col("day").cast("timestamp").as("day"), col("event_type"),
+        col("n_events"), col("sum_value"))
+      .orderBy(col("day"), col("event_type"))
+      .collect().toSeq
+    assert(got === full, "incremental maintenance diverged from the full recompute")
+    // associativity: a 3-way batching merges to the identical table
+    val ev = Tables.events(spark, sf)
+      .select(col("event_type"), to_date(col("ts")).as("day"), col("value"))
+    def partial(lo: Int, hi: Int) = ev
+      .filter(dayofmonth(col("day")).between(lo, hi))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n_part"),
+        sum(col("value").cast("decimal(18,6)")).as("sv_part"))
+    val threeWay = partial(1, 10).unionByName(partial(11, 20)).unionByName(partial(21, 31))
+      .groupBy(col("event_type"), col("day"))
+      .agg(sum(col("n_part")).as("n_events"),
+        sum(col("sv_part")).cast("double").as("sum_value"))
+      .select(col("day").cast("timestamp").as("day"), col("event_type"),
+        col("n_events"), col("sum_value"))
+      .orderBy(col("day"), col("event_type"))
+      .collect().toSeq
+    assert(threeWay === full, "3-way batch merge diverged — partials are not associative")
+  }
+
   test("q114: merged daily sketches equal the direct sketch exactly, inside the HLL envelope") {
     val rows = Analytics.q114SketchRollup(spark, sf).collect()
     assert(rows.nonEmpty)

@@ -586,8 +586,34 @@ object CorpusStats {
     (rulesRev.reverse, fin)
   }
 
+  /** Both fold outputs memoized per (session, dir) through the central
+    * registry, seeded from ONE fold run whichever consumer arrives first
+    * (q107 reads the rules, q111 the encoded corpus; without the memo the
+    * 3-round fold — the expensive part — would run once per consumer).
+    * The cross-seeding is once-only in both orders: `memoized` keeps the
+    * first build, so a concurrent double-fold degrades to today's
+    * behavior with identical (deterministic) results.
+    */
+  private val bpeRulesMemo  = Dedup.registerMemo("bpe_rules")
+  private val bpeCorpusMemo = Dedup.registerMemo("bpe_corpus")
+
+  private def bpeRules(s: SparkSession, dir: String): DataFrame =
+    Dedup.memoized(bpeRulesMemo, s, dir) {
+      val (rules, fin) = bpeFold(s, dir)
+      Dedup.memoized(bpeCorpusMemo, s, dir)(fin)
+      rules.reduce(_ unionByName _).localCheckpoint(true)
+    }
+
+  private def bpeCorpus(s: SparkSession, dir: String): DataFrame =
+    Dedup.memoized(bpeCorpusMemo, s, dir) {
+      val (rules, fin) = bpeFold(s, dir)
+      Dedup.memoized(bpeRulesMemo, s, dir)(
+        rules.reduce(_ unionByName _).localCheckpoint(true))
+      fin
+    }
+
   def q107BpeMerges(s: SparkSession, dir: String): DataFrame =
-    bpeFold(s, dir)._1.reduce(_ unionByName _)
+    bpeRules(s, dir)
       .select(col("round"), col("left_sym"), col("right_sym"),
         concat(col("left_sym"), lit("\u0001"), col("right_sym")).as("merged"),
         col("pair_count"))
@@ -657,7 +683,7 @@ object CorpusStats {
     * stage.
     */
   def q111BpeEncode(s: SparkSession, dir: String): DataFrame = {
-    val fin = bpeFold(s, dir)._2
+    val fin = bpeCorpus(s, dir)
     val raw = documents(s, dir)
       .select(col("doc_id"),
         size(words(col("text"))).cast("long").as("n_tok_raw"))

@@ -540,9 +540,13 @@ object CorpusStats {
     * "a a a" → "a␁a a").
     *
     * Merged symbols join with the non-printable sentinel chr(1) (shown
-    * as ␁ above), which `words`' whitespace tokenizer can never emit —
-    * so a literal corpus token like "a_a" is never confused with the
-    * merge of ("a","a"), on any corpus. The rule is applied via a LEFT
+    * as ␁ above): unlike '_', it cannot appear in ordinary text, so a
+    * literal corpus token like "a_a" is never confused with the merge of
+    * ("a","a"). Precondition (documented, not enforced): raw text is
+    * assumed free of embedded 0x01 bytes — the whitespace tokenizer
+    * passes control characters through, so a corpus with unstripped
+    * control-char noise must normalize it upstream (the standard
+    * pre-tokenization cleanup). The rule is applied via a LEFT
     * join (both engines): a round that finds zero adjacent pairs (corpus
     * fully merged) passes the corpus through unchanged and simply stops
     * emitting rules, instead of silently emptying it.
@@ -587,12 +591,16 @@ object CorpusStats {
   }
 
   /** Both fold outputs memoized per (session, dir) through the central
-    * registry, seeded from ONE fold run whichever consumer arrives first
-    * (q107 reads the rules, q111 the encoded corpus; without the memo the
-    * 3-round fold — the expensive part — would run once per consumer).
-    * The cross-seeding is once-only in both orders: `memoized` keeps the
-    * first build, so a concurrent double-fold degrades to today's
-    * behavior with identical (deterministic) results.
+    * registry, seeded from ONE fold run (q107 reads the rules, q111 the
+    * encoded corpus; without the memo the 3-round fold — the expensive
+    * part — would run once per consumer). Lock DISCIPLINE: only the
+    * rules memo's build ever runs the fold and seeds the corpus memo,
+    * so memo monitors are always acquired in the fixed order
+    * rules → corpus — a concurrent q107/q111 pair serializes on the
+    * rules build instead of deadlocking on a circular wait. bpeCorpus
+    * first forces bpeRules (which seeds both), then reads its own memo;
+    * the inline fallback compute is reachable only if clearMemos()
+    * raced between the two calls, and it acquires no other monitor.
     */
   private val bpeRulesMemo  = Dedup.registerMemo("bpe_rules")
   private val bpeCorpusMemo = Dedup.registerMemo("bpe_corpus")
@@ -604,13 +612,10 @@ object CorpusStats {
       rules.reduce(_ unionByName _).localCheckpoint(true)
     }
 
-  private def bpeCorpus(s: SparkSession, dir: String): DataFrame =
-    Dedup.memoized(bpeCorpusMemo, s, dir) {
-      val (rules, fin) = bpeFold(s, dir)
-      Dedup.memoized(bpeRulesMemo, s, dir)(
-        rules.reduce(_ unionByName _).localCheckpoint(true))
-      fin
-    }
+  private def bpeCorpus(s: SparkSession, dir: String): DataFrame = {
+    bpeRules(s, dir)
+    Dedup.memoized(bpeCorpusMemo, s, dir)(bpeFold(s, dir)._2)
+  }
 
   def q107BpeMerges(s: SparkSession, dir: String): DataFrame =
     bpeRules(s, dir)

@@ -900,23 +900,23 @@ object Similarity {
         x => x.getField("c_val")).as("pv"))
       .select(col("label").as("p_label"), col("pv"),
         sqrt(dotFold(col("pv"), col("pv"))).as("pnorm"))
+    // ONE pass over the corpus×|labels| scored stream: own-label cosine
+    // and the foreign argmax come out of a single conditional hash
+    // aggregate (max(struct(pcos, −p_label)) replicates the (pcos DESC,
+    // p_label ASC) total order), instead of filtering the scored frame
+    // twice and re-executing the dot-product scan per branch
     val scored = e.crossJoin(broadcast(protos))
       .select(col("vec_id"), col("label"), col("p_label"),
         round(dot(col("v"), col("pv")) / (col("norm") * col("pnorm")), 6).as("pcos"))
-    val own = scored.filter(col("p_label") === col("label"))
-      .select(col("vec_id"), col("label"), col("pcos").as("cos_own"))
-    val wForeign = Window.partitionBy(col("vec_id"))
-      .orderBy(col("pcos").desc, col("p_label"))
-    val foreign = scored.filter(col("p_label") =!= col("label"))
-      .withColumn("frn", row_number().over(wForeign))
-      .filter(col("frn") === 1)
-      .select(col("vec_id"), col("p_label").as("other_label"),
-        col("pcos").as("cos_other"))
-    own.join(foreign, Seq("vec_id"))
+    scored.groupBy(col("vec_id"), col("label"))
+      .agg(
+        max(when(col("p_label") === col("label"), col("pcos"))).as("cos_own"),
+        max(when(col("p_label") =!= col("label"),
+          struct(col("pcos").as("p"), (-col("p_label")).as("nl")))).as("ch"))
       .select(col("vec_id"), col("label"), col("cos_own"),
-        col("other_label"), col("cos_other"),
-        round(col("cos_other") - col("cos_own"), 6).as("margin"),
-        (col("cos_other") > col("cos_own")).as("suspect"))
+        (-col("ch.nl")).as("other_label"), col("ch.p").as("cos_other"),
+        round(col("ch.p") - col("cos_own"), 6).as("margin"),
+        (col("ch.p") > col("cos_own")).as("suspect"))
       .orderBy(col("vec_id"))
   }
 

@@ -319,7 +319,13 @@ object Temporal {
       .orderBy(col("ts"), col("tag"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     unioned
-      .withColumn("state", last(col("event_type"), ignoreNulls = true).over(w))
+      // carry the last EVENT as a struct, not the last non-null
+      // event_type: a NULL event_type is a real carried state (q106's
+      // convention), distinct from "no event yet" (null struct) — a bare
+      // last(ignoreNulls) would silently skip NULL-state events
+      .withColumn("carried", last(when(col("tag") === 0,
+        struct(col("event_type").as("et"))), ignoreNulls = true).over(w))
+      .withColumn("state", col("carried.et"))
       .withColumn("n_seen", sum(when(col("tag") === 0, 1L).otherwise(0L)).over(w))
       .filter(col("tag") === 1)
       .select(col("user_id"), unix_micros(col("ts")).as("grid_us"),
@@ -341,8 +347,9 @@ object Temporal {
       |  SELECT user_id, ts, 1, NULL, NULL FROM grid),
       |l AS (
       |  SELECT user_id, ts, tag,
-      |   last_value(event_type IGNORE NULLS) OVER (PARTITION BY user_id
-      |     ORDER BY ts, tag, event_id ROWS UNBOUNDED PRECEDING) AS state,
+      |   (last_value(CASE WHEN tag = 0 THEN struct_pack(et := event_type) END
+      |      IGNORE NULLS) OVER (PARTITION BY user_id
+      |     ORDER BY ts, tag, event_id ROWS UNBOUNDED PRECEDING)).et AS state,
       |   CAST(sum(CASE WHEN tag = 0 THEN 1 ELSE 0 END) OVER (PARTITION BY user_id
       |     ORDER BY ts, tag, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_seen
       |  FROM u)

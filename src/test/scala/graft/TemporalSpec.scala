@@ -122,6 +122,29 @@ class TemporalSpec extends SparkTestBase {
     }
   }
 
+  test("q118: a NULL event_type is a carried state, not a skipped observation") {
+    // q106's convention: NULL is a real state. The LOCF must carry the
+    // LAST event even when its type is NULL (struct-wrapped carry), and
+    // only report NULL-because-no-event when n_seen = 0.
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_locfnull").toString
+    Seq(
+      (1L, "2024-01-01 00:30:00", 1L, "view", 1.0, "{}"),
+      (2L, "2024-01-01 01:30:00", 1L, null.asInstanceOf[String], 1.0, "{}"),
+      (3L, "2024-01-01 03:30:00", 1L, "click", 1.0, "{}"))
+      .toDF("event_id", "ts_s", "user_id", "event_type", "value", "props")
+      .withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Temporal.q118ResampleLocf(spark, dir).collect()
+      .sortBy(_.getAs[Long]("grid_us"))
+      .map(r => (r.getAs[String]("state"), r.getAs[Long]("n_seen"))).toSeq
+    // grid hours 00:00..03:00: no event yet → (null, 0); after 'view' →
+    // ("view", 1); after the NULL event → (null, 2) — NOT "view"; after
+    // 'click' is beyond the last grid point (03:00 < 03:30)
+    assert(got === Seq((null, 0L), ("view", 1L), (null, 2L), (null, 2L)))
+  }
+
   test("q106: a stream opening with NULL event_type still versions densely from 1") {
     // Regression guard for the lag-boundary corner: for the FIRST row of a
     // partition, lag's NULL <=> a NULL event_type is true, so the change

@@ -193,6 +193,35 @@ class PlanSpec extends SparkTestBase {
       s"trained-IVF cell join degraded to all-pairs:\n$tr")
   }
 
+  test("q109: ADC scan never sort-merges; the top-k is the bounded heap aggregate") {
+    val p = plan(graft.queries.Similarity.q109PqAdc(spark, sf))
+    // codebook/table joins broadcast, the ADC candidate join broadcasts
+    // the 8-row query-table side — nothing here may shuffle-join, and the
+    // per-query top-k must be TopKPairs (ObjectHashAggregate), never a
+    // window sort over the scored candidate stream
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"PQ/ADC degraded to a shuffle or all-pairs join:\n$p")
+    assert(p.contains("ObjectHashAggregate"), s"ADC top-k not aggregating:\n$p")
+    assert(!p.contains("WindowExec"), s"ADC candidates flow through a window sort:\n$p")
+  }
+
+  test("q110: the corpus is scanned at most twice (prototype build + one scored pass)") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val noAqe = spark.newSession()
+    noAqe.conf.set("spark.sql.adaptive.enabled", "false")
+    val p = graft.queries.Similarity.q110LabelAudit(noAqe, sf)
+      .queryExecution.executedPlan
+    val scans = p.collect {
+      case f: FileSourceScanExec if f.relation.location.inputFiles
+        .exists(_.contains("embeddings")) => f
+    }
+    assert(scans.nonEmpty, s"no embeddings scan found:\n$p")
+    // regression pin for the single-pass audit: the old two-branch form
+    // (own filter + foreign window, joined) planned THREE corpus scans
+    assert(scans.length <= 2,
+      s"label audit re-scans the corpus ${scans.length}x — single-pass aggregate lost:\n$p")
+  }
+
   test("q79 weighted sample is a bounded top-k, never a global sort") {
     val p = plan(graft.queries.CorpusStats.q79WeightedSample(spark, sf))
     assert(p.contains("TakeOrderedAndProject"),

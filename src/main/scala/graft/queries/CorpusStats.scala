@@ -605,6 +605,12 @@ object CorpusStats {
   private val bpeRulesMemo  = Dedup.registerMemo("bpe_rules")
   private val bpeCorpusMemo = Dedup.registerMemo("bpe_corpus")
 
+  /** Fresh (un-memoized) rules frame — the PlanSpec pin target, exactly
+    * like q22Fresh vs the memoized q22: the pin must see the real
+    * aggregate tree, not a checkpointed-RDD scan. */
+  private[graft] def bpeRulesFresh(s: SparkSession, dir: String): DataFrame =
+    bpeFold(s, dir)._1.reduce(_ unionByName _)
+
   private def bpeRules(s: SparkSession, dir: String): DataFrame =
     Dedup.memoized(bpeRulesMemo, s, dir) {
       val (rules, fin) = bpeFold(s, dir)

@@ -99,8 +99,10 @@ class PlanSpec extends SparkTestBase {
     // The per-round crossJoins against the broadcast rule happen at BUILD
     // time (eagerly checkpointed); the final frame must be the union of
     // the three pair-count aggregates over checkpointed corpus state —
-    // one hash exchange per round, no join of any kind.
-    val p = plan(graft.queries.CorpusStats.q107BpeMerges(spark, sf))
+    // one hash exchange per round, no join of any kind. Pin the FRESH
+    // build (bpeRulesFresh) — the registered q107 returns the memoized
+    // checkpoint, whose plan is a scan (cf. q22Fresh vs q22).
+    val p = plan(graft.queries.CorpusStats.bpeRulesFresh(spark, sf))
     assert(!p.contains("Join"), s"final merge-table plan grew a join:\n$p")
     val hashEx = p.split("Exchange hashpartitioning").length - 1
     assert(hashEx == BpeRoundsRef, s"expected $BpeRoundsRef pair-count shuffles, got $hashEx:\n$p")

@@ -382,10 +382,17 @@ object Dedup {
   def componentLabels(s: SparkSession, dir: String): DataFrame =
     memoized(labelsMemo, s, dir)(computeComponentLabels(s, dir))
 
-  private def computeComponentLabels(s: SparkSession, dir: String): DataFrame = {
-    // cache the pair generation BEFORE the self-referencing union: both
-    // union branches read `pairs`, and an uncached subtree would run the
-    // whole q22 similarity join twice
+  private def computeComponentLabels(s: SparkSession, dir: String): DataFrame =
+    minLabelPropagation(q22Cached(s, dir).select(col("doc_a"), col("doc_b")))
+
+  /** Min-label propagation (hash-min + pointer doubling) to fixpoint over
+    * an undirected pair list `(doc_a, doc_b)` → `(doc, comp)` where comp
+    * is the min doc id reachable from doc. Factored from q45 so q121 can
+    * run the SAME loop on its condensed fold graph; the input frame should
+    * already be materialized (q45 passes the checkpointed q22 memo) — both
+    * union branches below read it.
+    */
+  private def minLabelPropagation(pairs: DataFrame): DataFrame = {
     // localCheckpoint (eager) rather than cache throughout this loop, for
     // two reasons: (a) iterative plans grow a deeper logical tree every
     // round, and Catalyst re-analyzes the whole lineage per action —
@@ -395,7 +402,6 @@ object Dedup {
     // once unreferenced, so nothing leaks executor storage across
     // invocations (CacheManager entries would persist until an explicit
     // unpersist) — the memos pin only the shared frames.
-    val pairs = q22Cached(s, dir).select(col("doc_a"), col("doc_b"))
     // lazy checkpoints from here on: the next action both materializes and
     // truncates, so each round costs exactly one job
     val edges = pairs
@@ -795,4 +801,139 @@ object Dedup {
        |   / CAST(degree * (degree - 1) AS DOUBLE), 6) END AS clustering
        |FROM deg LEFT JOIN pn ON deg.doc = pn.doc
        |ORDER BY deg.doc""".stripMargin
+
+  // ---------------------------------------------------------------- q121
+
+  /** q121: incremental near-dup STATE FOLD — the update step q108 stops
+    * short of. q108 classifies a delta batch (`doc_id % 10 = 3`) against
+    * the base corpus; this operator FOLDS the delta into the persisted
+    * dedup state: component labels are re-converged incrementally and the
+    * keeper flag re-derived, producing the exact labels a from-scratch
+    * q45 over base∪delta would — without ever re-running propagation over
+    * the base×base graph.
+    *
+    * Algorithm (the standard incremental-connected-components fold):
+    *   1. NEW EDGES: the delta's prefix rows probe the corpus prefix
+    *      index (q22's PPJoin machinery with the probe side restricted to
+    *      delta docs — delta-sized fan-out, never index×index), exact
+    *      Jaccard verify. Every new pair touches ≥1 delta doc.
+    *   2. CONDENSE: each new-edge endpoint maps to its base component
+    *      label (or itself when previously unlabeled). Base components
+    *      are contracted to single nodes, so the fold graph has one node
+    *      per TOUCHED component or new doc — delta-sized, not
+    *      corpus-sized.
+    *   3. RE-CONVERGE: the same min-label propagation as q45 runs on the
+    *      condensed graph only. Because a base label IS the min id of its
+    *      component, the min over condensed node ids equals the min over
+    *      all member ids — so remapping `comp → foldComp(comp)` yields
+    *      exactly the from-scratch labels (the oracle recomputes from
+    *      scratch; the hash match is the proof the shortcut loses
+    *      nothing).
+    *
+    * Output: every doc in the base∪delta near-dup graph with its new
+    * label, origin (base/delta), fold status (`unchanged` — component
+    * untouched; `relabeled` — component merged under a smaller id; `new`
+    * — doc entered the graph this increment), and the re-derived
+    * canonical-keeper flag.
+    *
+    * Scale: per-increment cost is O(delta prefix probe + new-pair verify
+    * + touched-component propagation). The base labels are read as state
+    * (stood in by a propagation over the memoized pair list's base-base
+    * pairs, since the harness persists nothing between runs — same
+    * declaration as q108's index); the base×base quadrant is never
+    * re-joined and the fold propagation never sees an untouched
+    * component.
+    */
+  def q121StateFold(s: SparkSession, dir: String): DataFrame = {
+    val isDelta = col("doc_id") % 10 === 3
+    // per-increment probe: delta prefixes vs the full prefix index (the
+    // persisted index substrate, reconstructed per run)
+    val ordered = orderedSets(shingleRows(s, dir)).localCheckpoint(true)
+    val pref = jaccardPrefixOf(ordered)
+    val cand = resplit(pref.filter(isDelta).as("d")
+      .join(pref.as("i"), col("d.shingle") === col("i.shingle")
+        && col("d.doc_id") =!= col("i.doc_id"))
+      .select(least(col("d.doc_id"), col("i.doc_id")).as("doc_a"),
+        greatest(col("d.doc_id"), col("i.doc_id")).as("doc_b"))
+      .distinct()
+      .localCheckpoint(true))
+    val sets = ordered.select(col("doc_id"),
+      transform(col("ord"), _.getField("shingle")).as("sh"), col("n"))
+    val newPairs = cand
+      .join(sets.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sets.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .withColumn("inter", size(array_intersect(col("sa.sh"), col("sb.sh"))).cast("long"))
+      .filter(col("inter").cast("double")
+        / (col("sa.n") + col("sb.n") - col("inter")).cast("double") >= JaccardT)
+      .select(col("doc_a"), col("doc_b"))
+      .localCheckpoint(true)
+    // persisted base state: labels over the base-only graph
+    val baseOnly = q22Cached(s, dir)
+      .filter(col("doc_a") % 10 =!= 3 && col("doc_b") % 10 =!= 3)
+      .select(col("doc_a"), col("doc_b"))
+      .localCheckpoint(true)
+    val baseLabels = minLabelPropagation(baseOnly).localCheckpoint(true)
+    // condense: endpoint → its base component (or itself when unlabeled)
+    val la = baseLabels.select(col("doc").as("la_doc"), col("comp").as("la_comp"))
+    val lb = baseLabels.select(col("doc").as("lb_doc"), col("comp").as("lb_comp"))
+    val condensed = newPairs
+      .join(la, col("doc_a") === col("la_doc"), "left")
+      .join(lb, col("doc_b") === col("lb_doc"), "left")
+      .select(coalesce(col("la_comp"), col("doc_a")).as("doc_a"),
+        coalesce(col("lb_comp"), col("doc_b")).as("doc_b"))
+      .filter(col("doc_a") =!= col("doc_b"))
+      .distinct()
+      .localCheckpoint(true)
+    val foldMap = minLabelPropagation(condensed)
+      .select(col("doc").as("node"), col("comp").as("fcomp"))
+    // base docs remapped through the fold; new-edge endpoints not in the
+    // base state enter the graph with their fold label
+    val fromBase = baseLabels
+      .join(foldMap, col("comp") === col("node"), "left")
+      .select(col("doc"), coalesce(col("fcomp"), col("comp")).as("new_comp"),
+        col("comp").as("old_comp"))
+    val fromNew = newPairs.select(col("doc_a").as("doc"))
+      .union(newPairs.select(col("doc_b").as("doc")))
+      .distinct()
+      .join(baseLabels.select(col("doc")), Seq("doc"), "left_anti")
+      .join(foldMap, col("doc") === col("node"), "left")
+      .select(col("doc"), coalesce(col("fcomp"), col("doc")).as("new_comp"),
+        lit(null).cast("long").as("old_comp"))
+    fromBase.union(fromNew)
+      .select(col("doc"), col("new_comp").as("comp"),
+        when(col("doc") % 10 === 3, "delta").otherwise("base").as("origin"),
+        when(col("old_comp").isNull, "new")
+          .when(col("old_comp") === col("new_comp"), "unchanged")
+          .otherwise("relabeled").as("status"),
+        (col("doc") === col("new_comp")).as("is_keeper"))
+      .orderBy(col("doc"))
+  }
+
+  /** Oracle: the FULL from-scratch recompute on base∪delta — q45's
+    * recursive labels over the whole corpus — joined against a second
+    * recursive pass restricted to base-base edges (yesterday's state) to
+    * derive the fold status. The hash match proves
+    * incremental-fold ≡ from-scratch.
+    */
+  val q121Sql: String =
+    s"""WITH RECURSIVE $sqlComponentsCtes,
+       |near_b AS (
+       |  SELECT doc_a, doc_b FROM near WHERE doc_a % 10 <> 3 AND doc_b % 10 <> 3),
+       |edges_b AS (
+       |  SELECT doc_a, doc_b FROM near_b
+       |  UNION ALL SELECT doc_b, doc_a FROM near_b),
+       |reach_b AS (
+       |  SELECT DISTINCT doc_a AS doc, doc_a AS r FROM edges_b
+       |  UNION
+       |  SELECT reach_b.doc, edges_b.doc_b AS r
+       |  FROM reach_b JOIN edges_b ON reach_b.r = edges_b.doc_a),
+       |labels_b AS (SELECT doc, min(r) AS comp FROM reach_b GROUP BY doc)
+       |SELECT l.doc, l.comp,
+       | CASE WHEN l.doc % 10 = 3 THEN 'delta' ELSE 'base' END AS origin,
+       | CASE WHEN b.comp IS NULL THEN 'new'
+       |      WHEN b.comp = l.comp THEN 'unchanged'
+       |      ELSE 'relabeled' END AS status,
+       | l.doc = l.comp AS is_keeper
+       |FROM labels l LEFT JOIN labels_b b ON l.doc = b.doc
+       |ORDER BY l.doc""".stripMargin
 }

@@ -355,4 +355,83 @@ object Temporal {
       |  FROM u)
       |SELECT user_id, epoch_us(ts) AS grid_us, state, n_seen
       |FROM l WHERE tag = 1 ORDER BY user_id, grid_us""".stripMargin
+
+  // ---------------------------------------------------------------- q122
+
+  /** q122: SCD1 MERGE / keyed upsert — the batch twin of the K2 sink's
+    * idempotent upsert and the complement of q106's SCD2 history. The
+    * TARGET is the per-user current-state table as of [[DiffCutoff]]
+    * (latest event wins); the SOURCE is the post-cutoff event log reduced
+    * the same way. MERGE semantics with deterministic latest-wins
+    * conflict resolution — order by (ts, event_id) DESC, so replays and
+    * equal-timestamp races resolve identically every run:
+    *   - key in both        → `update` (source row wins; source events
+    *                           are all strictly newer than the cutoff)
+    *   - key only in source → `insert`
+    *   - key only in target → `carry` (row survives unchanged — MERGE
+    *                           never deletes here)
+    *
+    * Scale shape: each side is ONE user_id-partitioned window
+    * (row_number = 1 — q96's last-touch reduction), and the merge is a
+    * full outer join of two user-sized frames on the SAME key the windows
+    * just partitioned by, so AQE plans the join off the exchanges already
+    * paid. One shuffle key end-to-end, no global window, nothing
+    * driver-side. At warehouse scale the target would be a stored table
+    * and only the source side recomputed per batch — the join shape is
+    * identical.
+    */
+  def q122Scd1Merge(s: SparkSession, dir: String): DataFrame = {
+    val cut = lit(DiffCutoff).cast("timestamp")
+    def latest(side: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      side.select(col("user_id"), col("event_type"), col("value"),
+          col("ts"), col("event_id"), row_number().over(w).as("rn"))
+        .filter(col("rn") === 1)
+        .drop("rn")
+    }
+    val ev = events(s, dir)
+    val target = latest(ev.filter(col("ts") <= cut))
+      .select(col("user_id").as("t_uid"), col("event_type").as("t_state"),
+        col("value").as("t_value"), col("ts").as("t_ts"),
+        col("event_id").as("t_eid"))
+    val source = latest(ev.filter(col("ts") > cut))
+      .select(col("user_id").as("s_uid"), col("event_type").as("s_state"),
+        col("value").as("s_value"), col("ts").as("s_ts"),
+        col("event_id").as("s_eid"))
+    val srcHit = col("s_uid").isNotNull
+    target.join(source, col("t_uid") === col("s_uid"), "full_outer")
+      .select(
+        coalesce(col("t_uid"), col("s_uid")).as("user_id"),
+        when(srcHit, col("s_state")).otherwise(col("t_state")).as("state"),
+        when(srcHit, col("s_value")).otherwise(col("t_value")).as("value"),
+        unix_micros(when(srcHit, col("s_ts")).otherwise(col("t_ts"))).as("updated_us"),
+        when(srcHit, col("s_eid")).otherwise(col("t_eid")).as("last_event_id"),
+        when(col("t_uid").isNull, lit("insert"))
+          .when(srcHit, lit("update"))
+          .otherwise(lit("carry")).as("merge_op"))
+      .orderBy(col("user_id"))
+  }
+
+  val q122Sql: String =
+    s"""WITH tgt AS (
+       |  SELECT user_id, event_type, value, ts, event_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY user_id
+       |      ORDER BY ts DESC, event_id DESC) AS rn
+       |    FROM events WHERE ts <= TIMESTAMP '$DiffCutoff') WHERE rn = 1),
+       |src AS (
+       |  SELECT user_id, event_type, value, ts, event_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY user_id
+       |      ORDER BY ts DESC, event_id DESC) AS rn
+       |    FROM events WHERE ts > TIMESTAMP '$DiffCutoff') WHERE rn = 1)
+       |SELECT COALESCE(t.user_id, s.user_id) AS user_id,
+       | CASE WHEN s.user_id IS NOT NULL THEN s.event_type ELSE t.event_type END AS state,
+       | CASE WHEN s.user_id IS NOT NULL THEN s.value ELSE t.value END AS value,
+       | epoch_us(CASE WHEN s.user_id IS NOT NULL THEN s.ts ELSE t.ts END) AS updated_us,
+       | CASE WHEN s.user_id IS NOT NULL THEN s.event_id ELSE t.event_id END AS last_event_id,
+       | CASE WHEN t.user_id IS NULL THEN 'insert'
+       |      WHEN s.user_id IS NOT NULL THEN 'update'
+       |      ELSE 'carry' END AS merge_op
+       |FROM tgt t FULL OUTER JOIN src s ON t.user_id = s.user_id
+       |ORDER BY COALESCE(t.user_id, s.user_id)""".stripMargin
 }

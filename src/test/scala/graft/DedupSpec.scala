@@ -225,4 +225,54 @@ class DedupSpec extends SparkTestBase {
     // a triangle exists on the fixture, else the test proves nothing
     assert(triCount.values.sum > 0, "fixture graph has no triangles")
   }
+
+  test("q121: incremental fold ≡ from-scratch labels on the real corpus") {
+    val fold = Dedup.q121StateFold(spark, sf).collect()
+    val full = Dedup.q45DedupComponents(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc") -> r.getAs[Long]("comp")).toMap
+    // same node set, same labels as the from-scratch full-graph run
+    assert(fold.map(_.getAs[Long]("doc")).toSet === full.keySet)
+    fold.foreach { r =>
+      val doc = r.getAs[Long]("doc")
+      assert(r.getAs[Long]("comp") === full(doc), s"label diverged at doc $doc")
+      assert((r.getAs[String]("origin") == "delta") === (doc % 10 == 3), s"origin at $doc")
+      assert(r.getAs[Boolean]("is_keeper") === (doc == full(doc)), s"keeper at $doc")
+    }
+    // exactly one keeper per component, and delta docs are always 'new'
+    fold.groupBy(_.getAs[Long]("comp")).foreach { case (c, rows) =>
+      assert(rows.count(_.getAs[Boolean]("is_keeper")) === 1, s"keepers in comp $c")
+    }
+    assert(fold.filter(_.getAs[String]("origin") == "delta")
+      .forall(_.getAs[String]("status") == "new"))
+    assert(fold.exists(_.getAs[String]("origin") == "delta"),
+      "fixture has no delta docs in the graph — the fold is vacuous")
+  }
+
+  test("q121: a delta bridge merges two base components (relabel path)") {
+    // Shingle-set arithmetic (3-grams of whitespace words):
+    //   A = sh("a1 a2 a3 a4") = {a1a2a3, a2a3a4}
+    //   T2 = "a1 a2 a3 a4 a1 a2 a3 a4"  → A ∪ {a3a4a1, a4a1a2}   (|sh|=4)
+    //   T4 = "c1 a1 a2 a3 a4 c2"        → A ∪ {c1a1a2, a3a4c2}   (|sh|=4)
+    // J(bridge, T2) = J(bridge, T4) = 2/4 = 0.5 (at threshold), while
+    // J(T2, T4) = 2/6 < 0.5 — so the two base comps are connected ONLY
+    // through the delta bridge (doc 3). Doc 13 duplicates base singleton
+    // doc 6, pulling it into the graph as 'new'.
+    val t2 = "a1 a2 a3 a4 a1 a2 a3 a4"
+    val t4 = "c1 a1 a2 a3 a4 c2"
+    val tz = "z1 z2 z3 z4 z5"
+    val filler = (7 to 12).map(i => s"f${i}a f${i}b f${i}c")
+    val dir = docsDir(Seq(t2, t2, "a1 a2 a3 a4", t4, t4, tz) ++ filler :+ tz)
+    val out = Dedup.q121StateFold(spark, dir).collect()
+      .map(r => (r.getAs[Long]("doc"), r.getAs[Long]("comp"),
+        r.getAs[String]("origin"), r.getAs[String]("status"),
+        r.getAs[Boolean]("is_keeper")))
+    assert(out.toSeq === Seq(
+      (1L, 1L, "base", "unchanged", true),
+      (2L, 1L, "base", "unchanged", false),
+      (3L, 1L, "delta", "new", false),
+      (4L, 1L, "base", "relabeled", false),
+      (5L, 1L, "base", "relabeled", false),
+      (6L, 6L, "base", "new", true),
+      (13L, 6L, "delta", "new", false)))
+  }
 }

@@ -115,6 +115,26 @@ class PlanSpec extends SparkTestBase {
       s"band probe or verify degraded to all-pairs:\n$p")
   }
 
+  test("q121: fold probe and condensation are equi-joins only — no all-pairs anywhere") {
+    val p = plan(Dedup.q121StateFold(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoopJoin"),
+      s"prefix probe, verify, or condensation degraded to all-pairs:\n$p")
+  }
+
+  test("q123: the skew join shuffles on (key, salt) as a sort-merge join") {
+    val df = graft.queries.Analytics.q123SaltedSkewJoin(spark, sf)
+    val p = plan(df)
+    // the merge hint must hold (modeling a dim too big to broadcast) —
+    // otherwise AQE broadcasts the toy dim and the salted shape is untested
+    assert(p.contains("SortMergeJoin"), s"salted join degraded from SMJ:\n$p")
+    assert(!p.contains("BroadcastHashJoin"), s"dim was broadcast despite the hint:\n$p")
+    // the join-side exchanges hash on BOTH the natural key and the salt:
+    // the hot key's rows spread across SaltBuckets reducers
+    val saltedExchanges = "hashpartitioning\\(event_type#\\d+L?, salt#\\d+".r
+      .findAllIn(p).length
+    assert(saltedExchanges >= 2, s"join exchanges not salted:\n$p")
+  }
+
   test("suite-wide: no query plans an unpartitioned window or an unbounded single-partition shuffle") {
     // The q50 class of regression (row_number() OVER (ORDER BY …) with no
     // PARTITION BY → one task sorts the whole input) must never silently

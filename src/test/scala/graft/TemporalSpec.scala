@@ -168,4 +168,51 @@ class TemporalSpec extends SparkTestBase {
     assert(out.filter(_.getAs[Long]("user_id") == 2L)
       .map(_.getAs[Long]("version")).toSeq === Seq(1L))
   }
+
+  test("q122: MERGE emits insert/update/carry correctly with a deterministic tie-break") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_scd1").toString
+    // cutoff is 2024-01-16 00:00:00 (Temporal.DiffCutoff)
+    Seq(
+      // user 1: pre-cutoff only → carry (target row survives untouched)
+      (1L, "2024-01-10 08:00:00", 1L, "signup", 1.5, "{}"),
+      (2L, "2024-01-12 09:00:00", 1L, "view", 2.5, "{}"),
+      // user 2: both sides; two post-cutoff events at the SAME ts — the
+      // higher event_id must win (deterministic latest-wins tie order)
+      (3L, "2024-01-11 10:00:00", 2L, "signup", 3.0, "{}"),
+      (5L, "2024-01-20 12:00:00", 2L, "click", 4.0, "{}"),
+      (4L, "2024-01-20 12:00:00", 2L, "view", 5.0, "{}"),
+      // user 3: post-cutoff only → insert
+      (6L, "2024-01-22 13:00:00", 3L, "purchase", 6.0, "{}"))
+      .toDF("event_id", "ts_s", "user_id", "event_type", "value", "props")
+      .withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = Temporal.q122Scd1Merge(spark, dir).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("state"),
+        r.getAs[Double]("value"), r.getAs[Long]("last_event_id"),
+        r.getAs[String]("merge_op")))
+    assert(out.toSeq === Seq(
+      (1L, "view", 2.5, 2L, "carry"),
+      (2L, "click", 4.0, 5L, "update"),
+      (3L, "purchase", 6.0, 6L, "insert")))
+  }
+
+  test("q122: on the real fixture, the merged table is the per-user latest event") {
+    import org.apache.spark.sql.functions._
+    val out = Temporal.q122Scd1Merge(spark, sf)
+    // the MERGE result must equal the plain latest-state reduction over
+    // the full log — upsert(target, source) ≡ latest(base ∪ delta)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val direct = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type").as("state"), col("value"),
+        unix_micros(col("ts")).as("updated_us"),
+        col("event_id").as("last_event_id"), row_number().over(w).as("rn"))
+      .filter(col("rn") === 1).drop("rn")
+    assert(out.drop("merge_op").collect().toSet === direct.collect().toSet)
+    // every user appears exactly once
+    val users = out.select("user_id").collect().map(_.getLong(0))
+    assert(users.length === users.distinct.length)
+  }
 }

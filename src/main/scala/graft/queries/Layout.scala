@@ -119,6 +119,19 @@ object Layout {
     * file — the layout that lets a sorted bucketed scan also skip the
     * join sort, and the file-count discipline (tasks × buckets files
     * otherwise) any production bucketed load needs.
+    *
+    * Note on the residual per-task Sorts visible under q102's default
+    * plan: since SPARK-28595, Spark does NOT report the bucket-sort
+    * ordering from a file scan by default — proving it requires a
+    * planning-time file listing to establish one-file-per-bucket, which
+    * was judged too expensive to do unconditionally. The exchange
+    * elimination (the expensive property) is always planned; the sort
+    * elimination additionally needs
+    * `spark.sql.legacy.bucketedTableScan.outputOrdering=true`, under
+    * which this layout's sorts provably vanish (pinned in PlanSpec) —
+    * the deployment-side switch a production install of this layout
+    * flips. The default-plan residual sort is per-bucket-partition and
+    * spillable, never a scale hazard.
     */
   private def writeBucketed(s: SparkSession, dir: String,
       table: String, key: String): DataFrame = {

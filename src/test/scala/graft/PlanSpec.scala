@@ -348,6 +348,31 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("q102: the layout earns the sort-free SMJ under the legacy sorted-scan conf") {
+    // Spark 3.0+ (SPARK-28595) stopped reporting bucket-sort ordering
+    // from file scans by DEFAULT — proving it needs a planning-time file
+    // listing to establish one-file-per-bucket, so the default plan pays
+    // per-task Sorts under the SMJ even on a sorted layout. The layout
+    // itself is written sorted with exactly one file per bucket
+    // (writeBucketed's aligned repartition), which this pin proves: with
+    // the legacy conf restoring the ordering report, BOTH sorts vanish
+    // and the bucket sort is paid at write time only.
+    import org.apache.spark.sql.execution.SortExec
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    val sortedScan = spark.newSession()
+    sortedScan.conf.set("spark.sql.adaptive.enabled", "false")
+    sortedScan.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+    val p = graft.queries.Layout.q102BucketedJoin(sortedScan, sf)
+      .queryExecution.executedPlan
+    val joins = p.collect { case j: SortMergeJoinExec => j }
+    assert(joins.nonEmpty, s"expected a sort-merge join over the buckets:\n$p")
+    joins.foreach { j =>
+      val sorts = j.collect { case e: SortExec => e }
+      assert(sorts.isEmpty,
+        s"bucket-sorted scan still re-sorts under the join:\n$p")
+    }
+  }
+
   test("q103: the literal date predicate prunes at the partition level, not per row") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     val noAqe = spark.newSession()

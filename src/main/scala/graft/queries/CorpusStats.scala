@@ -618,7 +618,7 @@ object CorpusStats {
       rules.reduce(_ unionByName _).localCheckpoint(true)
     }
 
-  private def bpeCorpus(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def bpeCorpus(s: SparkSession, dir: String): DataFrame = {
     bpeRules(s, dir)
     Dedup.memoized(bpeCorpusMemo, s, dir)(bpeFold(s, dir)._2)
   }
@@ -793,4 +793,85 @@ object CorpusStats {
        | ROUND(-sum(k * logp) / sum(k), 4) AS nll_per_token
        |FROM db JOIN m ON db.l = m.l AND db.r = m.r
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q124
+
+  /** Candidate next-rule rows q124 reports (the top of the merged pair
+    * table — row 1 is round-[[BpeRounds]]+1's rule). */
+  val BpeCandidates: Int = 5
+
+  /** q124: incremental BPE CONTINUATION — maintain the tokenizer-training
+    * pair-count table under a corpus increment instead of recounting the
+    * world. After [[BpeRounds]] induced rules (q107), training continues
+    * from the corpus-wide adjacent-pair counts of the ENCODED corpus;
+    * when an increment arrives (`doc_id % 10 = 3`), production encodes
+    * only the new documents with the frozen rules (a map-only rewrite,
+    * q111's shape) and folds their pair counts into the STORED table —
+    * the q120 merge-of-partials pattern applied to the q107 training
+    * surface. Output is the merged table's top [[BpeCandidates]] rows
+    * with base/delta provenance; row 1 IS the round-4 merge rule the
+    * continued training run would pick.
+    *
+    * The oracle recounts the WHOLE encoded corpus in one pass, so the
+    * hash match proves merge(count(base), count(delta)) ≡
+    * count(base ∪ delta) on the exact keyspace BPE training argmaxes
+    * over — the algebra that lets a 100 TB tokenizer-training pipeline
+    * keep its pair table warm across daily increments.
+    *
+    * Scale shape: both partials are bigram explodes collapsing map-side
+    * to the pair-vocabulary keyspace (q86's discipline); the merge is a
+    * vocab-sized full outer join on the pair key; the report is a
+    * TakeOrdered top-k with the q107 total tie order (count DESC, left,
+    * right). The stored base table is checkpoint-materialized — the
+    * warehouse boundary q120 draws. Nothing corpus-sized crosses an
+    * exchange after the first aggregate.
+    */
+  def q124BpeIncrement(s: SparkSession, dir: String): DataFrame = {
+    val isDelta = col("doc_id") % 10 === 3
+    def partial(docs: DataFrame): DataFrame =
+      docs.select(split(col("txt"), " ").as("ww"))
+        .filter(size(col("ww")) >= 2)
+        .select(explode(transform(sequence(lit(1), size(col("ww")) - 1),
+          i => struct(element_at(col("ww"), i).as("l"),
+            element_at(col("ww"), i + 1).as("r")))).as("b"))
+        .groupBy(col("b.l").as("left_sym"), col("b.r").as("right_sym"))
+        .agg(count(lit(1)).as("pc"))
+    val enc = bpeCorpus(s, dir)
+    // the stored pair-count table (checkpoint = materialization boundary)
+    val base = partial(enc.filter(!isDelta))
+      .select(col("left_sym"), col("right_sym"), col("pc").as("base_count"))
+      .localCheckpoint(true)
+    val delta = partial(enc.filter(isDelta))
+      .select(col("left_sym"), col("right_sym"), col("pc").as("delta_count"))
+    base.join(delta, Seq("left_sym", "right_sym"), "full_outer")
+      .select(col("left_sym"), col("right_sym"),
+        (coalesce(col("base_count"), lit(0L))
+          + coalesce(col("delta_count"), lit(0L))).as("pair_count"),
+        coalesce(col("base_count"), lit(0L)).as("base_count"),
+        coalesce(col("delta_count"), lit(0L)).as("delta_count"))
+      .orderBy(col("pair_count").desc, col("left_sym"), col("right_sym"))
+      .limit(BpeCandidates)
+  }
+
+  /** Oracle: one-pass recount over the full encoded corpus (w3 of the
+    * shared BPE chain) with conditional base/delta sums. */
+  val q124Sql: String =
+    s"""WITH $bpeChainCtes,
+       |pc AS (
+       |  SELECT bg.l AS left_sym, bg.r AS right_sym,
+       |   CAST(count(*) FILTER (WHERE NOT is_delta) AS BIGINT) AS base_count,
+       |   CAST(count(*) FILTER (WHERE is_delta) AS BIGINT) AS delta_count
+       |  FROM (
+       |    SELECT doc_id % 10 = 3 AS is_delta,
+       |      unnest(CASE WHEN len(ww) >= 2
+       |        THEN list_transform(range(1, len(ww)),
+       |               i -> struct_pack(l := ww[i], r := ww[i+1]))
+       |        ELSE [] END) AS bg
+       |    FROM (SELECT doc_id, string_split(txt, ' ') AS ww FROM w3))
+       |  GROUP BY 1, 2)
+       |SELECT left_sym, right_sym,
+       | base_count + delta_count AS pair_count, base_count, delta_count
+       |FROM pc
+       |ORDER BY pair_count DESC, left_sym, right_sym
+       |LIMIT $BpeCandidates""".stripMargin
 }

@@ -660,4 +660,67 @@ object Curation {
        |   THEN ROUND(CAST(n_dup_kept AS DOUBLE) / n_kept, 6) END AS dup_rate_kept
        |FROM a ORDER BY tau""".stripMargin
   }
+
+  // ---------------------------------------------------------------- q125
+
+  /** Per-source token budget as a fraction of the source's own token
+    * mass. A fraction (not an absolute count) keeps the operator
+    * meaningful at every sf and models the real knob: "keep the best X%
+    * of each source's tokens". */
+  val BudgetFrac: Double = 0.5
+
+  /** q125: token-budget-capped corpus selection — greedily fill each
+    * source's token budget with its best documents. This is the final
+    * gate of a training-data pipeline: the mixture (q49) fixes source
+    * PROPORTIONS, the quality score (q18/q88) ranks documents, and this
+    * operator converts both into the actual kept set under a token
+    * budget — documents are admitted best-quality-first until their
+    * source's cumulative token count crosses [[BudgetFrac]] of its mass
+    * (the greedy knapsack that budget-capped corpus construction
+    * actually runs; ties broken by doc_id for a total, replayable
+    * order).
+    *
+    * Scale shape: one corpus scan computes tokens + quality map-side;
+    * the running total is ONE source-partitioned window (the q88
+    * discipline — never a global sort), and the per-source mass rides
+    * the same partitioning as an unordered window aggregate, so both
+    * windows share a single shuffle. Emitting the keep DECISION (not a
+    * filtered corpus) keeps the operator auditable — q58's funnel rule.
+    */
+  def q125BudgetSelect(s: SparkSession, dir: String): DataFrame = {
+    val scored = resplit(documents(s, dir).select(col("doc_id"), col("source"), col("text")))
+      .select(col("doc_id"), col("source"),
+        size(words(col("text"))).cast("long").as("n_tok"),
+        qualityScore(col("text")).as("quality"))
+    val wSel = Window.partitionBy(col("source"))
+      .orderBy(col("quality").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wTot = Window.partitionBy(col("source"))
+    scored.select(col("doc_id"), col("source"), col("n_tok"), col("quality"),
+        sum(col("n_tok")).over(wSel).as("cum_tok"),
+        sum(col("n_tok")).over(wTot).as("tot_tok"))
+      .select(col("doc_id"), col("source"), col("n_tok"), col("quality"),
+        col("cum_tok"),
+        (col("cum_tok").cast("double")
+          <= col("tot_tok").cast("double") * BudgetFrac).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q125Sql: String =
+    s"""WITH qd AS (
+       |  SELECT doc_id, source, regexp_split_to_array(trim(text), '\\s+') AS ww, text
+       |  FROM documents),
+       |sc AS (
+       |  SELECT doc_id, source, CAST(len(ww) AS BIGINT) AS n_tok,
+       |   ${qualitySqlExpr("ww", "text")} AS quality
+       |  FROM qd),
+       |c AS (
+       |  SELECT doc_id, source, n_tok, quality,
+       |   CAST(sum(n_tok) OVER (PARTITION BY source
+       |     ORDER BY quality DESC, doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tok,
+       |   CAST(sum(n_tok) OVER (PARTITION BY source) AS BIGINT) AS tot_tok
+       |  FROM sc)
+       |SELECT doc_id, source, n_tok, quality, cum_tok,
+       | CAST(cum_tok AS DOUBLE) <= CAST(tot_tok AS DOUBLE) * $BudgetFrac AS keep
+       |FROM c ORDER BY doc_id""".stripMargin
 }

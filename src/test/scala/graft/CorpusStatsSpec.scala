@@ -466,4 +466,33 @@ class CorpusStatsSpec extends SparkTestBase {
       rows.head.getAs[Long]("pair_count")) ===
       (ww.getAs[String]("l"), ww.getAs[String]("r"), ww.getAs[Long]("count")))
   }
+
+  test("q124: merged partials equal an in-memory recount of the encoded corpus") {
+    val out = CorpusStats.q124BpeIncrement(spark, sf).collect()
+      .map(r => (r.getAs[String]("left_sym"), r.getAs[String]("right_sym"),
+        r.getAs[Long]("pair_count"), r.getAs[Long]("base_count"),
+        r.getAs[Long]("delta_count")))
+    // independent ground truth: one driver-side pass over the encoded
+    // corpus, counting adjacent pairs with base/delta provenance
+    val enc = CorpusStats.bpeCorpus(spark, sf)
+      .select(col("doc_id"), col("txt")).collect()
+    val counts = scala.collection.mutable.Map.empty[(String, String), (Long, Long)]
+      .withDefaultValue((0L, 0L))
+    enc.foreach { r =>
+      val delta = r.getAs[Long]("doc_id") % 10 == 3
+      val toks = r.getAs[String]("txt").split(" ")
+      toks.iterator.zip(toks.iterator.drop(1)).foreach { p =>
+        val (b, d) = counts(p)
+        counts(p) = if (delta) (b, d + 1) else (b + 1, d)
+      }
+    }
+    val expect = counts.toSeq
+      .map { case ((l, r), (b, d)) => (l, r, b + d, b, d) }
+      .sortBy { case (l, r, t, _, _) => (-t, l, r) }
+      .take(CorpusStats.BpeCandidates)
+    assert(out.toSeq === expect)
+    // both sides of the merge genuinely contribute on the fixture
+    assert(out.exists(_._4 > 0) && out.exists(_._5 > 0),
+      "fixture increment is vacuous — no base or no delta pairs in the top-k")
+  }
 }

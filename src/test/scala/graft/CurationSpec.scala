@@ -308,4 +308,36 @@ class CurationSpec extends SparkTestBase {
     assert(mid.getAs[Long]("n_kept") === directKept,
       s"sweep row at tau=$tau disagrees with the direct recount")
   }
+
+  test("q125: kept set is the greedy best-quality prefix of each source's budget") {
+    val rows = Curation.q125BudgetSelect(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"),
+        r.getAs[Long]("n_tok"), r.getAs[Double]("quality"),
+        r.getAs[Long]("cum_tok"), r.getAs[Boolean]("keep")))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._2).foreach { case (src, g) =>
+      val total = g.map(_._3).sum
+      val budget = total.toDouble * Curation.BudgetFrac
+      // re-derive the greedy selection order and running total in memory
+      val ordered = g.sortBy { case (id, _, _, q, _, _) => (-q, id) }
+      var cum = 0L
+      ordered.foreach { case (id, _, nt, _, cumTok, keep) =>
+        cum += nt
+        assert(cumTok === cum, s"running total diverged at doc $id")
+        assert(keep === (cum.toDouble <= budget), s"keep flag wrong at doc $id")
+      }
+      // the kept rows are a PREFIX of the quality order (greedy shape) …
+      val keptFlags = ordered.map(_._6)
+      assert(!keptFlags.dropWhile(identity).contains(true),
+        s"source $src: kept set is not a prefix of the quality order")
+      // … maximal under the budget, and the budget genuinely binds
+      val kept = ordered.takeWhile(_._6)
+      assert(kept.map(_._3).sum <= budget)
+      if (kept.length < ordered.length)
+        assert(kept.map(_._3).sum + ordered(kept.length)._3 > budget,
+          s"source $src: selection stopped before the budget was exhausted")
+      assert(kept.nonEmpty && kept.length < g.length,
+        s"source $src: budget does not bind on the fixture — the test is vacuous")
+    }
+  }
 }

@@ -946,4 +946,146 @@ object Dedup {
        | l.doc = l.comp AS is_keeper
        |FROM labels l LEFT JOIN labels_b b ON l.doc = b.doc
        |ORDER BY l.doc""".stripMargin
+
+  // ---------------------------------------------------------------- q126
+
+  /** q126: index RETIREMENT — the deletion half of the incremental
+    * lifecycle (q108 classifies arrivals, q121 folds them in, this
+    * retires a batch). Documents `doc_id % 10 = 7` leave the corpus
+    * (takedowns, robots.txt revocations, retention expiry); the dedup
+    * state must update WITHOUT a global recompute. Deletion is the hard
+    * direction: removing a vertex can SPLIT its component, so unlike
+    * q121's monotone merge there is no algebraic shortcut — but the blast
+    * radius is still bounded: a component with no retired member keeps
+    * exactly its members, edges, and (min-id) label, so only TOUCHED
+    * components re-converge.
+    *
+    *   1. touched = distinct labels of the retired docs (tiny);
+    *   2. untouched components pass through by a broadcast anti-join;
+    *   3. the touched components' surviving edges (neither endpoint
+    *      retired) re-run q45's min-label propagation — a subgraph
+    *      bounded by the touched components' size, not the corpus;
+    *      survivors left edge-less drop out of the graph (q45's
+    *      nodes-are-edge-endpoints convention).
+    *
+    * Output: every doc in the post-retirement graph with its label, the
+    * re-derived keeper flag, and status — `untouched` (component had no
+    * retirement), `reconverged` (component recomputed, label kept),
+    * `relabeled` (label changed: the old min retired, or the component
+    * split). Oracle: the from-scratch recompute on the filtered corpus —
+    * pairwise Jaccard does not depend on other documents, so the
+    * filtered graph is exactly `near` minus retired endpoints; the hash
+    * match proves the touched-only shortcut loses nothing.
+    */
+  def q126Retire(s: SparkSession, dir: String): DataFrame = {
+    val labels = componentLabels(s, dir)
+    val isRetired = (c: org.apache.spark.sql.Column) => c % 10 === 7
+    val touched = labels.filter(isRetired(col("doc")))
+      .select(col("comp")).distinct().localCheckpoint(true)
+    val untouched = labels.join(broadcast(touched), Seq("comp"), "left_anti")
+      .select(col("doc"), col("comp"), lit("untouched").as("status"))
+    // surviving intra-component edges of the touched components only
+    val touchedPairs = q22Cached(s, dir)
+      .select(col("doc_a"), col("doc_b"))
+      .filter(!isRetired(col("doc_a")) && !isRetired(col("doc_b")))
+      .join(labels.select(col("doc").as("doc_a"), col("comp")), Seq("doc_a"))
+      .join(broadcast(touched), Seq("comp"), "left_semi")
+      .select(col("doc_a"), col("doc_b"))
+      .localCheckpoint(true)
+    val re = minLabelPropagation(touchedPairs)
+    val reStatus = re
+      .join(labels.select(col("doc"), col("comp").as("old_comp")), Seq("doc"))
+      .select(col("doc"), col("comp"),
+        when(col("comp") === col("old_comp"), "reconverged")
+          .otherwise("relabeled").as("status"))
+    untouched.union(reStatus)
+      .select(col("doc"), col("comp"), col("status"),
+        (col("doc") === col("comp")).as("is_keeper"))
+      .orderBy(col("doc"))
+  }
+
+  /** Oracle: from-scratch labels on the corpus minus the retired docs
+    * (edges = `near` minus retired endpoints — pairwise Jaccard is
+    * independent of the rest of the corpus), statused against the full
+    * pre-retirement labels.
+    */
+  val q126Sql: String =
+    s"""WITH RECURSIVE $sqlComponentsCtes,
+       |near_f AS (
+       |  SELECT doc_a, doc_b FROM near WHERE doc_a % 10 <> 7 AND doc_b % 10 <> 7),
+       |edges_f AS (
+       |  SELECT doc_a, doc_b FROM near_f
+       |  UNION ALL SELECT doc_b, doc_a FROM near_f),
+       |reach_f AS (
+       |  SELECT DISTINCT doc_a AS doc, doc_a AS r FROM edges_f
+       |  UNION
+       |  SELECT reach_f.doc, edges_f.doc_b AS r
+       |  FROM reach_f JOIN edges_f ON reach_f.r = edges_f.doc_a),
+       |labels_f AS (SELECT doc, min(r) AS comp FROM reach_f GROUP BY doc),
+       |touched AS (SELECT DISTINCT comp FROM labels WHERE doc % 10 = 7)
+       |SELECT f.doc, f.comp,
+       | CASE WHEN l.comp NOT IN (SELECT comp FROM touched) THEN 'untouched'
+       |      WHEN f.comp = l.comp THEN 'reconverged'
+       |      ELSE 'relabeled' END AS status,
+       | f.doc = f.comp AS is_keeper
+       |FROM labels_f f JOIN labels l ON f.doc = l.doc
+       |ORDER BY f.doc""".stripMargin
+
+  // ---------------------------------------------------------------- q127
+
+  /** q127: near-dup cluster PROFILE — per-component structural report
+    * over the dedup graph: member count, intra-edge count, edge density
+    * (observed / C(n,2) possible), and the mean/min exact Jaccard of the
+    * component's edges. This is the triage view an operator of a dedup
+    * pipeline reads before acting on a cluster: density ≈ 1 + high min
+    * Jaccard ⟹ a true duplicate pile (keep one); low density or a weak
+    * minimum ⟹ a chain glued by borderline pairs (q45's transitive
+    * closure over-merged — tighten the threshold or split manually).
+    *
+    * Scale shape: pure memo-rider — the pair list (with verified
+    * Jaccard) and the labels already exist; one id-keyed join attaches
+    * the component to each edge, one component-sized aggregate each for
+    * edges and members, and a component-keyed join assembles the report.
+    * Nothing corpus-sized moves.
+    */
+  def q127ClusterProfile(s: SparkSession, dir: String): DataFrame = {
+    val labels = componentLabels(s, dir)
+    val sizes = labels.groupBy(col("comp")).agg(count(lit(1)).as("n_docs"))
+    val edges = q22Cached(s, dir)
+      .select(col("doc_a").as("doc"), col("jaccard"))
+      .join(labels, Seq("doc"))
+      .groupBy(col("comp"))
+      .agg(count(lit(1)).as("n_edges"),
+        round(avg(col("jaccard")), 6).as("mean_jaccard"),
+        min(col("jaccard")).as("min_jaccard"))
+    sizes.join(edges, Seq("comp"))
+      .select(col("comp"), col("n_docs"), col("n_edges"),
+        round(col("n_edges").cast("double") * 2.0
+          / (col("n_docs") * (col("n_docs") - 1)).cast("double"), 6).as("density"),
+        col("mean_jaccard"), col("min_jaccard"))
+      .orderBy(col("comp"))
+  }
+
+  /** Oracle: rebuilds the edge Jaccards from `inter`/`sz` (in scope from
+    * the shared components CTE block) and aggregates per label. */
+  val q127Sql: String =
+    s"""WITH RECURSIVE $sqlComponentsCtes,
+       |ej AS (
+       |  SELECT i.doc_a, i.doc_b,
+       |   ROUND(CAST(i.inter AS DOUBLE) / CAST(sa.n + sb.n - i.inter AS DOUBLE), 6) AS j
+       |  FROM inter i
+       |   JOIN sz sa ON i.doc_a = sa.doc_id
+       |   JOIN sz sb ON i.doc_b = sb.doc_id
+       |  WHERE CAST(i.inter AS DOUBLE) / CAST(sa.n + sb.n - i.inter AS DOUBLE) >= $JaccardT),
+       |sizes AS (SELECT comp, CAST(count(*) AS BIGINT) AS n_docs FROM labels GROUP BY comp),
+       |eagg AS (
+       |  SELECT l.comp, CAST(count(*) AS BIGINT) AS n_edges,
+       |   ROUND(avg(j), 6) AS mean_jaccard, min(j) AS min_jaccard
+       |  FROM ej JOIN labels l ON ej.doc_a = l.doc
+       |  GROUP BY l.comp)
+       |SELECT s.comp AS comp, n_docs, n_edges,
+       | ROUND(CAST(n_edges AS DOUBLE) * 2.0 / (n_docs * (n_docs - 1)), 6) AS density,
+       | mean_jaccard, min_jaccard
+       |FROM sizes s JOIN eagg e ON s.comp = e.comp
+       |ORDER BY s.comp""".stripMargin
 }

@@ -275,4 +275,67 @@ class DedupSpec extends SparkTestBase {
       (6L, 6L, "base", "new", true),
       (13L, 6L, "delta", "new", false)))
   }
+
+  test("q126: retiring a bridge doc SPLITS its component; all four status paths fire") {
+    // Same shingle arithmetic as the q121 bridge test, with the bridge at
+    // doc 7 (the retired slot): pre-retirement {1,2,4,5,7} is ONE
+    // component under label 1; retiring 7 splits it into {1,2} (label
+    // kept → reconverged) and {4,5} (new min → relabeled). {6,8} has no
+    // retired member → untouched. Doc 7 itself leaves the graph.
+    val t2 = "a1 a2 a3 a4 a1 a2 a3 a4"
+    val t4 = "c1 a1 a2 a3 a4 c2"
+    val tz = "z1 z2 z3 z4 z5"
+    val dir = docsDir(Seq(t2, t2, "f3a f3b f3c", t4, t4, tz, "a1 a2 a3 a4", tz))
+    val out = Dedup.q126Retire(spark, dir).collect()
+      .map(r => (r.getAs[Long]("doc"), r.getAs[Long]("comp"),
+        r.getAs[String]("status"), r.getAs[Boolean]("is_keeper")))
+    assert(out.toSeq === Seq(
+      (1L, 1L, "reconverged", true),
+      (2L, 1L, "reconverged", false),
+      (4L, 4L, "relabeled", true),
+      (5L, 4L, "relabeled", false),
+      (6L, 6L, "untouched", true),
+      (8L, 6L, "untouched", false)))
+  }
+
+  test("q126/q127: both agree with an in-memory recompute over the real pair graph") {
+    val pairs = Dedup.q22NgramJaccard(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    // union-find ground truth for the post-retirement graph
+    def components(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      parent.keys.map(k => k -> find(k)).toMap
+    }
+    val survivors = pairs.collect {
+      case (a, b, _) if a % 10 != 7 && b % 10 != 7 => (a, b)
+    }.toSeq
+    val expect = components(survivors)
+    val got = Dedup.q126Retire(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc") -> r.getAs[Long]("comp")).toMap
+    assert(got === expect, "q126 labels diverge from the union-find ground truth")
+    // q127 per-component aggregates vs a direct recount on the full graph
+    val full = components(pairs.map(p => (p._1, p._2)).toSeq)
+    val prof = Dedup.q127ClusterProfile(spark, sf).collect()
+    assert(prof.map(_.getAs[Long]("comp")).toSet === full.values.toSet)
+    prof.foreach { r =>
+      val c = r.getAs[Long]("comp")
+      val members = full.collect { case (d, cc) if cc == c => d }.toSet
+      val es = pairs.filter(p => full(p._1) == c)
+      assert(r.getAs[Long]("n_docs") === members.size.toLong)
+      assert(r.getAs[Long]("n_edges") === es.length.toLong)
+      val dens = 2.0 * es.length / (members.size.toDouble * (members.size - 1))
+      assert(math.abs(r.getAs[Double]("density") - dens) < 1e-6)
+      assert(math.abs(r.getAs[Double]("mean_jaccard") - es.map(_._3).sum / es.length) < 1e-5)
+      assert(r.getAs[Double]("min_jaccard") === es.map(_._3).min)
+      assert(r.getAs[Double]("density") <= 1.0 + 1e-9)
+    }
+  }
 }

@@ -249,4 +249,80 @@ object Profiling {
       |  UNION ALL SELECT 'text_nonempty', v_text, n_rows FROM m CROSS JOIN dup)
       |SELECT check_name, n_violations, n_rows, n_violations = 0 AS pass
       |FROM u ORDER BY check_name""".stripMargin
+
+  // ---------------------------------------------------------------- q128
+
+  /** q128: cross-table REFERENTIAL-INTEGRITY audit — the warehouse-side
+    * complement of q92's single-table value checks: every foreign-key
+    * edge of the relational schema (lineitem→orders, orders→customer,
+    *customer→nation, events→customer) verified as a constraint ledger
+    * (checked / violating / rate per edge). This is the dbt-style "test"
+    * suite a warehouse runs after every load; the events→customer edge is
+    * the interesting row — the event log is app-emitted, not
+    * warehouse-constrained, so its orphan count is a real data-quality
+    * signal rather than a tautology.
+    *
+    * Scale shape: each FK check is ONE left anti-join on the key (child
+    * rows with no parent — NOT EXISTS semantics, so NULL keys count as
+    * orphans exactly like SQL's NOT EXISTS) followed by a scalar count;
+    * parent sides project the key column only, so the anti-join build
+    * side is key-width. `nation` broadcasts; the larger parents shuffle
+    * on the key they're already organized by. The four 1-row results
+    * union into the ledger — presentation-sized output, no wide rows
+    * anywhere.
+    */
+  def q128FkAudit(s: SparkSession, dir: String): DataFrame = {
+    // fully declarative — one left join against the (distinct, key-width)
+    // parent side and a 1-row conditional aggregate per constraint;
+    // nothing driver-side, a NULL or orphaned child key counts exactly as
+    // NOT EXISTS would
+    def fk(name: String, child: DataFrame, childKey: String,
+        parent: DataFrame, parentKey: String): DataFrame =
+      child.select(col(childKey).as("k"))
+        .join(parent.select(col(parentKey).as("pk")).distinct(),
+          col("k") === col("pk"), "left")
+        .agg(count(lit(1)).as("n_checked"),
+          count(when(col("pk").isNull, lit(1))).as("n_violations"))
+        .select(lit(name).as("constraint_name"), col("n_checked"),
+          col("n_violations"),
+          round(col("n_violations").cast("double")
+            / col("n_checked").cast("double"), 6).as("violation_rate"))
+    val rows = Seq(
+      fk("fk_lineitem_orders", lineitem(s, dir), "l_orderkey",
+        orders(s, dir), "o_orderkey"),
+      fk("fk_orders_customer", orders(s, dir), "o_custkey",
+        customer(s, dir), "c_custkey"),
+      fk("fk_customer_nation", customer(s, dir), "c_nationkey",
+        nation(s, dir), "n_nationkey"),
+      fk("fk_events_customer", events(s, dir), "user_id",
+        customer(s, dir), "c_custkey"))
+    rows.reduce(_ unionByName _).orderBy(col("constraint_name"))
+  }
+
+  val q128Sql: String =
+    """WITH checks AS (
+      |  SELECT 'fk_lineitem_orders' AS constraint_name,
+      |   CAST(count(*) AS BIGINT) AS n_checked,
+      |   CAST(count(*) FILTER (WHERE NOT EXISTS
+      |     (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT)
+      |     AS n_violations
+      |  FROM lineitem l
+      |  UNION ALL
+      |  SELECT 'fk_orders_customer', CAST(count(*) AS BIGINT),
+      |   CAST(count(*) FILTER (WHERE NOT EXISTS
+      |     (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)) AS BIGINT)
+      |  FROM orders o
+      |  UNION ALL
+      |  SELECT 'fk_customer_nation', CAST(count(*) AS BIGINT),
+      |   CAST(count(*) FILTER (WHERE NOT EXISTS
+      |     (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey)) AS BIGINT)
+      |  FROM customer c
+      |  UNION ALL
+      |  SELECT 'fk_events_customer', CAST(count(*) AS BIGINT),
+      |   CAST(count(*) FILTER (WHERE NOT EXISTS
+      |     (SELECT 1 FROM customer c WHERE c.c_custkey = e.user_id)) AS BIGINT)
+      |  FROM events e)
+      |SELECT constraint_name, n_checked, n_violations,
+      | ROUND(CAST(n_violations AS DOUBLE) / n_checked, 6) AS violation_rate
+      |FROM checks ORDER BY constraint_name""".stripMargin
 }

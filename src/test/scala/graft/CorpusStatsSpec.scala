@@ -495,4 +495,27 @@ class CorpusStatsSpec extends SparkTestBase {
     assert(out.exists(_._4 > 0) && out.exists(_._5 > 0),
       "fixture increment is vacuous — no base or no delta pairs in the top-k")
   }
+
+  test("q129: ranks are dense per day and deltas agree with a calendar-day recompute") {
+    val rows = Analytics.q129Trending(spark, sf).collect()
+      .map(r => (r.getAs[java.sql.Timestamp]("day").toLocalDateTime.toLocalDate,
+        r.getAs[String]("event_type"), r.getAs[Long]("n_events"),
+        r.getAs[Long]("rnk"), Option(r.getAs[java.lang.Long]("prev_rank")).map(_.toLong)))
+    assert(rows.nonEmpty)
+    val byDay = rows.groupBy(_._1)
+    byDay.foreach { case (day, g) =>
+      // total tie order (count DESC, type) ⇒ ranks are exactly 1..k
+      val ranked = g.sortBy(r => (-r._3, r._2))
+      assert(ranked.map(_._4).toSeq === (1L to g.length).toSeq, s"ranks not dense on $day")
+    }
+    // prev_rank is the same type's rank on the PREVIOUS CALENDAR day —
+    // null exactly when the type had no events that day
+    val rankAt = rows.map(r => (r._1, r._2) -> r._4).toMap
+    rows.foreach { case (day, tpe, _, _, prev) =>
+      assert(prev === rankAt.get((day.minusDays(1), tpe)),
+        s"prev_rank wrong for $tpe on $day")
+    }
+    // the report genuinely moves on the fixture
+    assert(rows.exists(r => r._5.exists(_ != r._4)), "no rank movement — vacuous fixture")
+  }
 }

@@ -340,4 +340,36 @@ class CurationSpec extends SparkTestBase {
         s"source $src: budget does not bind on the fixture — the test is vacuous")
     }
   }
+
+  test("q128: orphaned and NULL child keys count as violations (NOT EXISTS semantics)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_fk").toString
+    def write(name: String, df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.mode("overwrite").parquet(s"$dir/$name.parquet")
+    write("nation", Seq(0L, 1L).toDF("n_nationkey"))
+    // customer 30 references a missing nation; customer 40 has a NULL key
+    write("customer", Seq(
+      (10L, Some(0L)), (20L, Some(1L)), (30L, Some(9L)), (40L, None)
+    ).toDF("c_custkey", "c_nationkey"))
+    // order 300 references a missing customer
+    write("orders", Seq((100L, 10L), (200L, 20L), (300L, 99L))
+      .toDF("o_orderkey", "o_custkey"))
+    // two lineitems orphaned on a missing order
+    write("lineitem", Seq(100L, 100L, 200L, 999L, 999L).toDF("l_orderkey"))
+    // one event from an unknown user
+    write("events", Seq(
+      (1L, "2024-01-01 00:00:00", 10L, "view", 1.0, "{}"),
+      (2L, "2024-01-01 00:01:00", 77L, "view", 1.0, "{}"))
+      .toDF("event_id", "ts_s", "user_id", "event_type", "value", "props")
+      .withColumn("ts", org.apache.spark.sql.functions.to_timestamp(col("ts_s")))
+      .drop("ts_s"))
+    val got = graft.queries.Profiling.q128FkAudit(spark, dir).collect()
+      .map(r => (r.getAs[String]("constraint_name"), r.getAs[Long]("n_checked"),
+        r.getAs[Long]("n_violations")))
+    assert(got.toSeq === Seq(
+      ("fk_customer_nation", 4L, 2L),   // missing nation + NULL key
+      ("fk_events_customer", 2L, 1L),
+      ("fk_lineitem_orders", 5L, 2L),
+      ("fk_orders_customer", 3L, 1L)))
+  }
 }

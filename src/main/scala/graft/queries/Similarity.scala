@@ -961,4 +961,145 @@ object Similarity {
        |FROM own JOIN fr ON own.vec_id = fr.vec_id AND frn = 1
        |ORDER BY own.vec_id""".stripMargin
   }
+
+  // ---------------------------------------------------------------- q130
+
+  /** q130: IVF index REBALANCE plan — the maintenance operator an ANN
+    * index runs after ingest has skewed its cells: report every cell's
+    * population against the balanced target (total / [[IvfCells]]) and
+    * emit the action a rebalancer would take — `split` (> 2× target:
+    * the cell's probe cost dominates queries), `merge` (< ½ target,
+    * including EMPTY cells, which only this report can surface — they
+    * appear in no assignment row) — plus each cell's nearest foreign
+    * centroid, the natural merge destination. q101 re-trains centroids
+    * from scratch; this is the cheap in-between: one assignment scan
+    * decides WHETHER retraining or local surgery is needed.
+    *
+    * Scale shape: cell populations are one cell-keyed aggregate of the
+    * shared seeded assignment; the centroid frame is [[IvfCells]] rows,
+    * so the nearest-neighbor pass is a bounded cells×cells cross
+    * (256 pairs — the q32 declared-bounded pattern) and the total rides
+    * a broadcast 1-row frame. Output is cells-sized.
+    */
+  def q130IvfRebalance(s: SparkSession, dir: String): DataFrame = {
+    val e = vecs(s, dir)
+    val cents = e.orderBy(col("vec_id")).limit(IvfCells)
+      .select(col("vec_id").as("c_id"), col("v").as("cv"), col("norm").as("cnorm"))
+      .localCheckpoint(true) // read by the sizes join AND both cross sides
+    val sizes = seededAssignment(s, dir)
+      .groupBy(col("cell")).agg(count(lit(1)).as("n"))
+    // every centroid appears, empty cells at 0 — the rows a rebalancer
+    // most needs to see
+    val szc = cents.select(col("c_id").as("cell"))
+      .join(sizes, Seq("cell"), "left")
+      .select(col("cell"), coalesce(col("n"), lit(0L)).as("n_vectors"))
+    val tot = szc.agg(sum(col("n_vectors")).as("t"))
+    val nearest = cents.as("a").crossJoin(cents.as("b"))
+      .filter(col("a.c_id") =!= col("b.c_id"))
+      .select(col("a.c_id").as("cell"), col("b.c_id").as("other"),
+        round(dot(col("a.cv"), col("b.cv"))
+          / (col("a.cnorm") * col("b.cnorm")), 6).as("csim"))
+      .groupBy(col("cell"))
+      .agg(max_by(struct(col("other"), col("csim")),
+        struct(col("csim"), -col("other"))).as("nn"))
+      .select(col("cell"), col("nn.other").as("nearest_cell"),
+        col("nn.csim").as("nearest_sim"))
+    val target = col("t").cast("double") / lit(IvfCells.toDouble)
+    szc.crossJoin(broadcast(tot))
+      .join(nearest, Seq("cell"))
+      .select(col("cell"), col("n_vectors"),
+        round(col("n_vectors").cast("double") / col("t").cast("double"), 6).as("share"),
+        when(col("n_vectors").cast("double") > target * 2.0, "split")
+          .when(col("n_vectors").cast("double") < target * 0.5, "merge")
+          .otherwise("ok").as("action"),
+        col("nearest_cell"), col("nearest_sim"))
+      .orderBy(col("cell"))
+  }
+
+  val q130Sql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |n AS (
+       |  SELECT vec_id, v,
+       |   sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |     list_transform(v, x -> x * x)), (a, b) -> a + b)) AS norm
+       |  FROM e),
+       |cents AS (
+       |  SELECT vec_id AS c_id, v AS cv, norm AS cnorm FROM n
+       |  ORDER BY vec_id LIMIT $IvfCells),
+       |assign AS (
+       |  SELECT vec_id, c_id AS cell,
+       |   row_number() OVER (PARTITION BY vec_id ORDER BY
+       |     ROUND(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |         list_transform(range(1, ${AnnDims + 1}), i -> n.v[i] * cents.cv[i])), (x, y) -> x + y)
+       |       / (n.norm * cents.cnorm), 6) DESC, c_id) AS crn
+       |  FROM n CROSS JOIN cents),
+       |sz AS (SELECT cell, CAST(count(*) AS BIGINT) AS n FROM assign WHERE crn = 1 GROUP BY cell),
+       |szc AS (
+       |  SELECT c_id AS cell, COALESCE(n, CAST(0 AS BIGINT)) AS n_vectors
+       |  FROM cents LEFT JOIN sz ON c_id = sz.cell),
+       |tot AS (SELECT CAST(sum(n_vectors) AS BIGINT) AS t FROM szc),
+       |cc AS (
+       |  SELECT a.c_id AS cell, b.c_id AS other,
+       |   ROUND(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |       list_transform(range(1, ${AnnDims + 1}), i -> a.cv[i] * b.cv[i])), (x, y) -> x + y)
+       |     / (a.cnorm * b.cnorm), 6) AS csim
+       |  FROM cents a CROSS JOIN cents b WHERE a.c_id <> b.c_id),
+       |nn AS (
+       |  SELECT cell, other, csim,
+       |   row_number() OVER (PARTITION BY cell ORDER BY csim DESC, other) AS rn
+       |  FROM cc)
+       |SELECT szc.cell AS cell, n_vectors,
+       | ROUND(CAST(n_vectors AS DOUBLE) / t, 6) AS share,
+       | CASE WHEN n_vectors > 2.0 * t / $IvfCells THEN 'split'
+       |      WHEN n_vectors < 0.5 * t / $IvfCells THEN 'merge'
+       |      ELSE 'ok' END AS action,
+       | nn.other AS nearest_cell, nn.csim AS nearest_sim
+       |FROM szc CROSS JOIN tot JOIN nn ON szc.cell = nn.cell AND nn.rn = 1
+       |ORDER BY szc.cell""".stripMargin
+
+  // ---------------------------------------------------------------- q131
+
+  /** q131: embedding DIMENSION profile — per-dimension mean, sample
+    * stddev, min/max, and exact-zero count over the whole embedding
+    * table. This is the QA pass an embedding pipeline runs before
+    * indexing or quantizing: a dead dimension (std ≈ 0) wastes index
+    * bits, a wildly off-center one breaks symmetric quantizers (q61's
+    * int8 max-abs scaling assumes rough centering), and the zero count
+    * catches sparsity regressions upstream. Also the input statistics
+    * whitening / PCA preprocessing starts from.
+    *
+    * Scale shape: `posexplode` flattens vectors to (dim, value) rows
+    * map-side; everything aggregates on the DIMS-sized keyspace
+    * ([[AnnDims]] rows out) with map-side partials — the only exchange
+    * carries dims × partial-moment rows. The mean/std arithmetic runs
+    * in double and rounds to 6dp (the q71 convention; Spark and DuckDB
+    * agree to ~1e-12 on these magnitudes).
+    */
+  def q131DimProfile(s: SparkSession, dir: String): DataFrame = {
+    vecs(s, dir)
+      .select(posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy((col("pos") + 1).cast("long").as("dim"))
+      .agg(count(lit(1)).as("n"),
+        round(avg(col("x")), 6).as("mean_val"),
+        round(stddev_samp(col("x")), 6).as("std_val"),
+        min(col("x")).as("min_val"),
+        max(col("x")).as("max_val"),
+        count(when(col("x") === 0.0, lit(1))).as("n_zero"))
+      .orderBy(col("dim"))
+  }
+
+  val q131Sql: String =
+    s"""WITH e AS (
+       |  SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       |f AS (
+       |  SELECT CAST(t.i AS BIGINT) AS dim, v[t.i] AS x
+       |  FROM e, unnest(range(1, ${AnnDims + 1})) AS t(i))
+       |SELECT dim, CAST(count(*) AS BIGINT) AS n,
+       | ROUND(avg(x), 6) AS mean_val,
+       | ROUND(stddev_samp(x), 6) AS std_val,
+       | min(x) AS min_val, max(x) AS max_val,
+       | CAST(count(*) FILTER (WHERE x = 0) AS BIGINT) AS n_zero
+       |FROM f GROUP BY dim ORDER BY dim""".stripMargin
 }

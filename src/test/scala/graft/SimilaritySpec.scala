@@ -163,4 +163,59 @@ class SimilaritySpec extends SparkTestBase {
       s"own-prototype wins ($nOwn/$n) at the random baseline (1/$nLabels): no signal")
     out.unpersist()
   }
+
+  /** (vec_id, embedding-as-doubles) collected once for the in-memory
+    * ground truths below. */
+  private def collectVecs(): Array[(Long, Array[Double])] =
+    Tables.embeddings(spark, sf).select("vec_id", "embedding").collect()
+      .map(r => (r.getAs[Long]("vec_id"),
+        r.getSeq[Float](1).map(_.toDouble).toArray))
+
+  test("q130: every cell reported once, shares sum to 1, actions match the thresholds") {
+    val rows = Similarity.q130IvfRebalance(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("cell")).toSeq.sorted.length === Similarity.IvfCells)
+    val total = rows.map(_.getAs[Long]("n_vectors")).sum
+    assert(total === Tables.embeddings(spark, sf).count())
+    assert(math.abs(rows.map(_.getAs[Double]("share")).sum - 1.0) < 1e-4)
+    val target = total.toDouble / Similarity.IvfCells
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_vectors").toDouble
+      val want = if (n > 2 * target) "split" else if (n < 0.5 * target) "merge" else "ok"
+      assert(r.getAs[String]("action") === want, s"cell ${r.getAs[Long]("cell")}")
+      assert(r.getAs[Long]("nearest_cell") !== r.getAs[Long]("cell"))
+    }
+    // nearest centroid agrees with an in-memory recompute over the 16 seeds
+    val vs = collectVecs().toMap
+    val cents = vs.keys.toSeq.sorted.take(Similarity.IvfCells).map(id => id -> vs(id))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    rows.foreach { r =>
+      val c = r.getAs[Long]("cell")
+      val best = cents.filter(_._1 != c)
+        .map { case (o, v) => (o, math.rint(cos(cents.find(_._1 == c).get._2, v) * 1e6) / 1e6) }
+        .minBy { case (o, sim) => (-sim, o) }
+      assert(r.getAs[Long]("nearest_cell") === best._1, s"nearest of cell $c")
+      assert(math.abs(r.getAs[Double]("nearest_sim") - best._2) < 1e-6)
+    }
+  }
+
+  test("q131: per-dimension stats equal an in-memory recompute") {
+    val vs = collectVecs()
+    val rows = Similarity.q131DimProfile(spark, sf).collect()
+    assert(rows.length === Similarity.AnnDims)
+    rows.foreach { r =>
+      val d = r.getAs[Long]("dim").toInt - 1
+      val xs = vs.map(_._2(d))
+      val mean = xs.sum / xs.length
+      val variance = xs.map(x => (x - mean) * (x - mean)).sum / (xs.length - 1)
+      assert(r.getAs[Long]("n") === vs.length.toLong)
+      assert(math.abs(r.getAs[Double]("mean_val") - mean) < 1e-5, s"mean dim ${d + 1}")
+      assert(math.abs(r.getAs[Double]("std_val") - math.sqrt(variance)) < 1e-5, s"std dim ${d + 1}")
+      assert(r.getAs[Double]("min_val") === xs.min)
+      assert(r.getAs[Double]("max_val") === xs.max)
+      assert(r.getAs[Long]("n_zero") === xs.count(_ == 0.0).toLong)
+    }
+  }
 }

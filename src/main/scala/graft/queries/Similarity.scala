@@ -983,9 +983,12 @@ object Similarity {
     */
   def q130IvfRebalance(s: SparkSession, dir: String): DataFrame = {
     val e = vecs(s, dir)
+    // NOT checkpointed although three subtrees read it: the 16-row limit
+    // must stay VISIBLE in the plan (checkpointing truncates to a raw RDD
+    // scan, which the suite's nested-loop boundedness guard rightly
+    // rejects as an unbounded cross side) — the q39/q117 convention
     val cents = e.orderBy(col("vec_id")).limit(IvfCells)
       .select(col("vec_id").as("c_id"), col("v").as("cv"), col("norm").as("cnorm"))
-      .localCheckpoint(true) // read by the sizes join AND both cross sides
     val sizes = seededAssignment(s, dir)
       .groupBy(col("cell")).agg(count(lit(1)).as("n"))
     // every centroid appears, empty cells at 0 — the rows a rebalancer

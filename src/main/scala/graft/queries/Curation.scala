@@ -723,4 +723,62 @@ object Curation {
        |SELECT doc_id, source, n_tok, quality, cum_tok,
        | CAST(cum_tok AS DOUBLE) <= CAST(tot_tok AS DOUBLE) * $BudgetFrac AS keep
        |FROM c ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q136
+
+  /** Candidate max-sequence-lengths swept by q136 (the fixture corpus
+    * averages ~50 whitespace tokens per document, so the grid straddles
+    * the truncation/padding trade-off from both sides).
+    */
+  val PadLens: Seq[Int] = Seq(32, 64, 128, 256)
+
+  /** q136: sequence-length / PADDING-efficiency sweep — the accounting
+    * pass behind choosing a training max_seq_len. For every candidate
+    * length L, each document contributes min(n_tok, L) kept tokens,
+    * L − min(n_tok, L) padding (a padded batch burns compute on every
+    * pad position), and max(n_tok − L, 0) truncated tokens (lost data).
+    * The sweep emits, per L: kept/pad/truncated totals, the batch FILL
+    * fraction kept/(docs·L) (what fraction of a padded batch is real
+    * signal), and the truncation fraction (what share of the corpus the
+    * cutoff throws away) — the two curves whose crossing picks L. The
+    * same sweep-as-one-pass shape as q116's filter threshold sweep:
+    * token counts are computed ONCE per document, a bounded explode
+    * (|PadLens| rows per doc) fans the grid out map-side, and one hash
+    * aggregate keyed by the candidate L (4 groups) does all the
+    * accounting — never |PadLens| scans of the corpus.
+    */
+  def q136PadSweep(s: SparkSession, dir: String): DataFrame = {
+    val swept = documents(s, dir)
+      .select(size(words(col("text"))).cast("long").as("n_tok"))
+      .select(col("n_tok"),
+        explode(array(PadLens.map(l => lit(l)): _*)).as("max_len"))
+    swept.groupBy(col("max_len"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(least(col("n_tok"), col("max_len"))).as("kept_tokens"),
+        sum(col("max_len") - least(col("n_tok"), col("max_len"))).as("pad_tokens"),
+        sum(greatest(col("n_tok") - col("max_len"), lit(0L))).as("truncated_tokens"))
+      .withColumn("fill_frac",
+        round(col("kept_tokens").cast("double")
+          / (col("n_docs") * col("max_len")), 6))
+      .withColumn("trunc_frac",
+        round(col("truncated_tokens").cast("double")
+          / (col("kept_tokens") + col("truncated_tokens")), 6))
+      .orderBy(col("max_len"))
+  }
+
+  val q136Sql: String = {
+    val lens = PadLens.mkString("[", ", ", "]")
+    s"""WITH t AS (
+       |  SELECT CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tok
+       |  FROM documents),
+       |l AS (SELECT UNNEST($lens) AS max_len)
+       |SELECT CAST(max_len AS INT) AS max_len, CAST(count(*) AS BIGINT) AS n_docs,
+       | CAST(SUM(LEAST(n_tok, max_len)) AS BIGINT) AS kept_tokens,
+       | CAST(SUM(max_len - LEAST(n_tok, max_len)) AS BIGINT) AS pad_tokens,
+       | CAST(SUM(GREATEST(n_tok - max_len, 0)) AS BIGINT) AS truncated_tokens,
+       | ROUND(CAST(SUM(LEAST(n_tok, max_len)) AS DOUBLE) / (count(*) * max_len), 6) AS fill_frac,
+       | ROUND(CAST(SUM(GREATEST(n_tok - max_len, 0)) AS DOUBLE) / SUM(n_tok), 6) AS trunc_frac
+       |FROM t CROSS JOIN l GROUP BY max_len ORDER BY max_len""".stripMargin
+  }
 }

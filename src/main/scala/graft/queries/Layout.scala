@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -364,4 +365,62 @@ object Layout {
       |FROM events
       |WHERE user_id BETWEEN 3 AND 5 AND EXTRACT(DAY FROM ts) BETWEEN 5 AND 9
       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------- q134
+
+  /** Compaction target: output-file size (chars here; bytes in a real
+    * deployment — e.g. 128·2²⁰ for 128 MB parquet files). Chosen so the
+    * fixtures yield several bins per source with multi-doc bins.
+    */
+  val CompactTarget: Long = 1024L
+
+  /** q134: small-file COMPACTION planner — the fourth storage-layout
+    * lever. A 100 TB table ingested incrementally accretes millions of
+    * KB-sized files; every query then pays file-listing latency and
+    * one scan task per tiny file. The fix is periodic compaction:
+    * concatenate each partition's files, in order, into ~target-sized
+    * outputs. This operator emits the PLAN — for every (source, bin):
+    * how many inputs coalesce, the resulting size, and the contiguous
+    * [first_doc, last_doc] id range — using documents-as-files (doc_id =
+    * ingest order, n_chars = file size), the same greedy rule a Delta/
+    * Iceberg OPTIMIZE job uses: walk the partition in order, open a new
+    * output whenever the running total crosses the target, never split
+    * an input. A bin may exceed the target by less than one input —
+    * the standard concatenating-compactor guarantee.
+    *
+    * Scale shape: one scan, one source-partitioned window (running
+    * total), bin assignment as map-side arithmetic on the EXCLUSIVE
+    * prefix (`cum − size`, so the input that crosses the target stays in
+    * the bin it started in), and a (source, bin)-keyed aggregate.
+    * Partitions compact independently — exactly how the real job would
+    * fan out one compaction task per partition.
+    */
+  def q134CompactionPlan(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(s, dir)
+      .select(col("source"), col("doc_id"), col("n_chars"))
+      .withColumn("cum", sum(col("n_chars")).over(w))
+      .withColumn("bin",
+        floor((col("cum") - col("n_chars")) / lit(CompactTarget)).cast("long"))
+      .groupBy(col("source"), col("bin"))
+      .agg(
+        count(lit(1)).as("n_inputs"),
+        sum(col("n_chars")).as("out_chars"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .orderBy(col("source"), col("bin"))
+  }
+
+  val q134Sql: String =
+    s"""WITH c AS (
+       |  SELECT source, doc_id, n_chars,
+       |   SUM(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+       |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM documents)
+       |SELECT source, CAST(FLOOR((cum - n_chars) / $CompactTarget.0) AS BIGINT) AS bin,
+       | CAST(count(*) AS BIGINT) AS n_inputs,
+       | CAST(SUM(n_chars) AS BIGINT) AS out_chars,
+       | min(doc_id) AS first_doc, max(doc_id) AS last_doc
+       |FROM c GROUP BY 1, 2 ORDER BY source, bin""".stripMargin
 }

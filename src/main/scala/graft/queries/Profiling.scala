@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables._
@@ -325,4 +325,116 @@ object Profiling {
       |SELECT constraint_name, n_checked, n_violations,
       | ROUND(CAST(n_violations AS DOUBLE) / n_checked, 6) AS violation_rate
       |FROM checks ORDER BY constraint_name""".stripMargin
+
+  // ---------------------------------------------------------------- q133
+
+  /** q133: ANALYZE-style whole-table column statistics — the per-column
+    * (row count, null count, exact NDV, numeric min/max) ledger a
+    * cost-based optimizer, a MERGE planner, or a data-contract check
+    * reads before touching the table. One operator profiles EVERY column
+    * in ONE scan: each row explodes into (col_name, value) lanes — a
+    * string lane for null/NDV accounting (cast is injective per engine
+    * for these types, so NDV is exact) and a numeric lane (doubles as-is,
+    * timestamps as epoch micros, non-numeric NULL) for min/max — then a
+    * single hash aggregate keyed by col_name does all the counting.
+    *
+    * Scale shape: one scan + a Generate (bounded fan-out = #columns) + a
+    * two-phase aggregate. The NDV is the one genuinely value-domain-sized
+    * shuffle (Spark plans the distinct as a (col_name, value) partial
+    * aggregate — map-side combined, so the wire carries the per-partition
+    * DISTINCT values, not the rows). At 100 TB the drop-in scale path is
+    * `approx_count_distinct` — q114's HLL sketch family, mergeable
+    * fixed-size state — with everything else unchanged; exact NDV is kept
+    * here because the oracle can check it.
+    */
+  def q133AnalyzeStats(s: SparkSession, dir: String): DataFrame = {
+    val lanes = Seq[(String, Column, Column)](
+      ("o_orderkey", col("o_orderkey").cast("string"), col("o_orderkey").cast("double")),
+      ("o_custkey", col("o_custkey").cast("string"), col("o_custkey").cast("double")),
+      ("o_orderstatus", col("o_orderstatus"), lit(null).cast("double")),
+      ("o_totalprice", col("o_totalprice").cast("string"), col("o_totalprice")),
+      // o_orderdate ships as parquet TIMESTAMP_NTZ; the session TZ is
+      // pinned to UTC, so the cast reinterprets the wall-clock value as
+      // the identical UTC instant (same convention as Tables.events)
+      ("o_orderdate", col("o_orderdate").cast("string"),
+        unix_micros(col("o_orderdate").cast("timestamp")).cast("double")),
+      ("o_orderpriority", col("o_orderpriority"), lit(null).cast("double")))
+    val exploded = orders(s, dir)
+      .select(explode(array(lanes.map { case (n, vs, vn) =>
+        struct(lit(n).as("col_name"), vs.as("v_str"), vn.as("v_num"))
+      }: _*)).as("c"))
+      .select(col("c.col_name"), col("c.v_str"), col("c.v_num"))
+    exploded.groupBy(col("col_name"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("v_str").isNull, 1L).otherwise(0L)).as("n_null"),
+        countDistinct(col("v_str")).as("ndv"),
+        min(col("v_num")).as("min_num"),
+        max(col("v_num")).as("max_num"))
+      .orderBy(col("col_name"))
+  }
+
+  val q133Sql: String = {
+    def lane(name: String, strCast: String, numCast: String): String =
+      s"""SELECT '$name' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+         | CAST(count(*) - count($strCast) AS BIGINT) AS n_null,
+         | CAST(count(DISTINCT $strCast) AS BIGINT) AS ndv,
+         | min($numCast) AS min_num, max($numCast) AS max_num FROM orders""".stripMargin
+    Seq(
+      lane("o_orderkey", "CAST(o_orderkey AS VARCHAR)", "CAST(o_orderkey AS DOUBLE)"),
+      lane("o_custkey", "CAST(o_custkey AS VARCHAR)", "CAST(o_custkey AS DOUBLE)"),
+      lane("o_orderstatus", "o_orderstatus", "CAST(NULL AS DOUBLE)"),
+      lane("o_totalprice", "CAST(o_totalprice AS VARCHAR)", "o_totalprice"),
+      lane("o_orderdate", "CAST(o_orderdate AS VARCHAR)", "CAST(epoch_us(o_orderdate) AS DOUBLE)"),
+      lane("o_orderpriority", "o_orderpriority", "CAST(NULL AS DOUBLE)"))
+      .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+  }
+
+  // ---------------------------------------------------------------- q137
+
+  /** q137: pre-join cardinality and fan-out estimator — the planning
+    * probe a 100 TB deployment runs BEFORE committing to a join strategy.
+    * Both sides reduce to per-key histograms (key → row count); the
+    * histograms equi-join on the key (key-domain-sized, not row-domain);
+    * one final aggregate emits the EXACT equi-join output cardinality
+    * Σ c_l·c_r, the matched/unmatched key counts, the worst per-key
+    * fan-out, and a hot-key count — exactly the numbers that decide
+    * broadcast vs shuffle vs salted (q123) vs bucketed (q102) plans, and
+    * the numbers q128's FK audit assumes are healthy.
+    *
+    * Cost: two map-side-combined aggregates + one join over key-domain
+    * frames + a 1-row final aggregate — strictly cheaper than the join
+    * being planned, and embarrassingly parallel at any scale.
+    */
+  def q137JoinCard(s: SparkSession, dir: String): DataFrame = {
+    val lh = orders(s, dir).groupBy(col("o_orderkey").as("k"))
+      .agg(count(lit(1)).as("c_l"))
+    val rh = lineitem(s, dir).groupBy(col("l_orderkey").as("k"))
+      .agg(count(lit(1)).as("c_r"))
+    lh.join(rh, Seq("k"), "full_outer")
+      .agg(
+        coalesce(sum(when(col("c_l").isNotNull, 1L)), lit(0L)).as("n_keys_left"),
+        coalesce(sum(when(col("c_r").isNotNull, 1L)), lit(0L)).as("n_keys_right"),
+        coalesce(sum(when(col("c_l").isNotNull && col("c_r").isNotNull, 1L)), lit(0L))
+          .as("n_keys_matched"),
+        coalesce(sum(col("c_l") * col("c_r")), lit(0L)).as("est_join_rows"),
+        coalesce(max(col("c_l") * col("c_r")), lit(0L)).as("max_key_fanout"),
+        coalesce(sum(when(col("c_r") >= HotFanout, 1L)), lit(0L)).as("n_hot_keys"))
+  }
+
+  /** Per-key fan-out at or above which q137 flags a key as hot (a salting
+    * / skew-split candidate for the planned join).
+    */
+  val HotFanout: Int = 7
+
+  val q137Sql: String =
+    s"""WITH lh AS (SELECT o_orderkey AS k, count(*) AS c_l FROM orders GROUP BY 1),
+       |rh AS (SELECT l_orderkey AS k, count(*) AS c_r FROM lineitem GROUP BY 1)
+       |SELECT CAST(count(lh.k) AS BIGINT) AS n_keys_left,
+       | CAST(count(rh.k) AS BIGINT) AS n_keys_right,
+       | CAST(COALESCE(SUM(CASE WHEN lh.k IS NOT NULL AND rh.k IS NOT NULL THEN 1 END), 0) AS BIGINT) AS n_keys_matched,
+       | CAST(COALESCE(SUM(c_l * c_r), 0) AS BIGINT) AS est_join_rows,
+       | CAST(COALESCE(MAX(c_l * c_r), 0) AS BIGINT) AS max_key_fanout,
+       | CAST(COALESCE(SUM(CASE WHEN c_r >= $HotFanout THEN 1 END), 0) AS BIGINT) AS n_hot_keys
+       |FROM lh FULL OUTER JOIN rh ON lh.k = rh.k""".stripMargin
 }

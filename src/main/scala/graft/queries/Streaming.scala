@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -134,4 +135,81 @@ object Streaming {
       | CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
       |FROM g GROUP BY user_id, grp
       |ORDER BY user_id, session_idx""".stripMargin
+
+  // ---------------------------------------------------------------- q135
+
+  /** q135: inter-arrival GAP histogram — the calibration pass behind
+    * every streaming-config constant this engine uses. q27's 30-minute
+    * session gap and a `withWatermark` delay are tuning knobs; the
+    * defensible way to set them is the distribution of per-user gaps
+    * between consecutive events: the session timeout wants the valley
+    * between the intra-session mass and the between-session tail, and a
+    * watermark wants a high quantile of expected disorder. This emits
+    * that distribution as a fixed 7-bucket histogram (<1m, 1–5m, 5–15m,
+    * 15–30m, 30–60m, 1–3h, ≥3h) with per-bucket share and CUMULATIVE
+    * share — read the cum_share column at the bucket you'd cut.
+    *
+    * Scale shape: one user_id-partitioned lag window over the event
+    * stream (the only event-sized pass — checkpointed once, then every
+    * consumer below re-aggregates the 7-row domain from it); the
+    * cumulative share uses the same bounded-inequality-join idiom as
+    * q132's month offsets (build side is an aggregate over the bucket
+    * domain — never a global ordered window); the total rides q125's
+    * broadcast 1-row frame pattern.
+    */
+  def q135GapHistogram(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val gaps = events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .withColumn("gap_s",
+        (unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w)))
+          .cast("double") / 1e6)
+      .filter(col("gap_s").isNotNull)
+      .select(
+        when(col("gap_s") < 60, 0).when(col("gap_s") < 300, 1)
+          .when(col("gap_s") < 900, 2).when(col("gap_s") < 1800, 3)
+          .when(col("gap_s") < 3600, 4).when(col("gap_s") < 10800, 5)
+          .otherwise(6).as("bucket"))
+      .localCheckpoint(true) // one event-sized window pass; 3 consumers below
+    def hist: DataFrame =
+      gaps.groupBy(col("bucket")).agg(count(lit(1)).as("n_gaps"))
+    val total = hist.agg(sum(col("n_gaps")).as("total"))
+    val cum = hist.select(col("bucket"))
+      .join(hist.select(col("bucket").as("p_bucket"), col("n_gaps").as("p_n")),
+        col("p_bucket") <= col("bucket"))
+      .groupBy(col("bucket")).agg(sum(col("p_n")).as("cum_gaps"))
+    hist.join(cum, Seq("bucket")).crossJoin(broadcast(total))
+      .select(col("bucket"),
+        when(col("bucket") === 0, "lt_1m").when(col("bucket") === 1, "1_5m")
+          .when(col("bucket") === 2, "5_15m").when(col("bucket") === 3, "15_30m")
+          .when(col("bucket") === 4, "30_60m").when(col("bucket") === 5, "1_3h")
+          .otherwise("ge_3h").as("gap_bucket"),
+        col("n_gaps"),
+        round(col("n_gaps") / col("total"), 6).as("share"),
+        round(col("cum_gaps") / col("total"), 6).as("cum_share"))
+      .orderBy(col("bucket"))
+  }
+
+  val q135Sql: String =
+    """WITH g AS (
+      |  SELECT (epoch_us(ts) - epoch_us(lag(ts) OVER (
+      |    PARTITION BY user_id ORDER BY ts, event_id))) / 1000000.0 AS gap_s
+      |  FROM events),
+      |b AS (
+      |  SELECT CASE WHEN gap_s < 60 THEN 0 WHEN gap_s < 300 THEN 1
+      |    WHEN gap_s < 900 THEN 2 WHEN gap_s < 1800 THEN 3
+      |    WHEN gap_s < 3600 THEN 4 WHEN gap_s < 10800 THEN 5
+      |    ELSE 6 END AS bucket
+      |  FROM g WHERE gap_s IS NOT NULL),
+      |h AS (SELECT CAST(bucket AS INT) AS bucket, CAST(count(*) AS BIGINT) AS n_gaps
+      |      FROM b GROUP BY 1)
+      |SELECT bucket,
+      | CASE bucket WHEN 0 THEN 'lt_1m' WHEN 1 THEN '1_5m' WHEN 2 THEN '5_15m'
+      |   WHEN 3 THEN '15_30m' WHEN 4 THEN '30_60m' WHEN 5 THEN '1_3h'
+      |   ELSE 'ge_3h' END AS gap_bucket,
+      | n_gaps,
+      | ROUND(CAST(n_gaps AS DOUBLE) / SUM(n_gaps) OVER (), 6) AS share,
+      | ROUND(CAST(SUM(n_gaps) OVER (ORDER BY bucket) AS DOUBLE)
+      |       / SUM(n_gaps) OVER (), 6) AS cum_share
+      |FROM h ORDER BY bucket""".stripMargin
 }

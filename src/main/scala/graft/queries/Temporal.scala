@@ -434,4 +434,84 @@ object Temporal {
        |      ELSE 'carry' END AS merge_op
        |FROM tgt t FULL OUTER JOIN src s ON t.user_id = s.user_id
        |ORDER BY COALESCE(t.user_id, s.user_id)""".stripMargin
+
+  // ---------------------------------------------------------------- q132
+
+  /** q132: sweep-line interval concurrency — how many orders are IN
+    * FLIGHT (placed but not yet fully shipped) on each day the count
+    * changes. The fulfillment interval is [o_orderdate, max(l_shipdate)]
+    * per order; "active intervals at a point in time" is the primitive
+    * behind capacity dashboards, SLA monitors, and concurrent-session
+    * audits.
+    *
+    * The naive formulation (calendar spine JOIN intervals ON day BETWEEN
+    * start AND end) is a range join that degenerates to days×orders
+    * pairs. The sweep-line reduction is linear: each interval becomes two
+    * deltas (+1 at start, −1 the day AFTER end, so the end day itself
+    * still counts as open), deltas aggregate by day, and concurrency is
+    * the running sum over days — emitted only at change points (between
+    * them the count is constant by construction, so a date spine adds
+    * rows but no information).
+    *
+    * The running sum is the scale hazard: a global `SUM() OVER (ORDER BY
+    * day)` is one task sorting the whole domain — the exact unpartitioned
+    * -window shape the suite-wide plan guard bans. This is the two-level
+    * SEGMENTED PREFIX SUM instead: a within-month cumsum (month-
+    * partitioned window) plus each month's STARTING OFFSET — the sum of
+    * all prior months' nets — computed on the months-sized aggregate via
+    * a bounded inequality join (the build side is an aggregate, bounded
+    * by construction; months ≈ thousands even for decades of history).
+    * Both levels shuffle day- or month-domain rows only; the row-count
+    * of the fact tables never flows through any window.
+    */
+  def q132IntervalSweep(s: SparkSession, dir: String): DataFrame = {
+    val iv = lineitem(s, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(max(to_date(col("l_shipdate"))).as("ship_end"))
+      .join(orders(s, dir).select(col("o_orderkey"),
+          to_date(col("o_orderdate")).as("start_day")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("start_day"),
+        greatest(col("ship_end"), col("start_day")).as("end_day"))
+    val deltas = iv.select(col("start_day").as("day"), lit(1L).as("delta"))
+      .union(iv.select(date_add(col("end_day"), 1).as("day"), lit(-1L).as("delta")))
+      .groupBy(col("day")).agg(sum(col("delta")).as("net"))
+      .localCheckpoint(true) // 3 consumers: the window + both offset branches
+    // Month offsets on the months-sized aggregate. Deliberately NOT
+    // checkpointed: a checkpoint would truncate the plan to a scan leaf,
+    // which the BNLJ boundedness guard (correctly) cannot prove bounded —
+    // as aggregate subtrees over the deltas checkpoint, both branches are
+    // bounded by construction and recomputation costs one tiny re-agg.
+    def months: DataFrame = deltas
+      .groupBy(trunc(col("day"), "month").as("month"))
+      .agg(sum(col("net")).as("m_net"))
+    val offsets = months.select(col("month"))
+      .join(months.select(col("month").as("p_month"), col("m_net")),
+        col("p_month") < col("month"), "left")
+      .groupBy(col("month"))
+      .agg(coalesce(sum(col("m_net")), lit(0L)).as("offset"))
+    val wm = Window.partitionBy(trunc(col("day"), "month")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    deltas
+      .withColumn("cum", sum(col("net")).over(wm))
+      .join(offsets, trunc(col("day"), "month") === col("month"))
+      .select(col("day").cast("timestamp").as("day"), col("net"),
+        (col("offset") + col("cum")).as("open_orders"))
+      .orderBy(col("day"))
+  }
+
+  val q132Sql: String =
+    """WITH iv AS (
+      |  SELECT CAST(o.o_orderdate AS DATE) AS start_day,
+      |   greatest(max(CAST(l.l_shipdate AS DATE)), CAST(o.o_orderdate AS DATE)) AS end_day
+      |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      |  GROUP BY o.o_orderkey, o.o_orderdate),
+      |d AS (
+      |  SELECT start_day AS day, CAST(1 AS BIGINT) AS delta FROM iv
+      |  UNION ALL
+      |  SELECT CAST(end_day + INTERVAL 1 DAY AS DATE), CAST(-1 AS BIGINT) FROM iv),
+      |g AS (SELECT day, CAST(SUM(delta) AS BIGINT) AS net FROM d GROUP BY day)
+      |SELECT CAST(day AS TIMESTAMP) AS day, net,
+      | CAST(SUM(net) OVER (ORDER BY day) AS BIGINT) AS open_orders
+      |FROM g ORDER BY day""".stripMargin
 }

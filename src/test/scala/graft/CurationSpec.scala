@@ -372,4 +372,84 @@ class CurationSpec extends SparkTestBase {
       ("fk_lineitem_orders", 5L, 2L),
       ("fk_orders_customer", 3L, 1L)))
   }
+
+  test("q133: the ANALYZE ledger matches a direct per-column recount") {
+    val out = graft.queries.Profiling.q133AnalyzeStats(spark, sf).collect()
+      .map(r => r.getAs[String]("col_name") -> r).toMap
+    val o = Tables.orders(spark, sf).collect()
+    val n = o.length.toLong
+    assert(out.keySet === Set("o_orderkey", "o_custkey", "o_orderstatus",
+      "o_totalprice", "o_orderdate", "o_orderpriority"))
+    out.values.foreach { r =>
+      assert(r.getAs[Long]("n_rows") === n)
+      assert(r.getAs[Long]("n_null") === 0L, s"${r.getString(0)}: fixture has no NULLs")
+    }
+    // primary key: NDV = row count, numeric min/max = key range
+    assert(out("o_orderkey").getAs[Long]("ndv") === n)
+    val keys = o.map(_.getAs[Long]("o_orderkey"))
+    assert(out("o_orderkey").getAs[Double]("min_num") === keys.min.toDouble)
+    assert(out("o_orderkey").getAs[Double]("max_num") === keys.max.toDouble)
+    // measure column: exact NDV and range
+    val prices = o.map(_.getAs[Double]("o_totalprice"))
+    assert(out("o_totalprice").getAs[Long]("ndv") === prices.distinct.length.toLong)
+    assert(out("o_totalprice").getAs[Double]("min_num") === prices.min)
+    assert(out("o_totalprice").getAs[Double]("max_num") === prices.max)
+    // categorical columns: NDV matches, numeric lane is honestly NULL
+    for (c <- Seq("o_orderstatus", "o_orderpriority")) {
+      assert(out(c).getAs[Long]("ndv") ===
+        o.map(_.getAs[String](c)).distinct.length.toLong)
+      assert(out(c).isNullAt(out(c).fieldIndex("min_num")))
+      assert(out(c).isNullAt(out(c).fieldIndex("max_num")))
+    }
+  }
+
+  test("q136: padding/truncation accounting is exact and both frontier curves are monotone") {
+    val toks = Tables.documents(spark, sf)
+      .select(size(graft.functions.TextFns.words(col("text"))).cast("long").as("t"))
+      .collect().map(_.getLong(0))
+    val rows = Curation.q136PadSweep(spark, sf).collect().sortBy(_.getAs[Int]("max_len"))
+    assert(rows.map(_.getAs[Int]("max_len")).toSeq === Curation.PadLens)
+    rows.foreach { r =>
+      val l = r.getAs[Int]("max_len").toLong
+      assert(r.getAs[Long]("n_docs") === toks.length.toLong)
+      val kept = toks.map(math.min(_, l)).sum
+      assert(r.getAs[Long]("kept_tokens") === kept)
+      assert(r.getAs[Long]("pad_tokens") === toks.length * l - kept)
+      assert(r.getAs[Long]("truncated_tokens") === toks.sum - kept)
+    }
+    // rounding is monotone, so the rounded curves inherit monotonicity:
+    // fill degrades and truncation recedes as L grows
+    val fills = rows.map(_.getAs[Double]("fill_frac"))
+    assert(fills.zip(fills.tail).forall { case (a, b) => a >= b },
+      s"fill_frac must be non-increasing in max_len: ${fills.toSeq}")
+    val truncs = rows.map(_.getAs[Double]("trunc_frac"))
+    assert(truncs.zip(truncs.tail).forall { case (a, b) => a >= b },
+      s"trunc_frac must be non-increasing in max_len: ${truncs.toSeq}")
+    // the grid straddles the trade-off on the fixture (else the sweep is vacuous)
+    assert(rows.head.getAs[Long]("truncated_tokens") > 0L)
+    assert(rows.last.getAs[Long]("pad_tokens") > 0L)
+  }
+
+  test("q137: estimated cardinality equals the actual join and fan-out stats recount") {
+    val r = graft.queries.Profiling.q137JoinCard(spark, sf).collect() match {
+      case Array(row) => row
+      case rows       => fail(s"expected exactly 1 row, got ${rows.length}")
+    }
+    val actual = Tables.orders(spark, sf).join(Tables.lineitem(spark, sf),
+      col("o_orderkey") === col("l_orderkey")).count()
+    assert(r.getAs[Long]("est_join_rows") === actual,
+      "the histogram estimate must be EXACT for an equi-join")
+    // fan-out diagnostics against an in-memory per-key recount
+    val lc = Tables.lineitem(spark, sf).groupBy(col("l_orderkey")).count()
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    val oc = Tables.orders(spark, sf).groupBy(col("o_orderkey")).count()
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    val products = lc.flatMap { case (k, c) => oc.get(k).map(_ * c) }
+    assert(r.getAs[Long]("max_key_fanout") === products.max)
+    assert(r.getAs[Long]("n_hot_keys") ===
+      lc.valuesIterator.count(_ >= graft.queries.Profiling.HotFanout).toLong)
+    assert(r.getAs[Long]("n_keys_left") === oc.size.toLong)
+    assert(r.getAs[Long]("n_keys_right") === lc.size.toLong)
+    assert(r.getAs[Long]("n_keys_matched") === lc.keySet.count(oc.contains).toLong)
+  }
 }

@@ -158,4 +158,35 @@ class LayoutSpec extends SparkTestBase {
     assert(Layout.bucketedLineitem(spark, sf).inputFiles.length === Layout.BucketCount,
       "rebuild lost the one-file-per-bucket discipline")
   }
+
+  test("q134: the compaction plan is the exact greedy re-chunking of every partition") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("source"), col("doc_id"), col("n_chars")).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("doc_id"), r.getAs[Long]("n_chars")))
+    // replay the concatenating compactor in memory: walk each partition in
+    // id order, bin = floor(exclusive running total / target)
+    val expect = docs.groupBy(_._1).iterator.flatMap { case (src, g) =>
+      var cum = 0L
+      g.sortBy(_._2).map { case (_, id, n) =>
+        val bin = cum / Layout.CompactTarget
+        cum += n
+        ((src, bin), (id, n))
+      }
+    }.toSeq.groupBy(_._1).map { case ((src, bin), xs) =>
+      val items = xs.map(_._2)
+      (src, bin, items.size.toLong, items.map(_._2).sum,
+        items.map(_._1).min, items.map(_._1).max)
+    }.toSet
+    val got = Layout.q134CompactionPlan(spark, sf).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("bin"),
+        r.getAs[Long]("n_inputs"), r.getAs[Long]("out_chars"),
+        r.getAs[Long]("first_doc"), r.getAs[Long]("last_doc"))).toSet
+    assert(got === expect)
+    // the fixture genuinely exercises coalescing: some partition plans
+    // multiple output files and some output file coalesces multiple inputs
+    assert(got.groupBy(_._1).exists(_._2.size > 1), "no source produced >1 bin")
+    assert(got.exists(_._3 > 1L), "no bin coalesced >1 input")
+    // conservation: compaction moves every char exactly once
+    assert(got.toSeq.map(_._4).sum === docs.map(_._3).sum)
+  }
 }

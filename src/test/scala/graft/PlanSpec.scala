@@ -411,4 +411,22 @@ class PlanSpec extends SparkTestBase {
       s"no dynamicpruningexpression in any scan's PartitionFilters — " +
         s"the fact side reads all partitions despite the dim filter:\n$p")
   }
+
+  test("q132/q135: running totals are segmented prefix sums, never a global sort") {
+    // Both queries need a cumulative sum over an ordered domain — the shape
+    // that tempts a global `SUM() OVER (ORDER BY …)`. Pin the scale-safe
+    // decomposition: partitioned windows only (the suite-wide guard already
+    // bans unpartitioned WindowExec), the cross-segment offsets as at most
+    // ONE bounded inequality join over an aggregate, and no Cartesian
+    // product anywhere.
+    for ((name, df) <- Seq(
+        "q132" -> graft.queries.Temporal.q132IntervalSweep(spark, sf),
+        "q135" -> graft.queries.Streaming.q135GapHistogram(spark, sf))) {
+      val p = plan(df)
+      assert(!p.contains("CartesianProduct"), s"$name plans a Cartesian product:\n$p")
+      val bnlj = p.split("BroadcastNestedLoopJoin").length - 1
+      assert(bnlj <= 2, // offset/cum inequality join + (q135) broadcast 1-row total
+        s"$name: expected bounded-domain nested loops only, got $bnlj:\n$p")
+    }
+  }
 }

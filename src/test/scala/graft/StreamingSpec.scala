@@ -322,4 +322,31 @@ class StreamingSpec extends SparkTestBase {
     assert(acc.size === batchRun.length)
     assert(acc.toSet === batchRun.toSet)
   }
+
+  test("q135: gap histogram matches an in-memory recount and cum_share closes at 1") {
+    val evs = Tables.events(spark, sf)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val bounds = Seq(60, 300, 900, 1800, 3600, 10800).map(_ * 1000000L)
+    val counts = new Array[Long](7)
+    evs.groupBy(_._1).values.foreach { g =>
+      val ts = g.sortBy(e => (e._2, e._3)).map(_._2)
+      ts.zip(ts.tail).foreach { case (a, b) =>
+        val gap = b - a
+        counts(bounds.indexWhere(gap < _) match { case -1 => 6; case i => i }) += 1
+      }
+    }
+    val rows = graft.queries.Streaming.q135GapHistogram(spark, sf).collect()
+    val total = counts.sum.toDouble
+    assert(rows.map(_.getAs[Int]("bucket")).toSeq === rows.map(_.getAs[Int]("bucket")).toSeq.sorted)
+    rows.foreach { r =>
+      val b = r.getAs[Int]("bucket")
+      assert(r.getAs[Long]("n_gaps") === counts(b), s"bucket $b count diverged")
+      val cumExpect = counts.take(b + 1).sum / total
+      assert(math.abs(r.getAs[Double]("cum_share") - cumExpect) < 1e-6)
+    }
+    assert(rows.map(_.getAs[Long]("n_gaps")).sum === counts.sum)
+    assert(math.abs(rows.last.getAs[Double]("cum_share") - 1.0) < 1e-6,
+      "the cumulative share must close at 1")
+  }
 }

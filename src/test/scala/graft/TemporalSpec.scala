@@ -215,4 +215,35 @@ class TemporalSpec extends SparkTestBase {
     val users = out.select("user_id").collect().map(_.getLong(0))
     assert(users.length === users.distinct.length)
   }
+
+  test("q132: concurrency at every change point equals the brute-force interval count") {
+    import org.apache.spark.sql.functions._
+    val out = Temporal.q132IntervalSweep(spark, sf).collect().map(r =>
+      (r.getAs[java.sql.Timestamp]("day").toInstant
+         .atZone(java.time.ZoneOffset.UTC).toLocalDate,
+       r.getAs[Long]("net"), r.getAs[Long]("open_orders")))
+    assert(out.nonEmpty)
+    // ground truth: per-order [orderdate, max shipdate] fulfillment intervals
+    val iv = Tables.lineitem(spark, sf).groupBy(col("l_orderkey"))
+      .agg(max(to_date(col("l_shipdate"))).as("e"))
+      .join(Tables.orders(spark, sf)
+          .select(col("o_orderkey"), to_date(col("o_orderdate")).as("s")),
+        col("l_orderkey") === col("o_orderkey"))
+      .collect()
+      .map { r =>
+        val s = r.getAs[java.sql.Date]("s").toLocalDate
+        val e = r.getAs[java.sql.Date]("e").toLocalDate
+        (s, if (e.isBefore(s)) s else e)
+      }
+    out.foreach { case (day, _, open) =>
+      val expect = iv.count { case (s, e) => !day.isBefore(s) && !day.isAfter(e) }
+      assert(open === expect.toLong, s"open-interval count diverged at $day")
+    }
+    // sweep conservation: every +1 has its −1, so the book closes at zero
+    assert(out.map(_._2).sum === 0L)
+    assert(out.last._3 === 0L, "the last change point must close all intervals")
+    // change points are emitted in strictly increasing day order
+    assert(out.map(_._1).sliding(2).forall {
+      case Array(a, b) => a.isBefore(b); case _ => true })
+  }
 }

@@ -437,4 +437,89 @@ object Profiling {
        | CAST(COALESCE(MAX(c_l * c_r), 0) AS BIGINT) AS max_key_fanout,
        | CAST(COALESCE(SUM(CASE WHEN c_r >= $HotFanout THEN 1 END), 0) AS BIGINT) AS n_hot_keys
        |FROM lh FULL OUTER JOIN rh ON lh.k = rh.k""".stripMargin
+
+  // ---------------------------------------------------------------- q138
+
+  /** q138: CHECK-constraint audit — q128's FK ledger extended to
+    * intra-row and cross-table VALUE rules: range checks, domain checks,
+    * sign checks, and the temporal sanity rule (a lineitem cannot ship
+    * before its order was placed). SQL CHECK semantics exactly: a row
+    * violates only when the predicate IS FALSE — a NULL operand makes
+    * the predicate unknown, which CHECK passes (so the audit can never
+    * inflate violation counts on sparse columns; NULL hygiene is q128's
+    * FK job and q133's n_null column).
+    *
+    * Scale shape: all same-table rules for a table share ONE scan — a
+    * single 1-row conditional aggregate computes every rule's counts,
+    * then a bounded explode unpivots the row into the per-constraint
+    * ledger (rules × 3 columns, never rules × scans). The one
+    * cross-table rule pays exactly one orderkey equi-join. Ledger format
+    * matches q128 so the two audits union into one governance report.
+    */
+  def q138CheckAudit(s: SparkSession, dir: String): DataFrame = {
+    def ledger(df: DataFrame, rules: Seq[(String, Column)]): DataFrame = {
+      val aggs = rules.flatMap { case (n, pred) => Seq(
+        count(lit(1)).as(s"${n}__checked"),
+        sum(when(pred <=> lit(false), 1L).otherwise(0L)).as(s"${n}__viol"))
+      }
+      df.agg(aggs.head, aggs.tail: _*)
+        .select(explode(array(rules.map { case (n, _) =>
+          struct(lit(n).as("constraint_name"),
+            col(s"${n}__checked").as("n_checked"),
+            col(s"${n}__viol").as("n_violations"))
+        }: _*)).as("r"))
+        .select(col("r.constraint_name"), col("r.n_checked"), col("r.n_violations"))
+    }
+    val li = ledger(lineitem(s, dir), Seq(
+      "chk_li_discount_range" -> col("l_discount").between(0, 1),
+      "chk_li_qty_positive"   -> (col("l_quantity") > 0),
+      "chk_li_tax_range"      -> col("l_tax").between(0, 1),
+      "chk_li_status_domain"  -> col("l_linestatus").isin("O", "F")))
+    val lo = ledger(
+      lineitem(s, dir).select(col("l_orderkey"), col("l_shipdate"))
+        .join(orders(s, dir).select(col("o_orderkey"), col("o_orderdate")),
+          col("l_orderkey") === col("o_orderkey")),
+      Seq("chk_li_ship_after_order" -> (col("l_shipdate") >= col("o_orderdate"))))
+    val o = ledger(orders(s, dir), Seq(
+      "chk_o_totalprice_positive" -> (col("o_totalprice") > 0),
+      "chk_o_status_domain"       -> col("o_orderstatus").isin("O", "F", "P")))
+    li.union(lo).union(o)
+      .withColumn("violation_rate",
+        round(col("n_violations").cast("double") / col("n_checked"), 6))
+      .orderBy(col("constraint_name"))
+  }
+
+  val q138Sql: String =
+    """WITH checks AS (
+      |  SELECT 'chk_li_discount_range' AS constraint_name,
+      |   CAST(count(*) AS BIGINT) AS n_checked,
+      |   CAST(SUM(CASE WHEN (l_discount BETWEEN 0 AND 1) IS FALSE THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+      |  FROM lineitem
+      |  UNION ALL
+      |  SELECT 'chk_li_qty_positive', CAST(count(*) AS BIGINT),
+      |   CAST(SUM(CASE WHEN (l_quantity > 0) IS FALSE THEN 1 ELSE 0 END) AS BIGINT)
+      |  FROM lineitem
+      |  UNION ALL
+      |  SELECT 'chk_li_tax_range', CAST(count(*) AS BIGINT),
+      |   CAST(SUM(CASE WHEN (l_tax BETWEEN 0 AND 1) IS FALSE THEN 1 ELSE 0 END) AS BIGINT)
+      |  FROM lineitem
+      |  UNION ALL
+      |  SELECT 'chk_li_status_domain', CAST(count(*) AS BIGINT),
+      |   CAST(SUM(CASE WHEN (l_linestatus IN ('O', 'F')) IS FALSE THEN 1 ELSE 0 END) AS BIGINT)
+      |  FROM lineitem
+      |  UNION ALL
+      |  SELECT 'chk_li_ship_after_order', CAST(count(*) AS BIGINT),
+      |   CAST(SUM(CASE WHEN (l.l_shipdate >= o.o_orderdate) IS FALSE THEN 1 ELSE 0 END) AS BIGINT)
+      |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |  UNION ALL
+      |  SELECT 'chk_o_totalprice_positive', CAST(count(*) AS BIGINT),
+      |   CAST(SUM(CASE WHEN (o_totalprice > 0) IS FALSE THEN 1 ELSE 0 END) AS BIGINT)
+      |  FROM orders
+      |  UNION ALL
+      |  SELECT 'chk_o_status_domain', CAST(count(*) AS BIGINT),
+      |   CAST(SUM(CASE WHEN (o_orderstatus IN ('O', 'F', 'P')) IS FALSE THEN 1 ELSE 0 END) AS BIGINT)
+      |  FROM orders)
+      |SELECT constraint_name, n_checked, n_violations,
+      | ROUND(CAST(n_violations AS DOUBLE) / n_checked, 6) AS violation_rate
+      |FROM checks ORDER BY constraint_name""".stripMargin
 }

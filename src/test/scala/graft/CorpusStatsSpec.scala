@@ -518,4 +518,72 @@ class CorpusStatsSpec extends SparkTestBase {
     // the report genuinely moves on the fixture
     assert(rows.exists(r => r._5.exists(_ != r._4)), "no rank movement — vacuous fixture")
   }
+
+  test("q139: U-shaped credit matches a journey replay and conserves one unit per closed journey") {
+    val evs = Tables.events(spark, sf)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"), col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    // replay: per user in (ts, event_id) order, a purchase closes the
+    // journey holding the touches accumulated since the previous purchase
+    val credit = collection.mutable.Map.empty[String, Double].withDefaultValue(0.0)
+    val touchesByType = collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    var closedJourneys = 0L
+    evs.groupBy(_._1).values.foreach { g =>
+      var pending = Vector.empty[String]
+      g.sortBy(e => (e._2, e._3)).foreach { case (_, _, _, tpe) =>
+        if (tpe == "purchase") {
+          val n = pending.length
+          if (n > 0) {
+            closedJourneys += 1
+            pending.zipWithIndex.foreach { case (t, i) =>
+              val w =
+                if (n == 1) 1.0
+                else if (i == 0 || i == n - 1) { if (n == 2) 0.5 else 0.4 }
+                else 0.2 / (n - 2)
+              credit(t) += w
+              }
+            pending.foreach(t => touchesByType(t) += 1)
+          }
+          pending = Vector.empty
+        } else pending :+= tpe
+      }
+    }
+    val rows = Analytics.q139MultiTouch(spark, sf).collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("n_touches"),
+        r.getAs[Double]("total_credit")))
+    assert(rows.map(_._1).toSet === credit.keySet)
+    rows.foreach { case (tpe, n, c) =>
+      assert(n === touchesByType(tpe), s"$tpe touch count diverged")
+      assert(math.abs(c - credit(tpe)) < 1e-5, s"$tpe credit diverged: $c vs ${credit(tpe)}")
+    }
+    // conservation: each closed journey hands out exactly one unit of credit
+    assert(math.abs(rows.map(_._3).sum - closedJourneys.toDouble) < 1e-4,
+      s"total credit ${rows.map(_._3).sum} != closed journeys $closedJourneys")
+    assert(closedJourneys > 0, "no closed journeys — vacuous fixture")
+  }
+
+  test("q140: rolling 7-day actives match a brute-force window recount") {
+    val ud = Tables.events(spark, sf)
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct().collect()
+      .map(r => (r.getLong(0), r.getAs[java.sql.Date](1).toLocalDate))
+    val byDay = ud.groupBy(_._2)
+    val rows = Analytics.q140RollingActives(spark, sf).collect()
+    assert(rows.map(_.getAs[java.sql.Timestamp]("day").toInstant
+      .atZone(java.time.ZoneOffset.UTC).toLocalDate).toSet === byDay.keySet,
+      "output days must be exactly the days with events")
+    rows.foreach { r =>
+      val day = r.getAs[java.sql.Timestamp]("day").toInstant
+        .atZone(java.time.ZoneOffset.UTC).toLocalDate
+      val dau = byDay(day).map(_._1).distinct.length
+      val wau = ud.filter { case (_, d) =>
+        !d.isAfter(day) && !d.isBefore(day.minusDays(6))
+      }.map(_._1).distinct.length
+      assert(r.getAs[Long]("dau") === dau.toLong, s"dau diverged on $day")
+      assert(r.getAs[Long]("wau7") === wau.toLong, s"wau7 diverged on $day")
+      assert(r.getAs[Long]("wau7") >= r.getAs[Long]("dau"))
+    }
+    // the window genuinely widens somewhere (else the 7-day union is vacuous)
+    assert(rows.exists(r => r.getAs[Long]("wau7") > r.getAs[Long]("dau")))
+  }
 }

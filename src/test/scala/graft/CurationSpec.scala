@@ -373,6 +373,39 @@ class CurationSpec extends SparkTestBase {
       ("fk_orders_customer", 3L, 1L)))
   }
 
+  test("q138: seeded violations are counted and a NULL operand passes CHECK") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_chk").toString
+    // row 2 violates qty/discount/status AND ships before its order;
+    // row 3 has a NULL l_tax — SQL CHECK semantics must NOT count it
+    Seq(
+      (1L, 5.0, 0.05, Option(0.02), "O", "2024-01-10 00:00:00"),
+      (1L, -1.0, 1.5, Option(0.02), "X", "2024-01-01 00:00:00"),
+      (2L, 3.0, 0.0, None: Option[Double], "F", "2024-02-01 00:00:00"))
+      .toDF("l_orderkey", "l_quantity", "l_discount", "l_tax", "l_linestatus", "ship_s")
+      .withColumn("l_shipdate", org.apache.spark.sql.functions.to_timestamp(col("ship_s")))
+      .drop("ship_s")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    Seq(
+      (1L, "2024-01-05 00:00:00", 100.0, "O"),
+      (2L, "2024-01-20 00:00:00", -50.0, "Z"))
+      .toDF("o_orderkey", "date_s", "o_totalprice", "o_orderstatus")
+      .withColumn("o_orderdate", org.apache.spark.sql.functions.to_timestamp(col("date_s")))
+      .drop("date_s")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val got = graft.queries.Profiling.q138CheckAudit(spark, dir).collect()
+      .map(r => (r.getAs[String]("constraint_name"), r.getAs[Long]("n_checked"),
+        r.getAs[Long]("n_violations")))
+    assert(got.toSeq === Seq(
+      ("chk_li_discount_range", 3L, 1L),
+      ("chk_li_qty_positive", 3L, 1L),
+      ("chk_li_ship_after_order", 3L, 1L),
+      ("chk_li_status_domain", 3L, 1L),
+      ("chk_li_tax_range", 3L, 0L),       // NULL operand → CHECK passes
+      ("chk_o_status_domain", 2L, 1L),
+      ("chk_o_totalprice_positive", 2L, 1L)))
+  }
+
   test("q133: the ANALYZE ledger matches a direct per-column recount") {
     val out = graft.queries.Profiling.q133AnalyzeStats(spark, sf).collect()
       .map(r => r.getAs[String]("col_name") -> r).toMap

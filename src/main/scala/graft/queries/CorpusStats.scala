@@ -874,4 +874,50 @@ object CorpusStats {
        |FROM pc
        |ORDER BY pair_count DESC, left_sym, right_sym
        |LIMIT $BpeCandidates""".stripMargin
+
+  // ---------------------------------------------------------------- q143
+
+  /** Feature-hash bucket count for q143 (a 2^8 hash space — small enough
+    * that the fixture vocabulary genuinely collides, the condition the
+    * audit exists to measure).
+    */
+  val HashFeatBuckets: Int = 256
+
+  /** q143: FEATURE-HASHING collision audit — before committing to the
+    * hashing trick (categoricals → fixed B-bucket vectors, no vocabulary
+    * kept), measure what it destroys: per bucket, how many distinct
+    * features land there (collisions conflate their statistics) and how
+    * much occurrence mass rides the bucket (a collision on two heavy
+    * features hurts more than on two rare ones). The hash is the
+    * engine's md5-derived [[graft.functions.TextFns.hash32]] — already
+    * oracle-parity-tested by the MinHash family — mod B.
+    *
+    * Scale shape: vocabulary extraction is the only corpus-sized stage
+    * (explode + word-keyed hash aggregate, map-side combined — q51's
+    * shape); the audit itself aggregates the VOCABULARY frame down to B
+    * rows. No joins, no windows.
+    */
+  def q143FeatureHash(s: SparkSession, dir: String): DataFrame = {
+    val vocab = documents(s, dir)
+      .select(explode(words(col("text"))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+    vocab
+      .select((hash32(col("word")) % HashFeatBuckets).as("bucket"), col("cnt"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_features"), sum(col("cnt")).as("n_occurrences"))
+      .withColumn("collided", col("n_features") > 1)
+      .orderBy(col("bucket"))
+  }
+
+  val q143Sql: String =
+    s"""WITH w AS (
+       |  SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
+       |  FROM documents),
+       |v AS (SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM w GROUP BY 1)
+       |SELECT CAST(CAST(concat('0x', substr(md5(word), 1, 8)) AS BIGINT)
+       |         % $HashFeatBuckets AS BIGINT) AS bucket,
+       | CAST(count(*) AS BIGINT) AS n_features,
+       | CAST(SUM(cnt) AS BIGINT) AS n_occurrences,
+       | count(*) > 1 AS collided
+       |FROM v GROUP BY 1 ORDER BY 1""".stripMargin
 }

@@ -522,4 +522,64 @@ object Profiling {
       |SELECT constraint_name, n_checked, n_violations,
       | ROUND(CAST(n_violations AS DOUBLE) / n_checked, 6) AS violation_rate
       |FROM checks ORDER BY constraint_name""".stripMargin
+
+  // ---------------------------------------------------------------- q141
+
+  /** Winsorization clip quantiles (lower, upper tail). */
+  val WinsorLo: Double = 0.01
+  val WinsorHi: Double = 0.99
+
+  /** q141: per-group WINSORIZATION — clip each status group's order
+    * totals to its own [p01, p99] and report the clip bounds, clipped-row
+    * counts, and before/after moments. The standard outlier treatment
+    * before q88-style calibration or z-scoring: clipping (unlike
+    * dropping) keeps row counts — and therefore joins and shares —
+    * stable, while bounding the influence of tail values on means and
+    * variances.
+    *
+    * Scale shape: the canonical TWO-PASS clip. Pass 1 reduces each group
+    * to its two quantiles (per-group exact percentile — groups are few;
+    * q55's sketch is the drop-in for huge groups). The bounds frame is
+    * group-domain-sized, so it BROADCASTS back onto the second scan —
+    * clipping is then map-side arithmetic feeding one hash aggregate.
+    * Nothing row-sized crosses the wire except the original scan's
+    * partials.
+    */
+  def q141Winsorize(s: SparkSession, dir: String): DataFrame = {
+    val o = orders(s, dir).select(col("o_orderstatus"), col("o_totalprice"))
+    val bounds = o.groupBy(col("o_orderstatus").as("b_status"))
+      .agg(expr(s"percentile(o_totalprice, ${WinsorLo}D)").as("lo"),
+        expr(s"percentile(o_totalprice, ${WinsorHi}D)").as("hi"))
+    o.join(broadcast(bounds), col("o_orderstatus") === col("b_status"))
+      .withColumn("w", least(greatest(col("o_totalprice"), col("lo")), col("hi")))
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(when(col("o_totalprice") < col("lo"), 1L).otherwise(0L)).as("n_clipped_lo"),
+        sum(when(col("o_totalprice") > col("hi"), 1L).otherwise(0L)).as("n_clipped_hi"),
+        round(min(col("lo")), 6).as("lo"),  // constant within the group
+        round(min(col("hi")), 6).as("hi"),
+        round(avg(col("o_totalprice")), 4).as("mean_raw"),
+        round(avg(col("w")), 4).as("mean_wins"),
+        round(stddev_samp(col("o_totalprice")), 4).as("sd_raw"),
+        round(stddev_samp(col("w")), 4).as("sd_wins"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  val q141Sql: String =
+    s"""WITH b AS (
+       |  SELECT o_orderstatus AS b_status,
+       |   quantile_cont(o_totalprice, $WinsorLo) AS lo,
+       |   quantile_cont(o_totalprice, $WinsorHi) AS hi
+       |  FROM orders GROUP BY 1)
+       |SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders,
+       | CAST(SUM(CASE WHEN o_totalprice < lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_lo,
+       | CAST(SUM(CASE WHEN o_totalprice > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_hi,
+       | ROUND(min(lo), 6) AS lo, ROUND(min(hi), 6) AS hi,
+       | ROUND(avg(o_totalprice), 4) AS mean_raw,
+       | ROUND(avg(LEAST(GREATEST(o_totalprice, lo), hi)), 4) AS mean_wins,
+       | ROUND(stddev_samp(o_totalprice), 4) AS sd_raw,
+       | ROUND(stddev_samp(LEAST(GREATEST(o_totalprice, lo), hi)), 4) AS sd_wins
+       |FROM orders JOIN b ON o_orderstatus = b_status
+       |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 }

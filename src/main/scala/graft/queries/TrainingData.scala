@@ -925,4 +925,64 @@ object TrainingData {
        |FROM sp CROSS JOIN lk
        |GROUP BY split, comp_leaked_pairs, naive_leaked_pairs
        |ORDER BY split""".stripMargin
+
+  // ---------------------------------------------------------------- q142
+
+  /** Temporal split cutoff (train ≤ cutoff) and embargo width. Events
+    * span 2024-01-01..30 at every sf, so the cutoff leaves a real test
+    * tail.
+    */
+  val SplitCutoff: String = "2024-01-22 00:00:00"
+  val EmbargoDays: Int = 2
+
+  /** q142: TEMPORAL train/test split with an EMBARGO gap — the third
+    * member of the split family (q48 hashes rows, q105 splits by
+    * near-dup component; this one splits by TIME). Backtest-honest
+    * evaluation on sequential data requires train strictly before test,
+    * and an embargo band after the cutoff that belongs to NEITHER side:
+    * rows there share lookback windows with the train boundary (a lagged
+    * feature computed at cutoff+1h reads train-era events), so keeping
+    * them in test leaks and keeping them in train moves the boundary.
+    * The report is the split ledger: per side, row/user counts, the
+    * actual time extent (an audit that the boundaries hold), and the
+    * corpus share.
+    *
+    * Scale shape: assignment is a map-side CASE on the timestamp — no
+    * shuffle at all until the 3-group ledger aggregate; the share
+    * denominator rides q73's broadcast 1-row total. On a date-partitioned
+    * layout (q103) the two kept sides prune to their directories at scan
+    * time.
+    */
+  def q142TemporalSplit(s: SparkSession, dir: String): DataFrame = {
+    val cut = lit(SplitCutoff).cast("timestamp")
+    val embargoEnd = expr(s"TIMESTAMP '$SplitCutoff' + INTERVAL $EmbargoDays DAYS")
+    val assigned = events(s, dir).select(
+      when(col("ts") <= cut, "train")
+        .when(col("ts") <= embargoEnd, "embargo_dropped")
+        .otherwise("test").as("split"),
+      col("user_id"), col("ts"))
+    val ledger = assigned.groupBy(col("split"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        unix_micros(min(col("ts"))).as("first_us"),
+        unix_micros(max(col("ts"))).as("last_us"))
+    val total = assigned.agg(count(lit(1)).as("total"))
+    ledger.crossJoin(broadcast(total))
+      .withColumn("share", round(col("n_events").cast("double") / col("total"), 6))
+      .drop("total")
+      .orderBy(col("split"))
+  }
+
+  val q142Sql: String =
+    s"""WITH a AS (
+       |  SELECT CASE WHEN ts <= TIMESTAMP '$SplitCutoff' THEN 'train'
+       |    WHEN ts <= TIMESTAMP '$SplitCutoff' + INTERVAL $EmbargoDays DAYS
+       |      THEN 'embargo_dropped'
+       |    ELSE 'test' END AS split, user_id, ts
+       |  FROM events)
+       |SELECT split, CAST(count(*) AS BIGINT) AS n_events,
+       | CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       | epoch_us(min(ts)) AS first_us, epoch_us(max(ts)) AS last_us,
+       | ROUND(CAST(count(*) AS DOUBLE) / (SELECT count(*) FROM events), 6) AS share
+       |FROM a GROUP BY split ORDER BY split""".stripMargin
 }

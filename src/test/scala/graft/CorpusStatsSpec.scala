@@ -563,6 +563,31 @@ class CorpusStatsSpec extends SparkTestBase {
     assert(closedJourneys > 0, "no closed journeys — vacuous fixture")
   }
 
+  test("q143: hash buckets match an md5 replay and conserve the occurrence mass") {
+    val words = Tables.documents(spark, sf).select(col("text")).collect()
+      .flatMap(_.getString(0).trim.split("\\s+"))
+    val vocab = words.groupBy(identity).map { case (w, g) => w -> g.length.toLong }
+    def bucket(w: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(w.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(8), 16) % CorpusStats.HashFeatBuckets
+    }
+    val expect = vocab.toSeq.groupBy { case (w, _) => bucket(w) }
+      .map { case (b, g) => (b, g.length.toLong, g.map(_._2).sum) }.toSet
+    val rows = CorpusStats.q143FeatureHash(spark, sf).collect()
+    val got = rows.map(r => (r.getAs[Long]("bucket"), r.getAs[Long]("n_features"),
+      r.getAs[Long]("n_occurrences"))).toSet
+    assert(got === expect)
+    rows.foreach(r =>
+      assert(r.getAs[Boolean]("collided") === (r.getAs[Long]("n_features") > 1L)))
+    // conservation: every vocabulary entry and every occurrence lands in
+    // exactly one bucket
+    assert(rows.map(_.getAs[Long]("n_features")).sum === vocab.size.toLong)
+    assert(rows.map(_.getAs[Long]("n_occurrences")).sum === words.length.toLong)
+    // the audit's reason to exist: the 256-bucket space genuinely collides
+    assert(rows.exists(_.getAs[Boolean]("collided")), "no collisions — vacuous fixture")
+  }
+
   test("q140: rolling 7-day actives match a brute-force window recount") {
     val ud = Tables.events(spark, sf)
       .select(col("user_id"), to_date(col("ts")).as("day")).distinct().collect()

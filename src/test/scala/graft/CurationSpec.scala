@@ -373,6 +373,46 @@ class CurationSpec extends SparkTestBase {
       ("fk_orders_customer", 3L, 1L)))
   }
 
+  test("q141: winsorization matches an interpolated-percentile replay and contracts variance") {
+    val byStatus = Tables.orders(spark, sf)
+      .select(col("o_orderstatus"), col("o_totalprice")).collect()
+      .map(r => (r.getString(0), r.getDouble(1))).groupBy(_._1)
+    // Spark `percentile`'s linear interpolation at rank q·(n−1)
+    def pct(sorted: Array[Double], q: Double): Double = {
+      val pos = q * (sorted.length - 1)
+      val i = pos.toInt
+      val frac = pos - i
+      if (i + 1 < sorted.length) sorted(i) * (1 - frac) + sorted(i + 1) * frac
+      else sorted(i)
+    }
+    val rows = graft.queries.Profiling.q141Winsorize(spark, sf).collect()
+    assert(rows.map(_.getString(0)).toSet === byStatus.keySet)
+    rows.foreach { r =>
+      val vs = byStatus(r.getString(0)).map(_._2).sorted
+      val (lo, hi) = (pct(vs, graft.queries.Profiling.WinsorLo),
+        pct(vs, graft.queries.Profiling.WinsorHi))
+      assert(math.abs(r.getAs[Double]("lo") - lo) < 1e-4)
+      assert(math.abs(r.getAs[Double]("hi") - hi) < 1e-4)
+      assert(r.getAs[Long]("n_clipped_lo") === vs.count(_ < lo).toLong)
+      assert(r.getAs[Long]("n_clipped_hi") === vs.count(_ > hi).toLong)
+      val w = vs.map(v => math.min(math.max(v, lo), hi))
+      def mean(a: Array[Double]) = a.sum / a.length
+      def sd(a: Array[Double]) = {
+        val m = mean(a); math.sqrt(a.map(x => (x - m) * (x - m)).sum / (a.length - 1))
+      }
+      assert(math.abs(r.getAs[Double]("mean_wins") - mean(w)) < 1e-2)
+      assert(math.abs(r.getAs[Double]("sd_wins") - sd(w)) < 1e-2)
+      // clipping is a contraction: pairwise distances shrink, so sample
+      // variance can only go down; the clipped mean stays inside [lo, hi]
+      assert(r.getAs[Double]("sd_wins") <= r.getAs[Double]("sd_raw"))
+      assert(r.getAs[Double]("mean_wins") >= r.getAs[Double]("lo") - 1e-9 &&
+        r.getAs[Double]("mean_wins") <= r.getAs[Double]("hi") + 1e-9)
+    }
+    // the clip genuinely fires somewhere on the fixture
+    assert(rows.exists(r =>
+      r.getAs[Long]("n_clipped_lo") + r.getAs[Long]("n_clipped_hi") > 0L))
+  }
+
   test("q138: seeded violations are counted and a NULL operand passes CHECK") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_chk").toString

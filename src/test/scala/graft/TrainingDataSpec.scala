@@ -194,4 +194,39 @@ class TrainingDataSpec extends SparkTestBase {
     assert(dropped <= q60n,
       s"funnel drops $dropped as contaminated but q60 only flags $q60n")
   }
+
+  test("q142: split boundaries hold, the embargo isolates the cutoff, and the ledger conserves") {
+    val rows = TrainingData.q142TemporalSplit(spark, sf).collect()
+      .map(r => r.getAs[String]("split") ->
+        (r.getAs[Long]("n_events"), r.getAs[Long]("n_users"),
+         r.getAs[Long]("first_us"), r.getAs[Long]("last_us"),
+         r.getAs[Double]("share"))).toMap
+    assert(rows.keySet === Set("train", "embargo_dropped", "test"),
+      "all three sides must be populated on the fixture")
+    val evs = Tables.events(spark, sf)
+      .select(col("user_id"), unix_micros(col("ts")).as("us")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val fmt = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")
+    val cutUs = java.time.LocalDateTime.parse(TrainingData.SplitCutoff, fmt)
+      .toInstant(java.time.ZoneOffset.UTC).toEpochMilli * 1000L
+    val embUs = cutUs + TrainingData.EmbargoDays * 86400L * 1000000L
+    def side(us: Long) =
+      if (us <= cutUs) "train" else if (us <= embUs) "embargo_dropped" else "test"
+    // exact per-side recount
+    val expect = evs.groupBy(e => side(e._2)).map { case (k, g) =>
+      k -> (g.length.toLong, g.map(_._1).distinct.length.toLong,
+        g.map(_._2).min, g.map(_._2).max)
+    }
+    expect.foreach { case (k, (n, u, lo, hi)) =>
+      val (gn, gu, glo, ghi, _) = rows(k)
+      assert((gn, gu, glo, ghi) === ((n, u, lo, hi)), s"side $k ledger diverged")
+    }
+    // boundary audit: train never crosses the cutoff, test never enters the embargo
+    assert(rows("train")._4 <= cutUs)
+    assert(rows("embargo_dropped")._3 > cutUs && rows("embargo_dropped")._4 <= embUs)
+    assert(rows("test")._3 > embUs)
+    // conservation
+    assert(rows.values.map(_._1).sum === evs.length.toLong)
+    assert(math.abs(rows.values.map(_._5).sum - 1.0) < 1e-5)
+  }
 }

@@ -582,4 +582,75 @@ object Profiling {
        | ROUND(stddev_samp(LEAST(GREATEST(o_totalprice, lo), hi)), 4) AS sd_wins
        |FROM orders JOIN b ON o_orderstatus = b_status
        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
+  // ---------------------------------------------------------------- q144
+
+  /** Deterministic stand-in for an erasure-request batch: every customer
+    * whose key is divisible by this. (A real deployment feeds an explicit
+    * id list; the modulus keeps the fixture reproducible.)
+    */
+  val EraseMod: Int = 37
+
+  /** q144: ERASURE cascade plan — the right-to-be-forgotten dry run.
+    * Given a batch of subject ids, report — per table, BEFORE deleting
+    * anything — how many rows the erasure touches and through which
+    * cascade edge they are reached: `customer` and `events` directly by
+    * subject key (depth 1), `orders` through o_custkey (depth 1),
+    * `lineitem` only transitively through the victim orders' keys
+    * (depth 2 — the edge q128 audits as fk_lineitem_orders). A
+    * compliance team signs off on this ledger; the delete job then
+    * executes it table by table in reverse-depth order.
+    *
+    * Scale shape: the victim set is subject-domain-sized and BROADCASTS
+    * into every depth-1 probe; the depth-2 probe equi-joins lineitem
+    * against the victim ORDER keys (orders-of-victims-sized — AQE picks
+    * broadcast when it fits, shuffle join when a huge batch doesn't).
+    * Each table contributes one conditional-aggregate row; the ledger
+    * assembles via q77's explode-of-structs over crossJoined 1-row
+    * frames. Nothing row-sized reaches the driver.
+    */
+  def q144ErasurePlan(s: SparkSession, dir: String): DataFrame = {
+    val victims = customer(s, dir)
+      .filter(col("c_custkey") % EraseMod === 0)
+      .select(col("c_custkey").as("uid"))
+    val cust = victims.agg(count(lit(1)).as("c_n"))
+    val ev = events(s, dir).join(broadcast(victims), col("user_id") === col("uid"))
+      .agg(count(lit(1)).as("e_n"), countDistinct(col("user_id")).as("e_k"))
+    val vOrders = orders(s, dir).join(broadcast(victims), col("o_custkey") === col("uid"))
+    val ord = vOrders.agg(count(lit(1)).as("o_n"), countDistinct(col("o_custkey")).as("o_k"))
+    val li = lineitem(s, dir)
+      .join(vOrders.select(col("o_orderkey")).distinct(),
+        col("l_orderkey") === col("o_orderkey"))
+      .agg(count(lit(1)).as("l_n"), countDistinct(col("l_orderkey")).as("l_k"))
+    cust.crossJoin(broadcast(ev)).crossJoin(broadcast(ord)).crossJoin(broadcast(li))
+      .select(explode(array(
+        struct(lit("customer").as("table_name"), lit(1).as("cascade_depth"),
+          col("c_n").as("n_rows"), col("c_n").as("n_keys")),
+        struct(lit("events").as("table_name"), lit(1).as("cascade_depth"),
+          col("e_n").as("n_rows"), col("e_k").as("n_keys")),
+        struct(lit("lineitem").as("table_name"), lit(2).as("cascade_depth"),
+          col("l_n").as("n_rows"), col("l_k").as("n_keys")),
+        struct(lit("orders").as("table_name"), lit(1).as("cascade_depth"),
+          col("o_n").as("n_rows"), col("o_k").as("n_keys")))).as("r"))
+      .select(col("r.table_name"), col("r.cascade_depth"),
+        col("r.n_rows"), col("r.n_keys"))
+      .orderBy(col("table_name"))
+  }
+
+  val q144Sql: String =
+    s"""WITH v AS (SELECT c_custkey AS uid FROM customer WHERE c_custkey % $EraseMod = 0),
+       |e AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(count(DISTINCT user_id) AS BIGINT) AS k
+       |      FROM events JOIN v ON user_id = uid),
+       |c AS (SELECT CAST(count(*) AS BIGINT) AS n FROM v),
+       |o AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(count(DISTINCT o_custkey) AS BIGINT) AS k
+       |      FROM orders JOIN v ON o_custkey = uid),
+       |oi AS (SELECT DISTINCT o_orderkey FROM orders JOIN v ON o_custkey = uid),
+       |l AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(count(DISTINCT l_orderkey) AS BIGINT) AS k
+       |      FROM lineitem JOIN oi ON l_orderkey = o_orderkey)
+       |SELECT * FROM (
+       |  SELECT 'customer' AS table_name, 1 AS cascade_depth, c.n AS n_rows, c.n AS n_keys FROM c
+       |  UNION ALL SELECT 'events', 1, e.n, e.k FROM e
+       |  UNION ALL SELECT 'lineitem', 2, l.n, l.k FROM l
+       |  UNION ALL SELECT 'orders', 1, o.n, o.k FROM o)
+       |ORDER BY table_name""".stripMargin
 }

@@ -563,6 +563,25 @@ class CorpusStatsSpec extends SparkTestBase {
     assert(closedJourneys > 0, "no closed journeys — vacuous fixture")
   }
 
+  test("q145: latency cohorts are exactly q77's converters and quantiles are ordered") {
+    val lat = Analytics.q145FunnelLatency(spark, sf).collect()
+      .map(r => r.getAs[String]("transition") ->
+        (r.getAs[Long]("n_users"), r.getAs[Double]("p50_s"),
+         r.getAs[Double]("p90_s"), r.getAs[Double]("max_s"))).toMap
+    val funnel = Analytics.q77EventFunnel(spark, sf).collect()
+      .map(r => r.getAs[Int]("step") -> r.getAs[Long]("n_users")).toMap
+    val steps = Analytics.FunnelSteps
+    // same step semantics ⇒ the latency cohort sizes ARE the funnel counts
+    assert(lat(s"${steps(0)}_to_${steps(1)}")._1 === funnel(2))
+    assert(lat(s"${steps(1)}_to_${steps(2)}")._1 === funnel(3))
+    lat.values.foreach { case (n, p50, p90, mx) =>
+      assert(n > 0)
+      // strictly-after step semantics ⇒ every latency is positive, and the
+      // quantile ladder is ordered
+      assert(p50 > 0 && p50 <= p90 && p90 <= mx)
+    }
+  }
+
   test("q143: hash buckets match an md5 replay and conserve the occurrence mass") {
     val words = Tables.documents(spark, sf).select(col("text")).collect()
       .flatMap(_.getString(0).trim.split("\\s+"))

@@ -373,6 +373,28 @@ class CurationSpec extends SparkTestBase {
       ("fk_orders_customer", 3L, 1L)))
   }
 
+  test("q144: the erasure ledger matches a manual cascade walk, including depth 2") {
+    val uids = Tables.customer(spark, sf).select(col("c_custkey")).collect()
+      .map(_.getLong(0)).filter(_ % graft.queries.Profiling.EraseMod == 0).toSet
+    assert(uids.nonEmpty, "no erasure victims — vacuous fixture")
+    val evU = Tables.events(spark, sf).select(col("user_id")).collect().map(_.getLong(0))
+      .filter(uids)
+    val ordRows = Tables.orders(spark, sf).select(col("o_orderkey"), col("o_custkey"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).filter(o => uids(o._2))
+    val victimOrderKeys = ordRows.map(_._1).toSet
+    val liKeys = Tables.lineitem(spark, sf).select(col("l_orderkey")).collect()
+      .map(_.getLong(0)).filter(victimOrderKeys)
+    val got = graft.queries.Profiling.q144ErasurePlan(spark, sf).collect()
+      .map(r => r.getAs[String]("table_name") ->
+        (r.getAs[Int]("cascade_depth"), r.getAs[Long]("n_rows"), r.getAs[Long]("n_keys"))).toMap
+    assert(got("customer") === ((1, uids.size.toLong, uids.size.toLong)))
+    assert(got("events") === ((1, evU.length.toLong, evU.distinct.length.toLong)))
+    assert(got("orders") === ((1, ordRows.length.toLong, ordRows.map(_._2).distinct.length.toLong)))
+    assert(got("lineitem") === ((2, liKeys.length.toLong, liKeys.distinct.length.toLong)))
+    // the depth-2 edge genuinely fires: victim orders drag lineitems along
+    assert(liKeys.nonEmpty, "no transitive lineitem rows — the cascade is vacuous")
+  }
+
   test("q141: winsorization matches an interpolated-percentile replay and contracts variance") {
     val byStatus = Tables.orders(spark, sf)
       .select(col("o_orderstatus"), col("o_totalprice")).collect()

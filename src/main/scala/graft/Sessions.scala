@@ -48,6 +48,12 @@ object Sessions {
             require(children.length == 2, "dot_fold takes exactly 2 arguments")
             DotFold(children.head, children(1))
           }))
+        // Optimizer rule: the idiomatic HOF dot product
+        // aggregate(zip_with(a,b,(x,y)->x*y), 0.0D, (acc,v)->acc+v)
+        // rewrites to the codegen'd DotFold — same fold, same NULL
+        // semantics, interpreted-lambda cost removed (see
+        // graft.plans.RewriteHofDotProduct for the exact-match contract).
+        ext.injectOptimizerRule(_ => graft.plans.RewriteHofDotProduct)
       }
 
   /** Session for the harness mains: `local[$SPARK_GRAFT_CPUS]`. */

@@ -781,4 +781,98 @@ object Curation {
        | ROUND(CAST(SUM(GREATEST(n_tok - max_len, 0)) AS DOUBLE) / SUM(n_tok), 6) AS trunc_frac
        |FROM t CROSS JOIN l GROUP BY max_len ORDER BY max_len""".stripMargin
   }
+
+  // ---------------------------------------------------------------- q147
+
+  /** Epsilon floor for empty-bin shares in q147's PSI (the standard
+    * guard: ln(p/q) must stay finite when a bin empties out).
+    */
+  val PsiEps: Double = 1e-6
+
+  /** q147: POPULATION STABILITY INDEX — the model-monitoring drift
+    * metric for a NUMERIC feature, complementing q99's categorical share
+    * drift. The reference period (events at or before
+    * [[Temporal.DiffCutoff]]) defines decile bins from its own exact
+    * percentiles; both periods then histogram into those FIXED bins, and
+    * each bin contributes (p−q)·ln(p/q) — the familiar thresholds read
+    * the total: <0.1 stable, 0.1–0.25 drifting, >0.25 shifted. Binning
+    * by the reference's quantiles (not fixed widths) is what makes PSI
+    * scale-free and is exactly the part a naive histogram diff gets
+    * wrong.
+    *
+    * Scale shape: one 1-row percentile aggregate over the reference
+    * (q38's per-group exact percentile; q55's sketch for huge data)
+    * BROADCASTS into a single map-side bin assignment over ONE events
+    * scan (bin = 1 + Σ indicator(value > p_i) — branch-free, codegen);
+    * a (side, bin) hash aggregate reduces to ≤20 rows, checkpointed so
+    * the share/total consumers below re-aggregate a 20-row frame, never
+    * the scan. Bin-boundary comparisons are cross-engine safe: any
+    * interpolated decile lies within its two adjacent sorted data
+    * values, so last-ulp formula differences can never flip a `value >
+    * boundary` outcome.
+    */
+  def q147PsiDrift(s: SparkSession, dir: String): DataFrame = {
+    val cut = lit(Temporal.DiffCutoff).cast("timestamp")
+    val ev = events(s, dir).select(col("ts"), col("value"))
+    val pctAggs = (1 to 9).map(i => expr(s"percentile(value, 0.${i}D)").as(s"p$i"))
+    val bounds = ev.filter(col("ts") <= cut).agg(pctAggs.head, pctAggs.tail: _*)
+    val binExpr = (1 to 9).map(i =>
+      when(col("value") > col(s"p$i"), 1).otherwise(0)).reduce(_ + _) + lit(1)
+    val counts = ev
+      .select(when(col("ts") <= cut, "ref").otherwise("cur").as("side"), col("value"))
+      .crossJoin(broadcast(bounds))
+      .select(col("side"), binExpr.as("bin"))
+      .groupBy(col("side"), col("bin")).agg(count(lit(1)).as("n"))
+      .localCheckpoint(true) // ≤20 rows; 3 consumers below re-aggregate it
+    val totals = counts.groupBy(col("side")).agg(sum(col("n")).as("t"))
+      .groupBy().pivot("side", Seq("ref", "cur")).agg(first(col("t")))
+      .select(col("ref").as("t_ref"), col("cur").as("t_cur"))
+    val refC = counts.filter(col("side") === "ref")
+      .select(col("bin"), col("n").as("n_ref"))
+    val curC = counts.filter(col("side") === "cur")
+      .select(col("bin").as("c_bin"), col("n").as("n_cur"))
+    val p = greatest(coalesce(col("n_ref"), lit(0L)).cast("double") / col("t_ref"), lit(PsiEps))
+    val q = greatest(coalesce(col("n_cur"), lit(0L)).cast("double") / col("t_cur"), lit(PsiEps))
+    refC.join(curC, col("bin") === col("c_bin"), "full_outer")
+      .crossJoin(broadcast(totals))
+      .select(
+        coalesce(col("bin"), col("c_bin")).as("bin"),
+        coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"),
+        round(p, 6).as("ref_share"),
+        round(q, 6).as("cur_share"),
+        round((p - q) * log(p / q), 6).as("psi_contrib"))
+      .orderBy(col("bin"))
+  }
+
+  val q147Sql: String = {
+    val cut = s"TIMESTAMP '${Temporal.DiffCutoff}'"
+    val quantiles = (1 to 9).map(i => s"quantile_cont(value, 0.$i) AS p$i").mkString(", ")
+    val binSql = (1 to 9).map(i => s"(CASE WHEN value > p$i THEN 1 ELSE 0 END)")
+      .mkString("1 + ", " + ", "")
+    s"""WITH b AS (SELECT $quantiles FROM events WHERE ts <= $cut),
+       |binned AS (
+       |  SELECT CASE WHEN ts <= $cut THEN 'ref' ELSE 'cur' END AS side,
+       |   $binSql AS bin
+       |  FROM events CROSS JOIN b),
+       |c AS (SELECT side, CAST(bin AS INT) AS bin, CAST(count(*) AS BIGINT) AS n
+       |      FROM binned GROUP BY 1, 2),
+       |tt AS (SELECT
+       |  (SELECT CAST(count(*) AS BIGINT) FROM events WHERE ts <= $cut) AS t_ref,
+       |  (SELECT CAST(count(*) AS BIGINT) FROM events WHERE ts > $cut) AS t_cur),
+       |j AS (
+       |  SELECT COALESCE(r.bin, u.bin) AS bin,
+       |   COALESCE(r.n, 0) AS n_ref, COALESCE(u.n, 0) AS n_cur
+       |  FROM (SELECT bin, n FROM c WHERE side = 'ref') r
+       |  FULL OUTER JOIN (SELECT bin, n FROM c WHERE side = 'cur') u
+       |    ON r.bin = u.bin)
+       |SELECT bin, n_ref, n_cur,
+       | ROUND(GREATEST(CAST(n_ref AS DOUBLE) / t_ref, $PsiEps), 6) AS ref_share,
+       | ROUND(GREATEST(CAST(n_cur AS DOUBLE) / t_cur, $PsiEps), 6) AS cur_share,
+       | ROUND((GREATEST(CAST(n_ref AS DOUBLE) / t_ref, $PsiEps)
+       |        - GREATEST(CAST(n_cur AS DOUBLE) / t_cur, $PsiEps))
+       |   * ln(GREATEST(CAST(n_ref AS DOUBLE) / t_ref, $PsiEps)
+       |        / GREATEST(CAST(n_cur AS DOUBLE) / t_cur, $PsiEps)), 6) AS psi_contrib
+       |FROM j CROSS JOIN tt ORDER BY bin""".stripMargin
+  }
 }

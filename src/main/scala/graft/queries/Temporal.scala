@@ -514,4 +514,52 @@ object Temporal {
       |SELECT CAST(day AS TIMESTAMP) AS day, net,
       | CAST(SUM(net) OVER (ORDER BY day) AS BIGINT) AS open_orders
       |FROM g ORDER BY day""".stripMargin
+
+  // ---------------------------------------------------------------- q146
+
+  /** q146: TIME-WEIGHTED average (TWAP) of each user's `value` stream —
+    * the feature-store reduction that a plain mean gets wrong: a state
+    * held for 6 days must weigh 6 days, not 1 sample. Each event's value
+    * holds until the user's NEXT event (LOCF hold, q118's carry
+    * semantics); the user's final event has no holding interval and
+    * contributes no weight. Output per user: segment count, total held
+    * seconds, plain mean, and the time-weighted mean — the gap between
+    * the last two columns is exactly the sampling-bias the operator
+    * removes.
+    *
+    * Scale shape: ONE user_id-partitioned lead window (the only
+    * event-sized pass) feeding one user-keyed aggregate — both stages
+    * share the user_id exchange. Durations are computed in SECONDS
+    * (µs precision retained as fractions) so the value·duration products
+    * stay far inside double-exact range at any corpus size.
+    */
+  def q146TimeWeighted(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      .withColumn("dur_s",
+        (unix_micros(lead(col("ts"), 1).over(w)) - unix_micros(col("ts")))
+          .cast("double") / 1e6)
+      .filter(col("dur_s").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_segments"),
+        round(sum(col("dur_s")), 3).as("held_s"),
+        round(avg(col("value")), 6).as("mean_value"),
+        round(sum(col("value") * col("dur_s")) / sum(col("dur_s")), 6).as("twap_value"))
+      .orderBy(col("user_id"))
+  }
+
+  val q146Sql: String =
+    """WITH seg AS (
+      |  SELECT user_id, value,
+      |   (epoch_us(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+      |     - epoch_us(ts)) / 1000000.0 AS dur_s
+      |  FROM events)
+      |SELECT user_id, CAST(count(*) AS BIGINT) AS n_segments,
+      | ROUND(SUM(dur_s), 3) AS held_s,
+      | ROUND(AVG(value), 6) AS mean_value,
+      | ROUND(SUM(value * dur_s) / SUM(dur_s), 6) AS twap_value
+      |FROM seg WHERE dur_s IS NOT NULL
+      |GROUP BY user_id ORDER BY user_id""".stripMargin
 }

@@ -373,6 +373,46 @@ class CurationSpec extends SparkTestBase {
       ("fk_orders_customer", 3L, 1L)))
   }
 
+  test("q147: PSI matches an interpolated-decile replay and the bins tile both periods") {
+    val cutUs = java.time.LocalDateTime
+      .parse(graft.queries.Temporal.DiffCutoff,
+        java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss"))
+      .toInstant(java.time.ZoneOffset.UTC).toEpochMilli * 1000L
+    val evs = Tables.events(spark, sf)
+      .select(unix_micros(col("ts")).as("us"), col("value")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    val ref = evs.filter(_._1 <= cutUs).map(_._2).sorted
+    val cur = evs.filter(_._1 > cutUs).map(_._2)
+    def pct(q: Double): Double = {
+      val pos = q * (ref.length - 1); val i = pos.toInt; val f = pos - i
+      if (i + 1 < ref.length) ref(i) * (1 - f) + ref(i + 1) * f else ref(i)
+    }
+    val bounds = (1 to 9).map(i => pct(i / 10.0))
+    def bin(v: Double): Int = 1 + bounds.count(v > _)
+    val expRef = ref.groupBy(bin).map { case (b, g) => b -> g.length.toLong }
+    val expCur = cur.groupBy(bin).map { case (b, g) => b -> g.length.toLong }
+    val rows = Curation.q147PsiDrift(spark, sf).collect()
+    assert(rows.map(_.getAs[Int]("bin")).toSeq === (1 to 10))
+    var psi = 0.0
+    rows.foreach { r =>
+      val b = r.getAs[Int]("bin")
+      assert(r.getAs[Long]("n_ref") === expRef.getOrElse(b, 0L), s"bin $b ref count")
+      assert(r.getAs[Long]("n_cur") === expCur.getOrElse(b, 0L), s"bin $b cur count")
+      val p = math.max(expRef.getOrElse(b, 0L).toDouble / ref.length, Curation.PsiEps)
+      val q = math.max(expCur.getOrElse(b, 0L).toDouble / cur.length, Curation.PsiEps)
+      assert(math.abs(r.getAs[Double]("psi_contrib") - (p - q) * math.log(p / q)) < 1e-5)
+      psi += r.getAs[Double]("psi_contrib")
+      // reference deciles: every bin holds ~10% of the reference period
+      assert(math.abs(r.getAs[Double]("ref_share") - 0.1) < 0.02, s"bin $b not a decile")
+    }
+    // conservation: the bins tile both periods completely
+    assert(rows.map(_.getAs[Long]("n_ref")).sum === ref.length.toLong)
+    assert(rows.map(_.getAs[Long]("n_cur")).sum === cur.length.toLong)
+    // a PSI is a sum of same-sign-free terms; just pin it is finite and small
+    // on a stationary fixture (both periods draw from the same generator)
+    assert(psi >= 0 && psi < 0.25, s"stationary fixture drifted: psi=$psi")
+  }
+
   test("q144: the erasure ledger matches a manual cascade walk, including depth 2") {
     val uids = Tables.customer(spark, sf).select(col("c_custkey")).collect()
       .map(_.getLong(0)).filter(_ % graft.queries.Profiling.EraseMod == 0).toSet

@@ -216,6 +216,36 @@ class TemporalSpec extends SparkTestBase {
     assert(users.length === users.distinct.length)
   }
 
+  test("q146: TWAP matches a per-user replay and diverges from the plain mean somewhere") {
+    import org.apache.spark.sql.functions._
+    val evs = Tables.events(spark, sf)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"), col("value")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val rows = Temporal.q146TimeWeighted(spark, sf).collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[Long]("n_segments"), r.getAs[Double]("held_s"),
+         r.getAs[Double]("mean_value"), r.getAs[Double]("twap_value"))).toMap
+    evs.groupBy(_._1).foreach { case (uid, g) =>
+      val ordered = g.sortBy(e => (e._2, e._3))
+      val segs = ordered.zip(ordered.tail).map { case (a, b) =>
+        (a._4, (b._2 - a._2).toDouble / 1e6) // (value, held seconds)
+      }
+      if (segs.isEmpty) assert(!rows.contains(uid), s"user $uid has no holding interval")
+      else {
+        val (n, held, mean, twap) = rows(uid)
+        assert(n === segs.length.toLong)
+        assert(math.abs(held - segs.map(_._2).sum) < 1e-2)
+        assert(math.abs(mean - segs.map(_._1).sum / segs.length) < 1e-4)
+        val expectTwap = segs.map { case (v, d) => v * d }.sum / segs.map(_._2).sum
+        assert(math.abs(twap - expectTwap) < 1e-4, s"user $uid TWAP diverged")
+      }
+    }
+    // the operator's reason to exist: holding times are uneven enough
+    // that the time-weighted mean differs from the sample mean somewhere
+    assert(rows.values.exists { case (_, _, m, t) => math.abs(m - t) > 1e-3 })
+  }
+
   test("q132: concurrency at every change point equals the brute-force interval count") {
     import org.apache.spark.sql.functions._
     val out = Temporal.q132IntervalSweep(spark, sf).collect().map(r =>

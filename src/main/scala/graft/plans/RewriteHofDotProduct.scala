@@ -73,8 +73,14 @@ object RewriteHofDotProduct extends Rule[LogicalPlan] {
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
-    case ArrayAggregate(ZipWith(a, b, mul), Literal(0.0, DoubleType), merge, finish)
-        if isDoubleArray(a) && isDoubleArray(b) &&
+    // Seed must be POSITIVE zero bitwise: Scala pattern-matching 0.0 would
+    // also accept -0.0 (primitive ==), but a -0.0D seed is observable —
+    // the empty-array fold returns the seed itself, and DotFold's
+    // accumulator starts at +0.0 — so it must stay un-rewritten.
+    case ArrayAggregate(ZipWith(a, b, mul), Literal(seed: java.lang.Double, DoubleType),
+          merge, finish)
+        if java.lang.Double.doubleToRawLongBits(seed) == 0L &&
+          isDoubleArray(a) && isDoubleArray(b) &&
           isPairwiseMul(mul) && isPairwiseAdd(merge) && isIdentity(finish) =>
       DotFold(a, b)
   }

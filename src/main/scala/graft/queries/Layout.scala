@@ -382,15 +382,24 @@ object Layout {
     * outputs. This operator emits the PLAN — for every (source, bin):
     * how many inputs coalesce, the resulting size, and the contiguous
     * [first_doc, last_doc] id range — using documents-as-files (doc_id =
-    * ingest order, n_chars = file size), the same greedy rule a Delta/
-    * Iceberg OPTIMIZE job uses: walk the partition in order, open a new
-    * output whenever the running total crosses the target, never split
-    * an input. A bin may exceed the target by less than one input —
-    * the standard concatenating-compactor guarantee.
+    * ingest order, n_chars = file size).
+    *
+    * The chunking rule is TARGET-ALIGNED, not greedy-reset: input i
+    * joins bin ⌊exclusive-prefix ∕ target⌋. The greedy reset-on-overflow
+    * compactor's per-bin state is a recursion a prefix sum cannot
+    * express (it needs a sequential pass per partition); the aligned
+    * rule is a pure function of the running total, so ONE window pass
+    * computes it identically in both engines, and the bin count is
+    * exactly ⌈partition_size ∕ target⌉ — a bin's overshoot deducts from
+    * the NEXT bin's capacity instead of accumulating, so the long-run
+    * average output size IS the target. Consequences, both directions:
+    * a bin may exceed the target by less than its last input (inputs
+    * never split), and the bin after an overshoot may close under
+    * target by the same amount.
     *
     * Scale shape: one scan, one source-partitioned window (running
     * total), bin assignment as map-side arithmetic on the EXCLUSIVE
-    * prefix (`cum − size`, so the input that crosses the target stays in
+    * prefix (`cum − size`, so the input that crosses a boundary stays in
     * the bin it started in), and a (source, bin)-keyed aggregate.
     * Partitions compact independently — exactly how the real job would
     * fan out one compaction task per partition.

@@ -610,13 +610,20 @@ object Profiling {
     * frames. Nothing row-sized reaches the driver.
     */
   def q144ErasurePlan(s: SparkSession, dir: String): DataFrame = {
+    // Spark does not CSE across join branches, so the multiply-consumed
+    // frames are checkpointed once (the repo's shared-frame convention):
+    // victims feeds three probes, vOrders both the depth-1 ledger row and
+    // the depth-2 lineitem probe.
     val victims = customer(s, dir)
       .filter(col("c_custkey") % EraseMod === 0)
       .select(col("c_custkey").as("uid"))
+      .localCheckpoint(true)
     val cust = victims.agg(count(lit(1)).as("c_n"))
     val ev = events(s, dir).join(broadcast(victims), col("user_id") === col("uid"))
       .agg(count(lit(1)).as("e_n"), countDistinct(col("user_id")).as("e_k"))
     val vOrders = orders(s, dir).join(broadcast(victims), col("o_custkey") === col("uid"))
+      .select(col("o_orderkey"), col("o_custkey"))
+      .localCheckpoint(true)
     val ord = vOrders.agg(count(lit(1)).as("o_n"), countDistinct(col("o_custkey")).as("o_k"))
     val li = lineitem(s, dir)
       .join(vOrders.select(col("o_orderkey")).distinct(),

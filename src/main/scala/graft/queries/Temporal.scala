@@ -476,6 +476,10 @@ object Temporal {
     val deltas = iv.select(col("start_day").as("day"), lit(1L).as("delta"))
       .union(iv.select(date_add(col("end_day"), 1).as("day"), lit(-1L).as("delta")))
       .groupBy(col("day")).agg(sum(col("delta")).as("net"))
+      // net = 0 days (an interval opens while another closed the day
+      // before) are NOT change points — drop them so the output contract
+      // ("rows only where the count changes") holds exactly
+      .filter(col("net") =!= 0)
       .localCheckpoint(true) // 3 consumers: the window + both offset branches
     // Month offsets on the months-sized aggregate. Deliberately NOT
     // checkpointed: a checkpoint would truncate the plan to a scan leaf,
@@ -510,7 +514,8 @@ object Temporal {
       |  SELECT start_day AS day, CAST(1 AS BIGINT) AS delta FROM iv
       |  UNION ALL
       |  SELECT CAST(end_day + INTERVAL 1 DAY AS DATE), CAST(-1 AS BIGINT) FROM iv),
-      |g AS (SELECT day, CAST(SUM(delta) AS BIGINT) AS net FROM d GROUP BY day)
+      |g AS (SELECT day, CAST(SUM(delta) AS BIGINT) AS net FROM d
+      |      GROUP BY day HAVING SUM(delta) <> 0)
       |SELECT CAST(day AS TIMESTAMP) AS day, net,
       | CAST(SUM(net) OVER (ORDER BY day) AS BIGINT) AS open_orders
       |FROM g ORDER BY day""".stripMargin
@@ -535,18 +540,23 @@ object Temporal {
     */
   def q146TimeWeighted(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    // mean_value must aggregate EVERY event (it is the sample mean being
+    // contrasted with TWAP), while the weighted sums only see rows with a
+    // holding interval — so the final-event rows stay in the frame and
+    // the segment-side aggregates are conditional on dur_s.
     events(s, dir)
       .select(col("user_id"), col("ts"), col("event_id"), col("value"))
       .withColumn("dur_s",
         (unix_micros(lead(col("ts"), 1).over(w)) - unix_micros(col("ts")))
           .cast("double") / 1e6)
-      .filter(col("dur_s").isNotNull)
       .groupBy(col("user_id"))
       .agg(
-        count(lit(1)).as("n_segments"),
-        round(sum(col("dur_s")), 3).as("held_s"),
+        sum(when(col("dur_s").isNotNull, 1L).otherwise(0L)).as("n_segments"),
+        round(sum(coalesce(col("dur_s"), lit(0.0))), 3).as("held_s"),
         round(avg(col("value")), 6).as("mean_value"),
-        round(sum(col("value") * col("dur_s")) / sum(col("dur_s")), 6).as("twap_value"))
+        round(sum(when(col("dur_s").isNotNull, col("value") * col("dur_s")))
+          / sum(col("dur_s")), 6).as("twap_value"))
+      .filter(col("n_segments") > 0) // single-event users have no held time
       .orderBy(col("user_id"))
   }
 
@@ -556,10 +566,13 @@ object Temporal {
       |   (epoch_us(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
       |     - epoch_us(ts)) / 1000000.0 AS dur_s
       |  FROM events)
-      |SELECT user_id, CAST(count(*) AS BIGINT) AS n_segments,
-      | ROUND(SUM(dur_s), 3) AS held_s,
+      |SELECT user_id,
+      | CAST(SUM(CASE WHEN dur_s IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_segments,
+      | ROUND(SUM(COALESCE(dur_s, 0.0)), 3) AS held_s,
       | ROUND(AVG(value), 6) AS mean_value,
-      | ROUND(SUM(value * dur_s) / SUM(dur_s), 6) AS twap_value
-      |FROM seg WHERE dur_s IS NOT NULL
-      |GROUP BY user_id ORDER BY user_id""".stripMargin
+      | ROUND(SUM(CASE WHEN dur_s IS NOT NULL THEN value * dur_s END) / SUM(dur_s), 6) AS twap_value
+      |FROM seg
+      |GROUP BY user_id
+      |HAVING SUM(CASE WHEN dur_s IS NOT NULL THEN 1 ELSE 0 END) > 0
+      |ORDER BY user_id""".stripMargin
 }

@@ -159,12 +159,12 @@ class LayoutSpec extends SparkTestBase {
       "rebuild lost the one-file-per-bucket discipline")
   }
 
-  test("q134: the compaction plan is the exact greedy re-chunking of every partition") {
+  test("q134: the compaction plan is the exact target-aligned re-chunking of every partition") {
     val docs = Tables.documents(spark, sf)
       .select(col("source"), col("doc_id"), col("n_chars")).collect()
       .map(r => (r.getAs[String]("source"), r.getAs[Long]("doc_id"), r.getAs[Long]("n_chars")))
-    // replay the concatenating compactor in memory: walk each partition in
-    // id order, bin = floor(exclusive running total / target)
+    // replay the target-aligned chunking rule in memory: walk each
+    // partition in id order, bin = floor(exclusive running total / target)
     val expect = docs.groupBy(_._1).iterator.flatMap { case (src, g) =>
       var cum = 0L
       g.sortBy(_._2).map { case (_, id, n) =>

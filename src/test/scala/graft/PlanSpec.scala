@@ -436,7 +436,10 @@ class PlanSpec extends SparkTestBase {
     for (expr <- Seq(
         "aggregate(zip_with(v, v, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, e) -> acc + 2 * e)",
         "aggregate(zip_with(v, v, (x, y) -> x * y), CAST(1 AS DOUBLE), (acc, e) -> acc + e)",
-        "aggregate(zip_with(v, v, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, e) -> acc + e, s -> s + 1)")) {
+        "aggregate(zip_with(v, v, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, e) -> acc + e, s -> s + 1)",
+        // -0.0 seed is observable on empty arrays (the fold returns the
+        // seed; DotFold's accumulator starts at +0.0) — must not fire
+        "aggregate(zip_with(v, v, (x, y) -> x * y), double('-0.0'), (acc, e) -> acc + e)")) {
       val p = vecs.selectExpr(s"$expr AS d").queryExecution.optimizedPlan.toString
       assert(!p.contains("dot_fold"), s"near-miss was wrongly rewritten: $expr\n$p")
     }

@@ -236,7 +236,10 @@ class TemporalSpec extends SparkTestBase {
         val (n, held, mean, twap) = rows(uid)
         assert(n === segs.length.toLong)
         assert(math.abs(held - segs.map(_._2).sum) < 1e-2)
-        assert(math.abs(mean - segs.map(_._1).sum / segs.length) < 1e-4)
+        // the sample mean covers EVERY event, including the final one
+        // that contributes no holding weight
+        val all = ordered.map(_._4)
+        assert(math.abs(mean - all.sum / all.length) < 1e-4)
         val expectTwap = segs.map { case (v, d) => v * d }.sum / segs.map(_._2).sum
         assert(math.abs(twap - expectTwap) < 1e-4, s"user $uid TWAP diverged")
       }
@@ -269,6 +272,8 @@ class TemporalSpec extends SparkTestBase {
       val expect = iv.count { case (s, e) => !day.isBefore(s) && !day.isAfter(e) }
       assert(open === expect.toLong, s"open-interval count diverged at $day")
     }
+    // every emitted row is a genuine change point
+    assert(out.forall(_._2 != 0L), "a net=0 day is not a change point")
     // sweep conservation: every +1 has its −1, so the book closes at zero
     assert(out.map(_._2).sum === 0L)
     assert(out.last._3 === 0L, "the last change point must close all intervals")

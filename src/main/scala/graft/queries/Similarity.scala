@@ -1105,4 +1105,82 @@ object Similarity {
        | min(x) AS min_val, max(x) AS max_val,
        | CAST(count(*) FILTER (WHERE x = 0) AS BIGINT) AS n_zero
        |FROM f GROUP BY dim ORDER BY dim""".stripMargin
+
+  // ---------------------------------------------------------------- q148
+
+  /** q148: incremental CENTROID maintenance — the ANN surface's member
+    * of the merge-of-partials family (q120 merges aggregate state, q124
+    * merges BPE pair counts, q121/q126 fold the near-dup index; this
+    * folds a vector batch into the IVF centroids). The stored index
+    * state is the per-(cell, dim) running (Σx, n) partial over the BASE
+    * corpus under the FROZEN seeded assignment; a delta batch (vec_id ≡
+    * 0 mod 10, the suite's delta convention) computes its own partials
+    * and merges by one cells×dims-keyed full-outer join:
+    * centroid = (Σ_base + Σ_delta) ∕ (n_base + n_delta). The oracle is
+    * the FROM-SCRATCH per-cell mean over base ∪ delta, so the hash
+    * compare IS the proof of merge(partial(base), partial(delta)) ≡
+    * agg(base ∪ delta) — a mini-batch k-means step that never rescans
+    * the base corpus.
+    *
+    * Scale shape: the base partials checkpoint once (modeling the stored
+    * state — cells×dims rows, KB-scale); the per-batch cost is ONE
+    * delta-sized assignment + posexplode aggregate and a cells×dims
+    * merge join. The exchange never carries vectors, only (cell, pos)
+    * partials — q85's invariant, kept under maintenance.
+    */
+  def q148CentroidIncrement(s: SparkSession, dir: String): DataFrame = {
+    val a = seededAssignment(s, dir)
+    def partials(side: DataFrame): DataFrame = side
+      .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("cell"), col("pos"))
+      .agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
+    // stored index state: base partials, materialized once
+    val base = partials(a.filter(col("vec_id") % 10 =!= 0))
+      .localCheckpoint(true)
+    val delta = partials(a.filter(col("vec_id") % 10 === 0))
+      .select(col("cell").as("d_cell"), col("pos").as("d_pos"),
+        col("sx").as("d_sx"), col("n").as("d_n"))
+    base.join(delta,
+        col("cell") === col("d_cell") && col("pos") === col("d_pos"), "full_outer")
+      .select(
+        coalesce(col("cell"), col("d_cell")).as("cell"),
+        coalesce(col("pos"), col("d_pos")).cast("long").as("pos"),
+        coalesce(col("n"), lit(0L)).as("n_base"),
+        coalesce(col("d_n"), lit(0L)).as("n_delta"),
+        (coalesce(col("n"), lit(0L)) + coalesce(col("d_n"), lit(0L))).as("n_members"),
+        round((coalesce(col("sx"), lit(0.0)) + coalesce(col("d_sx"), lit(0.0)))
+          / (coalesce(col("n"), lit(0L)) + coalesce(col("d_n"), lit(0L))), 6).as("c_val"))
+      .orderBy(col("cell"), col("pos"))
+  }
+
+  val q148Sql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |n AS (
+       |  SELECT vec_id, v,
+       |   sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |     list_transform(v, x -> x * x)), (a, b) -> a + b)) AS norm
+       |  FROM e),
+       |cents AS (
+       |  SELECT vec_id AS c_id, v AS cv, norm AS cnorm FROM n
+       |  ORDER BY vec_id LIMIT $IvfCells),
+       |assign AS (
+       |  SELECT vec_id, v, c_id AS cell,
+       |   row_number() OVER (PARTITION BY vec_id ORDER BY
+       |     ROUND(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |         list_transform(range(1, ${AnnDims + 1}), i -> n.v[i] * cents.cv[i])), (x, y) -> x + y)
+       |       / (n.norm * cents.cnorm), 6) DESC, c_id) AS crn
+       |  FROM n CROSS JOIN cents),
+       |cells AS (SELECT vec_id, v, cell FROM assign WHERE crn = 1),
+       |d AS (
+       |  SELECT vec_id, cell, unnest(list_transform(range(1, ${AnnDims + 1}),
+       |    i -> struct_pack(pos := i - 1, x := v[i]))) AS u
+       |  FROM cells)
+       |SELECT cell, CAST(u.pos AS BIGINT) AS pos,
+       | CAST(SUM(CASE WHEN vec_id % 10 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_base,
+       | CAST(SUM(CASE WHEN vec_id % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_delta,
+       | CAST(count(*) AS BIGINT) AS n_members,
+       | ROUND(avg(u.x), 6) AS c_val
+       |FROM d GROUP BY cell, u.pos ORDER BY cell, pos""".stripMargin
 }

@@ -218,4 +218,29 @@ class SimilaritySpec extends SparkTestBase {
       assert(r.getAs[Long]("n_zero") === xs.count(_ == 0.0).toLong)
     }
   }
+
+  test("q148: merged centroid partials equal q85's from-scratch means and conserve members") {
+    import org.apache.spark.sql.functions._
+    val inc = Similarity.q148CentroidIncrement(spark, sf).collect()
+      .map(r => (r.getAs[Long]("cell"), r.getAs[Long]("pos")) ->
+        (r.getAs[Long]("n_base"), r.getAs[Long]("n_delta"),
+         r.getAs[Long]("n_members"), r.getAs[Double]("c_val"))).toMap
+    // q85's first Lloyd step computes the identical per-(cell,dim) mean
+    // from scratch under the same seeded assignment — the maintenance
+    // law merge(partial(base), partial(delta)) ≡ agg(base ∪ delta) means
+    // the two queries MUST agree on every centroid coordinate
+    val full = Similarity.q85KmeansIteration(spark, sf).collect()
+      .map(r => (r.getAs[Long]("cell"), r.getAs[Long]("pos")) ->
+        (r.getAs[Long]("n_members"), r.getAs[Double]("c_val"))).toMap
+    assert(inc.keySet === full.keySet, "cell×dim keyspaces diverged")
+    inc.foreach { case (k, (nb, nd, nm, cv)) =>
+      assert(nb + nd === nm, s"$k: member counts don't conserve")
+      assert(nm === full(k)._1, s"$k: member count diverged from from-scratch")
+      // both sides round the same real number; allow one 6dp ulp for the
+      // different summation orders
+      assert(math.abs(cv - full(k)._2) <= 1e-6 + 1e-9, s"$k: centroid diverged")
+    }
+    // the delta batch is genuinely non-empty and lands in some cell
+    assert(inc.values.exists(_._2 > 0L), "no delta members — vacuous increment")
+  }
 }

@@ -563,6 +563,76 @@ class CorpusStatsSpec extends SparkTestBase {
     assert(closedJourneys > 0, "no closed journeys — vacuous fixture")
   }
 
+  test("q149: lift matches a session replay and respects the marginal bounds") {
+    val evs = Tables.events(spark, sf)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"), col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    // replay 30-minute gaps-and-islands sessionization
+    val sessions = evs.groupBy(_._1).toSeq.flatMap { case (uid, g) =>
+      val ordered = g.sortBy(e => (e._2, e._3))
+      var grp = 0L
+      var prev = Long.MinValue
+      ordered.map { e =>
+        if (prev == Long.MinValue || e._2 - prev >= Analytics.LiftGapUs) grp += 1
+        prev = e._2
+        ((uid, grp), e._4)
+      }
+    }.groupBy(_._1).map { case (k, xs) => k -> xs.map(_._2).toSet }
+    val n = sessions.size.toLong
+    val marg = sessions.values.toSeq.flatten.groupBy(identity).map { case (t, g) => t -> g.size.toLong }
+    val rows = Analytics.q149SessionLift(spark, sf).collect()
+    rows.foreach { r =>
+      val (a, b) = (r.getAs[String]("type_a"), r.getAs[String]("type_b"))
+      val both = sessions.values.count(s => s(a) && s(b)).toLong
+      assert(r.getAs[Long]("n_both") === both, s"($a,$b) co-occurrence diverged")
+      assert(r.getAs[Long]("n_a") === marg(a) && r.getAs[Long]("n_b") === marg(b))
+      assert(both <= math.min(marg(a), marg(b)), "co-occurrence exceeds a marginal")
+      val lift = both.toDouble * n / (marg(a) * marg(b))
+      assert(math.abs(r.getAs[Double]("lift") - lift) < 1e-5)
+      assert(r.getAs[Double]("support") >= 0 && r.getAs[Double]("support") <= 1)
+    }
+    assert(rows.nonEmpty)
+  }
+
+  test("q150: the trained argmax and the backtest accuracy match an in-memory replay") {
+    val cutUs = java.time.LocalDateTime
+      .parse(graft.queries.TrainingData.SplitCutoff,
+        java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss"))
+      .toInstant(java.time.ZoneOffset.UTC).toEpochMilli * 1000L
+    val evs = Tables.events(spark, sf)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"), col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    def pairs(p: ((Long, Long, Long, String)) => Boolean): Seq[(String, String)] =
+      evs.filter(p).groupBy(_._1).toSeq.flatMap { case (_, g) =>
+        val o = g.sortBy(e => (e._2, e._3)).map(_._4)
+        o.zip(o.tail)
+      }
+    val trained = pairs(_._2 <= cutUs).groupBy(identity)
+      .map { case ((c, x), g) => (c, x) -> g.size }
+    val model = trained.groupBy(_._1._1).map { case (c, g) =>
+      c -> g.toSeq.map { case ((_, x), m) => (x, m) }.sortBy { case (x, m) => (-m, x) }.head._1
+    }
+    val test = pairs(_._2 > cutUs)
+    val rows = Analytics.q150MarkovBacktest(spark, sf).collect()
+    assert(rows.map(_.getAs[String]("cur")).toSet === test.map(_._1).toSet)
+    rows.foreach { r =>
+      val cur = r.getAs[String]("cur")
+      val mine = test.filter(_._1 == cur)
+      assert(r.getAs[Long]("n_test") === mine.length.toLong)
+      assert(Option(r.getAs[String]("predicted_next")) === model.get(cur),
+        s"$cur: argmax diverged")
+      val correct = model.get(cur).map(p => mine.count(_._2 == p)).getOrElse(0)
+      assert(r.getAs[Long]("n_correct") === correct.toLong)
+      val acc = r.getAs[Double]("accuracy")
+      assert(acc >= 0.0 && acc <= 1.0)
+    }
+    // the backtest genuinely predicts something right somewhere (sanity
+    // that the fixture's event stream isn't adversarially uniform)
+    assert(rows.map(_.getAs[Long]("n_correct")).sum > 0L)
+  }
+
   test("q145: latency cohorts are exactly q77's converters and quantiles are ordered") {
     val lat = Analytics.q145FunnelLatency(spark, sf).collect()
       .map(r => r.getAs[String]("transition") ->

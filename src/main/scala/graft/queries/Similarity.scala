@@ -1130,10 +1130,13 @@ object Similarity {
     */
   def q148CentroidIncrement(s: SparkSession, dir: String): DataFrame = {
     val a = seededAssignment(s, dir)
+    // count(x), not count(*): the denominator must count exactly the
+    // values the sum saw (avg semantics) — the fixtures have no NULL
+    // elements, but the partial must stay mergeable under them
     def partials(side: DataFrame): DataFrame = side
       .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
       .groupBy(col("cell"), col("pos"))
-      .agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
+      .agg(sum(col("x")).as("sx"), count(col("x")).as("n"))
     // stored index state: base partials, materialized once
     val base = partials(a.filter(col("vec_id") % 10 =!= 0))
       .localCheckpoint(true)

@@ -582,6 +582,14 @@ class CorpusStatsSpec extends SparkTestBase {
     val n = sessions.size.toLong
     val marg = sessions.values.toSeq.flatten.groupBy(identity).map { case (t, g) => t -> g.size.toLong }
     val rows = Analytics.q149SessionLift(spark, sf).collect()
+    // completeness: the output must be EXACTLY the replayed co-occurring
+    // pair set — a dropped pair is as wrong as a fabricated one
+    val expectPairs = (for {
+      s <- sessions.values.toSeq
+      a <- s; b <- s if a < b
+    } yield (a, b)).toSet
+    assert(rows.map(r => (r.getAs[String]("type_a"), r.getAs[String]("type_b"))).toSet
+      === expectPairs, "pair set diverged from the session replay")
     rows.foreach { r =>
       val (a, b) = (r.getAs[String]("type_a"), r.getAs[String]("type_b"))
       val both = sessions.values.count(s => s(a) && s(b)).toLong

@@ -220,7 +220,6 @@ class SimilaritySpec extends SparkTestBase {
   }
 
   test("q148: merged centroid partials equal q85's from-scratch means and conserve members") {
-    import org.apache.spark.sql.functions._
     val inc = Similarity.q148CentroidIncrement(spark, sf).collect()
       .map(r => (r.getAs[Long]("cell"), r.getAs[Long]("pos")) ->
         (r.getAs[Long]("n_base"), r.getAs[Long]("n_delta"),

@@ -644,6 +644,90 @@ object Profiling {
       .orderBy(col("table_name"))
   }
 
+  /** q151: PROFILE DRIFT — q133's ANALYZE ledger computed per PERIOD and
+    * diffed. The reference side is the event log at or before
+    * [[Temporal.DiffCutoff]], the current side everything after; for
+    * every column both periods report rows / nulls / exact NDV / numeric
+    * min-max side by side plus the NDV ratio — the whole-schema drift
+    * check that catches what single-feature monitors miss (q99 watches
+    * one categorical's shares, q147 one numeric's distribution; an
+    * upstream schema change shows up HERE first, as an NDV collapse or a
+    * range jump on a column nobody was watching).
+    *
+    * Scale shape: ONE scan — the side tag and the q133 lane explode are
+    * both map-side, one (col_name, side) hash aggregate reduces to
+    * 2×#columns rows (checkpointed), and the ref↔cur diff is an
+    * equi-join of two filters over that tiny frame. NDV's scale path is
+    * q133's: swap `countDistinct` for `approx_count_distinct`.
+    */
+  def q151ProfileDrift(s: SparkSession, dir: String): DataFrame = {
+    val lanes = Seq[(String, Column, Column)](
+      ("event_id", col("event_id").cast("string"), col("event_id").cast("double")),
+      ("event_type", col("event_type"), lit(null).cast("double")),
+      ("props", col("props"), lit(null).cast("double")),
+      ("ts", col("ts").cast("string"), unix_micros(col("ts")).cast("double")),
+      ("user_id", col("user_id").cast("string"), col("user_id").cast("double")),
+      ("value", col("value").cast("string"), col("value")))
+    val cut = lit(Temporal.DiffCutoff).cast("timestamp")
+    val stats = events(s, dir)
+      .select(when(col("ts") <= cut, "ref").otherwise("cur").as("side"),
+        explode(array(lanes.map { case (n, vs, vn) =>
+          struct(lit(n).as("col_name"), vs.as("v_str"), vn.as("v_num"))
+        }: _*)).as("c"))
+      .select(col("side"), col("c.col_name"), col("c.v_str"), col("c.v_num"))
+      .groupBy(col("col_name"), col("side"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("v_str").isNull, 1L).otherwise(0L)).as("n_null"),
+        countDistinct(col("v_str")).as("ndv"),
+        min(col("v_num")).as("min_num"),
+        max(col("v_num")).as("max_num"))
+      .localCheckpoint(true) // 2×#columns rows; both diff sides below
+    val ref = stats.filter(col("side") === "ref").select(col("col_name"),
+      col("n_rows").as("ref_rows"), col("n_null").as("ref_null"),
+      col("ndv").as("ref_ndv"), col("min_num").as("ref_min"), col("max_num").as("ref_max"))
+    val cur = stats.filter(col("side") === "cur").select(col("col_name").as("c_col"),
+      col("n_rows").as("cur_rows"), col("n_null").as("cur_null"),
+      col("ndv").as("cur_ndv"), col("min_num").as("cur_min"), col("max_num").as("cur_max"))
+    ref.join(cur, col("col_name") === col("c_col"))
+      .select(col("col_name"), col("ref_rows"), col("cur_rows"),
+        col("ref_null"), col("cur_null"), col("ref_ndv"), col("cur_ndv"),
+        round(col("cur_ndv").cast("double") / col("ref_ndv"), 6).as("ndv_ratio"),
+        col("ref_min"), col("cur_min"), col("ref_max"), col("cur_max"))
+      .orderBy(col("col_name"))
+  }
+
+  val q151Sql: String = {
+    val cut = s"TIMESTAMP '${Temporal.DiffCutoff}'"
+    def lane(name: String, strCast: String, numCast: String): String =
+      s"""SELECT CASE WHEN ts <= $cut THEN 'ref' ELSE 'cur' END AS side,
+         | '$name' AS col_name, $strCast AS v_str, $numCast AS v_num FROM events""".stripMargin
+    val lanes = Seq(
+      lane("event_id", "CAST(event_id AS VARCHAR)", "CAST(event_id AS DOUBLE)"),
+      lane("event_type", "event_type", "CAST(NULL AS DOUBLE)"),
+      lane("props", "props", "CAST(NULL AS DOUBLE)"),
+      lane("ts", "CAST(ts AS VARCHAR)", "CAST(epoch_us(ts) AS DOUBLE)"),
+      lane("user_id", "CAST(user_id AS VARCHAR)", "CAST(user_id AS DOUBLE)"),
+      lane("value", "CAST(value AS VARCHAR)", "value"))
+      .mkString("", "\nUNION ALL\n", "")
+    s"""WITH lanes AS (
+       |$lanes),
+       |stats AS (
+       |  SELECT col_name, side, CAST(count(*) AS BIGINT) AS n_rows,
+       |   CAST(count(*) - count(v_str) AS BIGINT) AS n_null,
+       |   CAST(count(DISTINCT v_str) AS BIGINT) AS ndv,
+       |   min(v_num) AS min_num, max(v_num) AS max_num
+       |  FROM lanes GROUP BY 1, 2)
+       |SELECT r.col_name, r.n_rows AS ref_rows, c.n_rows AS cur_rows,
+       | r.n_null AS ref_null, c.n_null AS cur_null,
+       | r.ndv AS ref_ndv, c.ndv AS cur_ndv,
+       | ROUND(CAST(c.ndv AS DOUBLE) / r.ndv, 6) AS ndv_ratio,
+       | r.min_num AS ref_min, c.min_num AS cur_min,
+       | r.max_num AS ref_max, c.max_num AS cur_max
+       |FROM (SELECT * FROM stats WHERE side = 'ref') r
+       |JOIN (SELECT * FROM stats WHERE side = 'cur') c ON r.col_name = c.col_name
+       |ORDER BY r.col_name""".stripMargin
+  }
+
   val q144Sql: String =
     s"""WITH v AS (SELECT c_custkey AS uid FROM customer WHERE c_custkey % $EraseMod = 0),
        |e AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(count(DISTINCT user_id) AS BIGINT) AS k

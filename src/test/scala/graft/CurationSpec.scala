@@ -373,6 +373,44 @@ class CurationSpec extends SparkTestBase {
       ("fk_orders_customer", 3L, 1L)))
   }
 
+  test("q151: per-period profiles match a direct recount and conserve the row total") {
+    val cutUs = java.time.LocalDateTime
+      .parse(graft.queries.Temporal.DiffCutoff,
+        java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss"))
+      .toInstant(java.time.ZoneOffset.UTC).toEpochMilli * 1000L
+    val evs = Tables.events(spark, sf)
+      .select(unix_micros(col("ts")).as("us"), col("user_id"), col("value"),
+        col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getString(3)))
+    val (ref, cur) = evs.partition(_._1 <= cutUs)
+    val out = graft.queries.Profiling.q151ProfileDrift(spark, sf).collect()
+      .map(r => r.getAs[String]("col_name") -> r).toMap
+    assert(out.keySet === Set("event_id", "event_type", "props", "ts", "user_id", "value"))
+    // row totals conserve on every column and match the period split
+    out.values.foreach { r =>
+      assert(r.getAs[Long]("ref_rows") === ref.length.toLong)
+      assert(r.getAs[Long]("cur_rows") === cur.length.toLong)
+      assert(r.getAs[Long]("ref_null") === 0L && r.getAs[Long]("cur_null") === 0L)
+    }
+    // spot-recount NDV and range per side on two columns
+    val v = out("value")
+    assert(v.getAs[Long]("ref_ndv") === ref.map(_._3).distinct.length.toLong)
+    assert(v.getAs[Long]("cur_ndv") === cur.map(_._3).distinct.length.toLong)
+    assert(v.getAs[Double]("ref_min") === ref.map(_._3).min)
+    assert(v.getAs[Double]("cur_max") === cur.map(_._3).max)
+    val t = out("event_type")
+    assert(t.getAs[Long]("ref_ndv") === ref.map(_._4).distinct.length.toLong)
+    assert(t.getAs[Long]("cur_ndv") === cur.map(_._4).distinct.length.toLong)
+    assert(t.isNullAt(t.fieldIndex("ref_min")), "string column's numeric lane must be NULL")
+    // the diff column is the ratio it claims to be
+    assert(math.abs(v.getAs[Double]("ndv_ratio")
+      - v.getAs[Long]("cur_ndv").toDouble / v.getAs[Long]("ref_ndv")) < 1e-6)
+    // ts ranges respect the cutoff ordering (the drift ledger's sanity)
+    val ts = out("ts")
+    assert(ts.getAs[Double]("ref_max") <= cutUs.toDouble)
+    assert(ts.getAs[Double]("cur_min") > cutUs.toDouble)
+  }
+
   test("q147: PSI matches an interpolated-decile replay and the bins tile both periods") {
     val cutUs = java.time.LocalDateTime
       .parse(graft.queries.Temporal.DiffCutoff,

@@ -563,6 +563,39 @@ class CorpusStatsSpec extends SparkTestBase {
     assert(closedJourneys > 0, "no closed journeys — vacuous fixture")
   }
 
+  test("q152: RFM segments match a median-split replay and conserve the user count") {
+    val evs = Tables.events(spark, sf)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"), col("value")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val horizon = evs.map(_._2).max
+    val users = evs.groupBy(_._1).map { case (_, g) =>
+      ((horizon - g.map(_._2).max) / 1000000L,      // recency_s (floor)
+       g.length.toLong,                             // frequency
+       BigDecimal(g.map(_._3).sum).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toSeq
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted; val pos = 0.5 * (s.length - 1); val i = pos.toInt; val f = pos - i
+      if (i + 1 < s.length) s(i) * (1 - f) + s(i + 1) * f else s(i)
+    }
+    val (rM, fM, mM) = (median(users.map(_._1.toDouble)),
+      median(users.map(_._2.toDouble)), median(users.map(_._3)))
+    val expect = users.groupBy { case (r, f, m) =>
+      (if (r < rM) "hi" else "lo") + "_" + (if (f > fM) "hi" else "lo") + "_" +
+        (if (m > mM) "hi" else "lo")
+    }.map { case (seg, g) => seg -> g.size.toLong }
+    val rows = Analytics.q152RfmSegments(spark, sf).collect()
+    assert(rows.map(_.getAs[String]("segment")).toSet === expect.keySet)
+    rows.foreach { r =>
+      val seg = r.getAs[String]("segment")
+      assert(r.getAs[Long]("n_users") === expect(seg), s"$seg count diverged")
+      assert(r.getAs[Double]("avg_recency_s") >= 0.0)
+    }
+    // conservation: every user lands in exactly one segment
+    assert(rows.map(_.getAs[Long]("n_users")).sum === users.size.toLong)
+    // median splits genuinely partition each axis (no empty hemisphere)
+    assert(rows.length >= 2, "median split produced a single segment — vacuous")
+  }
+
   test("q149: lift matches a session replay and respects the marginal bounds") {
     val evs = Tables.events(spark, sf)
       .select(col("user_id"), unix_micros(col("ts")).as("us"),

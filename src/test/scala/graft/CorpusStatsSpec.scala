@@ -563,6 +563,35 @@ class CorpusStatsSpec extends SparkTestBase {
     assert(closedJourneys > 0, "no closed journeys — vacuous fixture")
   }
 
+  test("q153: trigram counts match a stream replay and conditionals stay sub-stochastic") {
+    val evs = Tables.events(spark, sf)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"), col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val streams = evs.groupBy(_._1).values.map(_.sortBy(e => (e._2, e._3)).map(_._4)).toSeq
+    val big = streams.flatMap(o => o.zip(o.tail)).groupBy(identity)
+      .map { case (k, g) => k -> g.size.toLong }
+    val tri = streams.flatMap(o => o.lazyZip(o.drop(1)).lazyZip(o.drop(2)).toSeq)
+      .groupBy(identity).map { case (k, g) => k -> g.size.toLong }
+    val rows = Analytics.q153PathTrigrams(spark, sf).collect()
+      .map(r => (r.getAs[String]("a"), r.getAs[String]("b"), r.getAs[String]("c")) ->
+        (r.getAs[Long]("n_abc"), r.getAs[Long]("n_ab"), r.getAs[Double]("p_c_given_ab"))).toMap
+    assert(rows.keySet === tri.keySet, "trigram keyspace diverged from the replay")
+    rows.foreach { case (k @ (a, b, _), (nabc, nab, p) ) =>
+      assert(nabc === tri(k), s"$k count diverged")
+      assert(nab === big((a, b)), s"($a,$b) context count diverged")
+      assert(p > 0 && p <= 1.0)
+    }
+    // per (a,b) context the conditionals sum to ≤ 1 (the missing mass is
+    // streams ENDING after (a,b) — n_ab counts those pairs too)
+    rows.groupBy { case ((a, b, _), _) => (a, b) }.foreach { case (ctx, g) =>
+      val mass = g.values.map(_._3).sum
+      // each conditional is rounded to 6dp (HALF_UP), so a fully-
+      // continuing context can exceed 1 by up to |terms|·5e-7
+      assert(mass <= 1.0 + g.size * 5e-7 + 1e-9, s"context $ctx over-stochastic: $mass")
+    }
+  }
+
   test("q152: RFM segments match a median-split replay and conserve the user count") {
     val evs = Tables.events(spark, sf)
       .select(col("user_id"), unix_micros(col("ts")).as("us"), col("value")).collect()

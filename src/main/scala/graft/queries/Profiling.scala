@@ -347,6 +347,31 @@ object Profiling {
     * fixed-size state — with everything else unchanged; exact NDV is kept
     * here because the oracle can check it.
     */
+  /** Shared ANALYZE machinery (q133 + q151): explode each row into
+    * (col_name, string-lane, numeric-lane) structs and aggregate the
+    * standard column-stats ledger, keyed by col_name plus any extra
+    * grouping columns already present on `df` (q151's period side). ONE
+    * definition so the lane contract — per-engine-injective string casts
+    * for NDV/null accounting, numeric lanes for min/max, and the
+    * documented `approx_count_distinct` scale swap — can never drift
+    * between the profiler and the drift report.
+    */
+  private def laneStats(df: DataFrame, lanes: Seq[(String, Column, Column)],
+      keys: Seq[String]): DataFrame = {
+    val keyCols = keys.map(col)
+    df.select(keyCols :+ explode(array(lanes.map { case (n, vs, vn) =>
+        struct(lit(n).as("col_name"), vs.as("v_str"), vn.as("v_num"))
+      }: _*)).as("c"): _*)
+      .select(keyCols :+ col("c.col_name") :+ col("c.v_str") :+ col("c.v_num"): _*)
+      .groupBy(col("col_name") +: keyCols: _*)
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("v_str").isNull, 1L).otherwise(0L)).as("n_null"),
+        countDistinct(col("v_str")).as("ndv"),
+        min(col("v_num")).as("min_num"),
+        max(col("v_num")).as("max_num"))
+  }
+
   def q133AnalyzeStats(s: SparkSession, dir: String): DataFrame = {
     val lanes = Seq[(String, Column, Column)](
       ("o_orderkey", col("o_orderkey").cast("string"), col("o_orderkey").cast("double")),
@@ -359,19 +384,7 @@ object Profiling {
       ("o_orderdate", col("o_orderdate").cast("string"),
         unix_micros(col("o_orderdate").cast("timestamp")).cast("double")),
       ("o_orderpriority", col("o_orderpriority"), lit(null).cast("double")))
-    val exploded = orders(s, dir)
-      .select(explode(array(lanes.map { case (n, vs, vn) =>
-        struct(lit(n).as("col_name"), vs.as("v_str"), vn.as("v_num"))
-      }: _*)).as("c"))
-      .select(col("c.col_name"), col("c.v_str"), col("c.v_num"))
-    exploded.groupBy(col("col_name"))
-      .agg(
-        count(lit(1)).as("n_rows"),
-        sum(when(col("v_str").isNull, 1L).otherwise(0L)).as("n_null"),
-        countDistinct(col("v_str")).as("ndv"),
-        min(col("v_num")).as("min_num"),
-        max(col("v_num")).as("max_num"))
-      .orderBy(col("col_name"))
+    laneStats(orders(s, dir), lanes, Nil).orderBy(col("col_name"))
   }
 
   val q133Sql: String = {
@@ -669,18 +682,10 @@ object Profiling {
       ("user_id", col("user_id").cast("string"), col("user_id").cast("double")),
       ("value", col("value").cast("string"), col("value")))
     val cut = lit(Temporal.DiffCutoff).cast("timestamp")
-    val stats = events(s, dir)
-      .select(when(col("ts") <= cut, "ref").otherwise("cur").as("side"),
-        explode(array(lanes.map { case (n, vs, vn) =>
-          struct(lit(n).as("col_name"), vs.as("v_str"), vn.as("v_num"))
-        }: _*)).as("c"))
-      .select(col("side"), col("c.col_name"), col("c.v_str"), col("c.v_num"))
-      .groupBy(col("col_name"), col("side"))
-      .agg(count(lit(1)).as("n_rows"),
-        sum(when(col("v_str").isNull, 1L).otherwise(0L)).as("n_null"),
-        countDistinct(col("v_str")).as("ndv"),
-        min(col("v_num")).as("min_num"),
-        max(col("v_num")).as("max_num"))
+    val stats = laneStats(
+        events(s, dir).withColumn("side",
+          when(col("ts") <= cut, "ref").otherwise("cur")),
+        lanes, Seq("side"))
       .localCheckpoint(true) // 2×#columns rows; both diff sides below
     val ref = stats.filter(col("side") === "ref").select(col("col_name"),
       col("n_rows").as("ref_rows"), col("n_null").as("ref_null"),

@@ -621,8 +621,12 @@ class CorpusStatsSpec extends SparkTestBase {
     }
     // conservation: every user lands in exactly one segment
     assert(rows.map(_.getAs[Long]("n_users")).sum === users.size.toLong)
-    // median splits genuinely partition each axis (no empty hemisphere)
-    assert(rows.length >= 2, "median split produced a single segment — vacuous")
+    // median splits genuinely partition EVERY axis: each of the three
+    // positions must take both values somewhere in the output
+    val segs = rows.map(_.getAs[String]("segment").split("_"))
+    for (axis <- 0 to 2)
+      assert(segs.map(_(axis)).toSet === Set("hi", "lo"),
+        s"axis $axis never splits — its median comparison is vacuous")
   }
 
   test("q149: lift matches a session replay and respects the marginal bounds") {

@@ -1088,4 +1088,67 @@ object Dedup {
        | mean_jaccard, min_jaccard
        |FROM sizes s JOIN eagg e ON s.comp = e.comp
        |ORDER BY s.comp""".stripMargin
+
+  // ---------------------------------------------------------------- q154
+
+  /** Containment threshold for q154. */
+  val ContainT: Double = 0.8
+
+  /** q154: asymmetric CONTAINMENT join — quote/excerpt detection, the
+    * subset relation Jaccard structurally misses: a short document fully
+    * quoted inside a long one has containment |A∩B|∕|A| ≈ 1 but Jaccard
+    * ≈ |A|∕|B| ≈ 0, so q22's symmetric near-dup join never surfaces it.
+    * Output is ORDERED pairs (doc_a contained-in doc_b) at containment
+    * ≥ [[ContainT]], with the exact overlap.
+    *
+    * Candidate generation is the containment variant of q22's prefix
+    * filter, and the asymmetry is the point: the CONTAINED side probes
+    * with only its n − ⌈t·n⌉ + 1 rarest shingles (pigeonhole: a
+    * container holding ≥ ⌈t·n⌉ of A's shingles cannot miss that prefix),
+    * while the CONTAINER side must stay fully indexed — no prefix
+    * reduction exists for it, because a container's own size places no
+    * bound on the containment score. Everything reuses the memoized
+    * rarest-first ordered sets (one build per session, shared with
+    * q22/q121); the probe↔index join is shingle-keyed, the verify an
+    * id-keyed equi-join against the full sets, exactly q22's shape. The
+    * oracle computes every shingle-sharing ordered pair directly, so the
+    * hash compare doubles as the prefix filter's zero-false-negative
+    * proof at this threshold.
+    */
+  def q154Containment(s: SparkSession, dir: String): DataFrame = {
+    val ordered = orderedSetsCached(s, dir)
+    val p = (col("n") - ceil(col("n") * ContainT) + 1).cast("int")
+    val probe = ordered.select(col("doc_id").as("doc_a"),
+      explode(transform(slice(col("ord"), lit(1), p), _.getField("shingle"))).as("shingle"))
+    val index = ordered.select(col("doc_id").as("doc_b"),
+      explode(transform(col("ord"), _.getField("shingle"))).as("shingle"))
+    val cands = probe.join(index, Seq("shingle"))
+      .filter(col("doc_a") =!= col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+    val sa = ordered.select(col("doc_id").as("a_id"),
+      transform(col("ord"), _.getField("shingle")).as("sha"), col("n").as("n_a"))
+    val sb = ordered.select(col("doc_id").as("b_id"),
+      transform(col("ord"), _.getField("shingle")).as("shb"))
+    cands.join(sa, col("doc_a") === col("a_id"))
+      .join(sb, col("doc_b") === col("b_id"))
+      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))).cast("long"))
+      .withColumn("cont_raw", col("inter").cast("double") / col("n_a").cast("double"))
+      .filter(col("cont_raw") >= ContainT)
+      .select(col("doc_a"), col("doc_b"), col("n_a"), col("inter"),
+        round(col("cont_raw"), 6).as("containment"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val q154Sql: String =
+    s"""WITH $sqlShingles,
+       |inter AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS inter
+       |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id <> b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b, sa.n AS n_a, inter,
+       | ROUND(CAST(inter AS DOUBLE) / sa.n, 6) AS containment
+       |FROM inter
+       |JOIN sz sa ON sa.doc_id = doc_a
+       |WHERE CAST(inter AS DOUBLE) / sa.n >= $ContainT
+       |ORDER BY doc_a, doc_b""".stripMargin
 }

@@ -338,4 +338,43 @@ class DedupSpec extends SparkTestBase {
       assert(r.getAs[Double]("density") <= 1.0 + 1e-9)
     }
   }
+
+  test("q154: containment equals the brute-force ordered-pair set and is genuinely asymmetric") {
+    import org.apache.spark.sql.functions._
+    val sets = Tables.documents(spark, sf).select(col("doc_id"),
+        explode(TextFns.shingles(TextFns.words(col("text")), 3)).as("shingle")).distinct()
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+      .groupBy(_._1).map { case (id, g) => id -> g.map(_._2).toSet }
+    // brute force over every ordered pair sharing at least one shingle
+    val expect = (for {
+      (a, sa) <- sets.toSeq; (b, sb) <- sets.toSeq
+      if a != b
+      inter = (sa & sb).size
+      if inter > 0 && inter.toDouble / sa.size >= graft.queries.Dedup.ContainT
+    } yield (a, b) -> (sa.size.toLong, inter.toLong)).toMap
+    val got = graft.queries.Dedup.q154Containment(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
+        (r.getAs[Long]("n_a"), r.getAs[Long]("inter"))).toMap
+    assert(got.keySet === expect.keySet,
+      "prefix-filtered candidates missed (or invented) a qualifying ordered pair")
+    got.foreach { case (k, v) => assert(v === expect(k), s"$k overlap diverged") }
+    // The measure's reason to exist — one-directional subset pairs — has
+    // no witness in the synthetic corpus (its near-dups are same-sized),
+    // so prove it on a purpose-built excerpt fixture: doc 2 is a verbatim
+    // prefix of doc 1, doc 3 is unrelated. Expect exactly (2 ⊂ 1) at
+    // containment 1.0, with the reverse direction BELOW threshold (its
+    // Jaccard 4/10 would also have missed it — the asymmetry is real).
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_contain").toString
+    val big = (1 to 12).map(i => s"w$i").mkString(" ")
+    val excerpt = (1 to 6).map(i => s"w$i").mkString(" ")
+    Seq((1L, big), (2L, excerpt), (3L, "x1 x2 x3 x4 x5"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val fx = graft.queries.Dedup.q154Containment(spark, dir).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
+        r.getAs[Double]("containment")).toMap
+    assert(fx.keySet === Set((2L, 1L)), s"expected only the excerpt pair, got ${fx.keySet}")
+    assert(fx((2L, 1L)) === 1.0, "a verbatim prefix must be fully contained")
+  }
 }

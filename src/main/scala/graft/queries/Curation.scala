@@ -824,15 +824,26 @@ object Curation {
       .select(col("side"), binExpr.as("bin"))
       .groupBy(col("side"), col("bin")).agg(count(lit(1)).as("n"))
       .localCheckpoint(true) // ≤20 rows; 3 consumers below re-aggregate it
+    // An EMPTY period must degrade deterministically, not divergently: the
+    // pivot yields NULL for a missing side (→ NULL shares under division,
+    // which greatest() would silently floor to eps on Spark while an
+    // oracle dividing by a 0 count goes inf/NaN). Coalesce the totals to 0
+    // and gate each share on total > 0 — an empty side's shares become an
+    // explicit 0 → eps floor, identically in both engines.
     val totals = counts.groupBy(col("side")).agg(sum(col("n")).as("t"))
       .groupBy().pivot("side", Seq("ref", "cur")).agg(first(col("t")))
-      .select(col("ref").as("t_ref"), col("cur").as("t_cur"))
+      .select(coalesce(col("ref"), lit(0L)).as("t_ref"),
+        coalesce(col("cur"), lit(0L)).as("t_cur"))
     val refC = counts.filter(col("side") === "ref")
       .select(col("bin"), col("n").as("n_ref"))
     val curC = counts.filter(col("side") === "cur")
       .select(col("bin").as("c_bin"), col("n").as("n_cur"))
-    val p = greatest(coalesce(col("n_ref"), lit(0L)).cast("double") / col("t_ref"), lit(PsiEps))
-    val q = greatest(coalesce(col("n_cur"), lit(0L)).cast("double") / col("t_cur"), lit(PsiEps))
+    val p = greatest(when(col("t_ref") > 0,
+      coalesce(col("n_ref"), lit(0L)).cast("double") / col("t_ref"))
+      .otherwise(lit(0.0)), lit(PsiEps))
+    val q = greatest(when(col("t_cur") > 0,
+      coalesce(col("n_cur"), lit(0L)).cast("double") / col("t_cur"))
+      .otherwise(lit(0.0)), lit(PsiEps))
     refC.join(curC, col("bin") === col("c_bin"), "full_outer")
       .crossJoin(broadcast(totals))
       .select(
@@ -867,12 +878,17 @@ object Curation {
        |  FULL OUTER JOIN (SELECT bin, n FROM c WHERE side = 'cur') u
        |    ON r.bin = u.bin)
        |SELECT bin, n_ref, n_cur,
-       | ROUND(GREATEST(CAST(n_ref AS DOUBLE) / t_ref, $PsiEps), 6) AS ref_share,
-       | ROUND(GREATEST(CAST(n_cur AS DOUBLE) / t_cur, $PsiEps), 6) AS cur_share,
-       | ROUND((GREATEST(CAST(n_ref AS DOUBLE) / t_ref, $PsiEps)
-       |        - GREATEST(CAST(n_cur AS DOUBLE) / t_cur, $PsiEps))
-       |   * ln(GREATEST(CAST(n_ref AS DOUBLE) / t_ref, $PsiEps)
-       |        / GREATEST(CAST(n_cur AS DOUBLE) / t_cur, $PsiEps)), 6) AS psi_contrib
+       | ROUND($sqlRefShare, 6) AS ref_share,
+       | ROUND($sqlCurShare, 6) AS cur_share,
+       | ROUND(($sqlRefShare - $sqlCurShare) * ln($sqlRefShare / $sqlCurShare), 6)
+       |   AS psi_contrib
        |FROM j CROSS JOIN tt ORDER BY bin""".stripMargin
   }
+
+  // Shares gated on a positive period total (empty period → explicit 0 →
+  // eps floor), mirroring q147PsiDrift's degenerate-case handling exactly.
+  private def sqlRefShare: String =
+    s"GREATEST(CASE WHEN t_ref > 0 THEN CAST(n_ref AS DOUBLE) / t_ref ELSE 0 END, $PsiEps)"
+  private def sqlCurShare: String =
+    s"GREATEST(CASE WHEN t_cur > 0 THEN CAST(n_cur AS DOUBLE) / t_cur ELSE 0 END, $PsiEps)"
 }

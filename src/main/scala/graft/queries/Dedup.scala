@@ -1107,7 +1107,12 @@ object Dedup {
     * container holding ≥ ⌈t·n⌉ of A's shingles cannot miss that prefix),
     * while the CONTAINER side must stay fully indexed — no prefix
     * reduction exists for it, because a container's own size places no
-    * bound on the containment score. Everything reuses the memoized
+    * bound on the containment score. The index side IS length-filtered
+    * at candidate time, though: inter ≤ n_b, so containment ≥ t forces
+    * n_b ≥ ⌈t·n_a⌉, and any shorter container is discarded inside the
+    * shingle join — before the distinct and the set-intersection verify
+    * — which bounds the verify fan-out of high-df shingle buckets
+    * without losing a single true pair. Everything reuses the memoized
     * rarest-first ordered sets (one build per session, shared with
     * q22/q121); the probe↔index join is shingle-keyed, the verify an
     * id-keyed equi-join against the full sets, exactly q22's shape. The
@@ -1118,12 +1123,21 @@ object Dedup {
   def q154Containment(s: SparkSession, dir: String): DataFrame = {
     val ordered = orderedSetsCached(s, dir)
     val p = (col("n") - ceil(col("n") * ContainT) + 1).cast("int")
-    val probe = ordered.select(col("doc_id").as("doc_a"),
+    val probe = ordered.select(col("doc_id").as("doc_a"), col("n").as("n_a_p"),
       explode(transform(slice(col("ord"), lit(1), p), _.getField("shingle"))).as("shingle"))
-    val index = ordered.select(col("doc_id").as("doc_b"),
+    val index = ordered.select(col("doc_id").as("doc_b"), col("n").as("n_b_i"),
       explode(transform(col("ord"), _.getField("shingle"))).as("shingle"))
+    // Candidate-time length filter: containment ≥ t needs inter ≥ ⌈t·n_a⌉,
+    // and inter ≤ n_b always, so a container shorter than ⌈t·n_a⌉ can never
+    // qualify. Filtering HERE — inside the shingle join, before the
+    // distinct and the array_intersect verify — bounds the fan-out of a
+    // hot shingle's df-sized index bucket: each (probe row × bucket entry)
+    // pair dies on a 2-int compare instead of surviving to a set verify.
+    // Zero false negatives by the inequality above, so the oracle hash
+    // (which checks every shingle-sharing pair) is unchanged.
     val cands = probe.join(index, Seq("shingle"))
-      .filter(col("doc_a") =!= col("doc_b"))
+      .filter(col("doc_a") =!= col("doc_b") &&
+        col("n_b_i") >= ceil(col("n_a_p") * ContainT))
       .select(col("doc_a"), col("doc_b")).distinct()
     val sa = ordered.select(col("doc_id").as("a_id"),
       transform(col("ord"), _.getField("shingle")).as("sha"), col("n").as("n_a"))

@@ -554,8 +554,13 @@ object Temporal {
         sum(when(col("dur_s").isNotNull, 1L).otherwise(0L)).as("n_segments"),
         round(sum(coalesce(col("dur_s"), lit(0.0))), 3).as("held_s"),
         round(avg(col("value")), 6).as("mean_value"),
-        round(sum(when(col("dur_s").isNotNull, col("value") * col("dur_s")))
-          / sum(col("dur_s")), 6).as("twap_value"))
+        // Gate on positive TOTAL held time: ≥2 events at the same
+        // microsecond give sum(dur_s)=0, and 0/0 is NULL on Spark but
+        // NaN under DuckDB's IEEE division — emit NULL explicitly in
+        // both engines instead of leaning on either's 0-divisor rule.
+        round(when(sum(coalesce(col("dur_s"), lit(0.0))) > 0,
+          sum(when(col("dur_s").isNotNull, col("value") * col("dur_s")))
+            / sum(col("dur_s"))), 6).as("twap_value"))
       .filter(col("n_segments") > 0) // single-event users have no held time
       .orderBy(col("user_id"))
   }
@@ -570,7 +575,9 @@ object Temporal {
       | CAST(SUM(CASE WHEN dur_s IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_segments,
       | ROUND(SUM(COALESCE(dur_s, 0.0)), 3) AS held_s,
       | ROUND(AVG(value), 6) AS mean_value,
-      | ROUND(SUM(CASE WHEN dur_s IS NOT NULL THEN value * dur_s END) / SUM(dur_s), 6) AS twap_value
+      | ROUND(CASE WHEN SUM(COALESCE(dur_s, 0.0)) > 0
+      |   THEN SUM(CASE WHEN dur_s IS NOT NULL THEN value * dur_s END) / SUM(dur_s)
+      |   END, 6) AS twap_value
       |FROM seg
       |GROUP BY user_id
       |HAVING SUM(CASE WHEN dur_s IS NOT NULL THEN 1 ELSE 0 END) > 0

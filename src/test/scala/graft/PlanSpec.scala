@@ -462,4 +462,19 @@ class PlanSpec extends SparkTestBase {
         s"$name: expected bounded-domain nested loops only, got $bnlj:\n$p")
     }
   }
+
+  test("q154: the container length filter sits in the candidate join, below the verify") {
+    // containment ≥ t ⇒ n_b ≥ ⌈t·n_a⌉ (inter ≤ n_b), so short containers
+    // must die inside the shingle join — before the distinct and the
+    // array_intersect verify — not after. The plan prints top-down, so the
+    // predicate's attributes must appear DEEPER (later) than the verify's
+    // array_intersect; a refactor that lifts the filter above the verify
+    // (or drops it) re-opens the hot-shingle fan-out and fails here.
+    val p = plan(Dedup.q154Containment(spark, sf))
+    val fi = p.indexOf("n_b_i")
+    val vi = p.indexOf("array_intersect")
+    assert(fi >= 0, s"container length predicate missing from the plan:\n$p")
+    assert(vi >= 0, s"verify intersect missing from the plan:\n$p")
+    assert(fi > vi, s"length predicate not below the verify join:\n$p")
+  }
 }

@@ -40,7 +40,8 @@ object Bench {
     var loadMax = loadStart
     val startedAtMs = System.currentTimeMillis()
     var failed = List.empty[String]
-    var memoBuilds = List.empty[(String, Seq[String])]
+    var memoBuilds = List.empty[(String, Seq[(String, Double)])]
+    var loadPerQuery = List.empty[(String, Double)]
     val results = queries.map { case (name, fn) =>
       val m0 = graft.queries.Dedup.memoBuildCount
       val t0 = System.nanoTime()
@@ -52,12 +53,21 @@ object Bench {
         System.err.println(s"[bench] $name failed: $e")
       }
       val elapsed = (System.nanoTime() - t0) / 1e9
-      // First-consumer memo tax: if this query's timer covered the build
-      // of a shared memo surface, name it in the record — per-query
-      // comparisons then know to look at totals instead.
+      // First-consumer memo tax, SUBTRACTED not just named: if this
+      // query's timer covered the build of a shared memo surface, its
+      // reported time is the steady-state net and the build appears as
+      // its own gross line item under "memo_builds" — so the driver's
+      // per-query record grades regressions without manual adjudication
+      // (an alphabetically-first consumer no longer shows 6× its median).
       val built = graft.queries.Dedup.memoBuildsSince(m0)
       if (built.nonEmpty) memoBuilds ::= (name, built)
-      loadMax = math.max(loadMax, load1m)
+      val memoSec = built.map(_._2).sum
+      // Per-query load sample (1-minute average at query end): lets one
+      // read distinguish a contended query from a regressed one, instead
+      // of inferring from the run-level [start,max,end] triple alone.
+      val l = load1m
+      loadPerQuery ::= (name, l)
+      loadMax = math.max(loadMax, l)
       // UNTIMED inter-query GC (JMH-style): without it, the previous
       // query's garbage — and the RDD blocks of its dropped
       // localCheckpoints, which the ContextCleaner only frees after
@@ -66,7 +76,7 @@ object Bench {
       // seen on unchanged code (steal=0, ~6/32 cores busy: the suite is
       // latency-bound, so collector pauses land directly in wall time).
       System.gc()
-      name -> elapsed
+      name -> math.max(elapsed - memoSec, 0.0)
     }
     // 3-decimal (millisecond) formatting, Locale.ROOT so the decimal
     // separator is always '.': full double precision pushed the 67-query
@@ -76,11 +86,16 @@ object Bench {
     def f3(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
-    // total = sum of the already-rounded per-query values, so a consumer
-    // recomputing the total from the queries map gets an exact match —
+    // total = sum of the already-rounded per-query NET values plus the
+    // already-rounded memo line items, so a consumer recomputing the
+    // total from the queries map + memo_builds map gets an exact match —
     // rounded with the SAME mode as %.3f (HALF_UP), not math.rint's
-    // half-even, so the guarantee holds even on an exact .0005 tie
-    val total = results.map(r => f3(r._2).toDouble).sum
+    // half-even, so the guarantee holds even on an exact .0005 tie. The
+    // headline stays the gross wall spent in query timers: moving memo
+    // out of per-query numbers must not masquerade as a total speedup.
+    val memoTotal =
+      memoBuilds.flatMap(_._2).map(b => f3(b._2).toDouble).sum
+    val total = results.map(r => f3(r._2).toDouble).sum + memoTotal
     // failed queries are listed explicitly so a fast failure can never
     // masquerade as a fast run in the tracked metric
     val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
@@ -93,10 +108,17 @@ object Bench {
       s""""started":"${iso(startedAtMs)}","finished":"${iso(finishedAtMs)}"""" +
       s""","wall_sec":${f3((finishedAtMs - startedAtMs) / 1e3)}""" +
       s""","load1m":[${f3(loadStart)},${f3(loadMax)},${f3(loadEnd)}]"""
-    val memoJson = memoBuilds.sortBy(_._1).map { case (q, names) =>
-      "\"" + q + "\":" + names.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // memo_builds: {consumer_query: {memo_name: build_sec}} — gross line
+    // items; the consumer's own "queries" entry is net of these.
+    val memoJson = memoBuilds.sortBy(_._1).map { case (q, builds) =>
+      "\"" + q + "\":" + builds
+        .map { case (n, sec) => "\"" + n + "\":" + f3(sec) }
+        .mkString("{", ",", "}")
     }.mkString("{", ",", "}")
-    val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir",$evidence,"memo_builds":$memoJson}"""
+    def f2(v: Double): String = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+    val loadQJson = loadPerQuery.sortBy(_._1)
+      .map { case (q, l) => "\"" + q + "\":" + f2(l) }.mkString("{", ",", "}")
+    val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir",$evidence,"memo_sec":${f3(memoTotal)},"memo_builds":$memoJson,"load1m_q":$loadQJson}"""
     println(line)
     // Compact second line, printed AFTER the full one: the r8 driver's
     // output-tail window cut the 100-query line's HEAD off — where

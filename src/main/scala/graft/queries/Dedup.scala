@@ -147,13 +147,15 @@ object Dedup {
     * WHICH shared surface a query paid for (bench memo-tax attribution). */
   private val memoNames = java.util.Collections.synchronizedMap(
     new java.util.IdentityHashMap[AnyRef, String])
-  /** Append-only log of completed memo builds, in force order. The bench
-    * snapshots its size around each query timer: any growth means that
-    * query was the first consumer of a shared surface and its time
-    * includes the build — recorded in the metric JSON instead of being
-    * re-litigated from per-query deltas every round.
+  /** Append-only log of completed memo builds — (name, build seconds), in
+    * force order. The bench snapshots its size around each query timer:
+    * any growth means that query was the first consumer of a shared
+    * surface, and the logged duration lets it report the query's
+    * steady-state time NET of the build (memo line items gross) instead
+    * of re-litigating first-consumer deltas from totals every round.
     */
-  private val memoBuildLog = new java.util.concurrent.CopyOnWriteArrayList[String]
+  private val memoBuildLog =
+    new java.util.concurrent.CopyOnWriteArrayList[(String, Double)]
   private[graft] def registerMemo(name: String): TrieMap[(SparkSession, String), Memo] = {
     val m = TrieMap.empty[(SparkSession, String), Memo]
     allMemos.add(m)
@@ -161,8 +163,9 @@ object Dedup {
     m
   }
   private[graft] def memoBuildCount: Int = memoBuildLog.size
-  private[graft] def memoBuildsSince(n: Int): Seq[String] =
-    memoBuildLog.toArray.iterator.map(_.toString).drop(n).toSeq
+  private[graft] def memoBuildsSince(n: Int): Seq[(String, Double)] =
+    memoBuildLog.toArray.iterator
+      .map(_.asInstanceOf[(String, Double)]).drop(n).toSeq
 
   /** Memoized materialization of [[q22Fresh]] per (session, sfDir): the
     * near-dup pair list is the intermediate every downstream dedup stage
@@ -207,9 +210,21 @@ object Dedup {
       s: SparkSession, dir: String)(compute: => DataFrame): DataFrame = {
     memo.filterInPlace { case ((sess, _), _) => !sess.sparkContext.isStopped }
     memo.getOrElseUpdate((s, dir), new Memo(() => {
+      val n0 = memoBuildLog.size
+      val t0 = System.nanoTime()
       val df = compute
-      // logged AFTER the compute succeeds: a failed build isn't a paid tax
-      memoBuildLog.add(Option(memoNames.get(memo)).getOrElse("anon"))
+      // logged AFTER the compute succeeds: a failed build isn't a paid
+      // tax. The duration covers the forced compute (for checkpointed
+      // memos, the actual cluster materialization) EXCLUSIVE of any
+      // nested memo builds it forced — those logged their own (already
+      // exclusive) durations during `compute`, so subtracting their sum
+      // keeps the line items additive: Σ items = true build wall time,
+      // never double-counted (q22_pairs forces ordered_sets inside it).
+      val gross = (System.nanoTime() - t0) / 1e9
+      val nested = memoBuildLog.toArray.iterator.drop(n0)
+        .map(_.asInstanceOf[(String, Double)]._2).sum
+      memoBuildLog.add((Option(memoNames.get(memo)).getOrElse("anon"),
+        math.max(gross - nested, 0.0)))
       df
     })).value
   }

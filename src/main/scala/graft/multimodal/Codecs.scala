@@ -1,0 +1,176 @@
+package graft.multimodal
+
+import java.nio.{ByteBuffer, ByteOrder}
+import java.nio.charset.StandardCharsets.US_ASCII
+
+/** Real pure-JVM media codecs for the two container formats that need no
+  * native libraries: RIFF/WAVE (PCM16) and BMP (24-bit uncompressed).
+  * These replace the [[Multimodal.DecodeStub]] for a genuinely decoded
+  * end-to-end path: the parsers read geometry/sample data from the
+  * container HEADERS AND PAYLOAD — nothing is passed in out-of-band — so
+  * an offset, endianness, padding, or row-order bug anywhere in
+  * encode∘decode breaks the oracle hash (q156/q157), not just a spec.
+  *
+  * Both formats are little-endian throughout; parsers walk the container
+  * structure the way a production reader would (WAV: generic chunk walk,
+  * not fixed offsets; BMP: honors the header-declared pixel-array offset,
+  * 4-byte row padding, and bottom-up row order).
+  */
+object WavCodec {
+
+  /** Decoded facts about a PCM16 WAV: everything from the fmt chunk plus
+    * exact integer reductions over the decoded samples (integer, not
+    * float, so cross-engine compares are exact).
+    */
+  case class WavInfo(sampleRate: Long, channels: Long, bits: Long,
+                     nFrames: Long, durationMs: Long,
+                     peakAbs: Long, sumSq: Long, sumAbs: Long)
+
+  /** Encode interleaved PCM16 frames as a canonical 44-byte-header
+    * RIFF/WAVE container. */
+  def encode(sampleRate: Int, channels: Int, samples: Array[Short]): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val bb = ByteBuffer.allocate(44 + dataLen).order(ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes(US_ASCII)).putInt(36 + dataLen)
+    bb.put("WAVE".getBytes(US_ASCII))
+    bb.put("fmt ".getBytes(US_ASCII)).putInt(16)
+    bb.putShort(1)                                // audio format: PCM
+    bb.putShort(channels.toShort)
+    bb.putInt(sampleRate)
+    bb.putInt(sampleRate * channels * 2)          // byte rate
+    bb.putShort((channels * 2).toShort)           // block align
+    bb.putShort(16)                               // bits per sample
+    bb.put("data".getBytes(US_ASCII)).putInt(dataLen)
+    var i = 0
+    while (i < samples.length) { bb.putShort(samples(i)); i += 1 }
+    bb.array()
+  }
+
+  /** Parse a RIFF/WAVE container and decode its PCM16 payload. Walks the
+    * chunk list generically (a real-world WAV may carry LIST/fact/cue
+    * chunks before `data`; chunk bodies pad to even length per RIFF).
+    */
+  def decode(bytes: Array[Byte]): WavInfo = {
+    val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    def fourCC(): String = {
+      val b = new Array[Byte](4); bb.get(b); new String(b, US_ASCII)
+    }
+    require(fourCC() == "RIFF", "not a RIFF container")
+    bb.getInt() // declared riff size — trust the actual buffer instead
+    require(fourCC() == "WAVE", "not a WAVE form")
+    var sampleRate = 0; var channels = 0; var bits = 0
+    var dataOff = -1; var dataLen = 0
+    while (bb.remaining() >= 8 && dataOff < 0) {
+      val id = fourCC(); val size = bb.getInt()
+      id match {
+        case "fmt " =>
+          val fmtStart = bb.position()
+          val audioFormat = bb.getShort()
+          require(audioFormat == 1, s"unsupported WAV format code $audioFormat (PCM only)")
+          channels = bb.getShort()
+          sampleRate = bb.getInt()
+          bb.getInt(); bb.getShort()              // byte rate, block align
+          bits = bb.getShort()
+          require(bits == 16, s"unsupported bit depth $bits (PCM16 only)")
+          bb.position(fmtStart + size + (size & 1))
+        case "data" =>
+          dataOff = bb.position(); dataLen = size
+        case _ =>                                 // skip unknown chunk (even-padded)
+          bb.position(bb.position() + size + (size & 1))
+      }
+    }
+    require(dataOff >= 0 && sampleRate > 0 && channels > 0, "missing fmt /data chunk")
+    val nSamples = dataLen / 2
+    var peak = 0L; var sumSq = 0L; var sumAbs = 0L
+    var i = 0
+    while (i < nSamples) {
+      val s = bb.getShort(dataOff + 2 * i).toLong
+      val a = math.abs(s)
+      if (a > peak) peak = a
+      sumSq += s * s
+      sumAbs += a
+      i += 1
+    }
+    val nFrames = nSamples / channels
+    WavInfo(sampleRate.toLong, channels.toLong, bits.toLong, nFrames.toLong,
+      nFrames.toLong * 1000L / sampleRate, peak, sumSq, sumAbs)
+  }
+}
+
+/** 24-bit uncompressed BMP (BITMAPINFOHEADER): the image twin of
+  * [[WavCodec]]. */
+object BmpCodec {
+
+  /** Decoded facts: header geometry plus exact per-channel pixel sums
+    * (storage order blue, green, red). */
+  case class BmpInfo(width: Long, height: Long, bpp: Long,
+                     nPixels: Long, fileBytes: Long,
+                     sumB: Long, sumG: Long, sumR: Long)
+
+  /** Row stride: pixel rows pad to a 4-byte boundary. */
+  private def stride(width: Int): Int = (width * 3 + 3) / 4 * 4
+
+  /** Encode a 24bpp image. `px(y)(x)` is (b, g, r) with y=0 the TOP row;
+    * BMP stores rows bottom-up, which the encoder handles.
+    */
+  def encode(width: Int, height: Int, px: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+    val rowLen = stride(width)
+    val dataLen = rowLen * height
+    val bb = ByteBuffer.allocate(54 + dataLen).order(ByteOrder.LITTLE_ENDIAN)
+    bb.put('B'.toByte).put('M'.toByte).putInt(54 + dataLen)
+    bb.putInt(0).putInt(54)                       // reserved, pixel-array offset
+    bb.putInt(40)                                 // BITMAPINFOHEADER size
+    bb.putInt(width).putInt(height)
+    bb.putShort(1).putShort(24)                   // planes, bpp
+    bb.putInt(0).putInt(dataLen)                  // BI_RGB, image size
+    bb.putInt(2835).putInt(2835)                  // 72 DPI
+    bb.putInt(0).putInt(0)                        // palette counts
+    var y = height - 1                            // bottom-up
+    while (y >= 0) {
+      val rowStart = bb.position()
+      var x = 0
+      while (x < width) {
+        val (b, g, r) = px(x, y)
+        bb.put(b.toByte).put(g.toByte).put(r.toByte)
+        x += 1
+      }
+      bb.position(rowStart + rowLen)              // zero padding already there
+      y -= 1
+    }
+    bb.array()
+  }
+
+  /** Parse a 24bpp BMP: geometry from the headers, pixel sums from the
+    * padded bottom-up pixel array at the header-declared offset. */
+  def decode(bytes: Array[Byte]): BmpInfo = {
+    val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    require(bb.get() == 'B'.toByte && bb.get() == 'M'.toByte, "not a BMP")
+    bb.getInt(); bb.getInt()                      // file size, reserved
+    val pixelOff = bb.getInt()
+    val hdrSize = bb.getInt()
+    require(hdrSize >= 40, s"unsupported BMP header size $hdrSize")
+    val width = bb.getInt(); val height = bb.getInt()
+    bb.getShort()                                 // planes
+    val bpp = bb.getShort()
+    require(bpp == 24, s"unsupported bit depth $bpp (24bpp only)")
+    require(bb.getInt() == 0, "compressed BMP unsupported")
+    require(height > 0, "top-down BMP unsupported")
+    val rowLen = stride(width)
+    var sumB = 0L; var sumG = 0L; var sumR = 0L
+    var y = 0
+    while (y < height) {
+      // row y from the top lives at bottom-up position height-1-y
+      val off = pixelOff + (height - 1 - y) * rowLen
+      var x = 0
+      while (x < width) {
+        sumB += bytes(off + 3 * x) & 0xff
+        sumG += bytes(off + 3 * x + 1) & 0xff
+        sumR += bytes(off + 3 * x + 2) & 0xff
+        x += 1
+      }
+      y += 1
+    }
+    BmpInfo(width.toLong, height.toLong, bpp.toLong, width.toLong * height,
+      bytes.length.toLong, sumB, sumG, sumR)
+  }
+}

@@ -4,14 +4,33 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables._
-import graft.multimodal.Multimodal
+import graft.multimodal.{BmpCodec, Multimodal, WavCodec}
 
 /** Oracle-checked slice of the multimodal plumbing: the binary media
-  * column + typed metadata (everything up to, but not including, the
-  * stubbed codec — which is pinned by MultimodalSpec instead, since a
-  * fake decode has no SQL equivalent worth asserting).
+  * column + typed metadata (q36), plus the two REAL pure-JVM codec paths
+  * (q156 WAV, q157 BMP — [[graft.multimodal.WavCodec]]/[[graft.multimodal
+  * .BmpCodec]]): payload bytes are synthesized deterministically from
+  * document columns, round-tripped through a genuine container
+  * encode→parse, and the oracle predicts the decoded facts arithmetically
+  * — so the hash compare proves the byte-level encode∘decode identity,
+  * not just schema plumbing. (The generic image/audio/video stub path of
+  * q36 remains [[Multimodal.DecodeStub]]: those codecs need native libs
+  * the sandbox lacks.)
   */
 object MultimodalQ {
+
+  /** q156 row: every field read back out of the WAV container by the
+    * parser — geometry from the fmt chunk, reductions over decoded PCM16
+    * samples as exact integers. */
+  case class WavDecoded(doc_id: Long, sample_rate: Long, channels: Long,
+                        bits: Long, n_frames: Long, duration_ms: Long,
+                        peak_abs: Long, sum_sq: Long, sum_abs: Long,
+                        container_bytes: Long)
+
+  /** q157 row: BMP header geometry + exact per-channel pixel sums. */
+  case class BmpDecoded(doc_id: Long, width: Long, height: Long, bpp: Long,
+                        n_pixels: Long, file_bytes: Long,
+                        sum_b: Long, sum_g: Long, sum_r: Long)
 
   /** q36: media frame metadata — media_type assignment, payload byte
     * length, and content digest, all computed on the binary column.
@@ -31,4 +50,109 @@ object MultimodalQ {
       | md5(text) AS content_md5,
       | CAST(octet_length(encode(text)) AS BIGINT) AS payload_bytes
       |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q156
+
+  /** q156: REAL WAV round-trip — per document, synthesize a PCM16
+    * waveform whose parameters derive from (doc_id, n_chars), pack it
+    * into a genuine RIFF/WAVE container, and hand the bytes to
+    * [[WavCodec.decode]], which re-reads EVERYTHING (rate, channels, bit
+    * depth, frame count, sample values) from the container itself. The
+    * oracle predicts each decoded fact from the synthesis formula alone,
+    * so a header-offset, endianness, or chunk-walk bug anywhere in the
+    * codec diverges the hash. Sample reductions are exact integers
+    * (peak/Σ|s|/Σs²) — no float tolerance anywhere.
+    *
+    * Scale shape: map-only kernel over a two-column scan ([[Multimodal
+    * .decodeAll]]'s mapPartitions amortization), one presentation sort.
+    * At 100 TB the same kernel decodes real archived audio payloads; the
+    * synthesis step stands in for the media column the testdata lacks.
+    */
+  def q156WavDecode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    documents(s, dir).select(col("doc_id"), col("n_chars")).as[(Long, Long)]
+      .mapPartitions(_.map { case (docId, nChars) =>
+        val channels = (1 + docId % 2).toInt
+        val frames = (200 + nChars % 256).toInt
+        val samples = new Array[Short](frames * channels)
+        var i = 0
+        while (i < samples.length) {
+          samples(i) = ((docId * 31 + i * 7) % 2003 - 1001).toShort
+          i += 1
+        }
+        val bytes = WavCodec.encode(8000, channels, samples)
+        val w = WavCodec.decode(bytes)
+        WavDecoded(docId, w.sampleRate, w.channels, w.bits, w.nFrames,
+          w.durationMs, w.peakAbs, w.sumSq, w.sumAbs, bytes.length.toLong)
+      }).toDF().orderBy(col("doc_id"))
+  }
+
+  val q156Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id, 1 + doc_id % 2 AS channels,
+      |   200 + (n_chars % 256) AS frames
+      |  FROM documents),
+      |s AS (
+      |  SELECT doc_id, channels, frames,
+      |   list_transform(range(0, frames * channels),
+      |     i -> (doc_id * 31 + i * 7) % 2003 - 1001) AS smp
+      |  FROM d)
+      |SELECT doc_id,
+      | CAST(8000 AS BIGINT) AS sample_rate,
+      | CAST(channels AS BIGINT) AS channels,
+      | CAST(16 AS BIGINT) AS bits,
+      | CAST(frames AS BIGINT) AS n_frames,
+      | CAST(frames * 1000 // 8000 AS BIGINT) AS duration_ms,
+      | CAST(list_max(list_transform(smp, x -> abs(x))) AS BIGINT) AS peak_abs,
+      | CAST(list_sum(list_transform(smp, x -> x * x)) AS BIGINT) AS sum_sq,
+      | CAST(list_sum(list_transform(smp, x -> abs(x))) AS BIGINT) AS sum_abs,
+      | CAST(44 + frames * channels * 2 AS BIGINT) AS container_bytes
+      |FROM s ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q157
+
+  /** q157: REAL BMP round-trip — the image twin of q156: a 24bpp pixel
+    * grid sized by doc_id, encoded as a genuine bottom-up padded-row BMP,
+    * parsed back by [[BmpCodec.decode]] (geometry from the headers, sums
+    * from the pixel array at the header-declared offset). The per-channel
+    * sums cross the padding and row-order logic, so a stride or
+    * bottom-up/top-down mistake flips the hash.
+    */
+  def q157BmpDecode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    documents(s, dir).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { docId =>
+        val w = (4 + docId % 13).toInt
+        val h = (3 + docId % 7).toInt
+        val bytes = BmpCodec.encode(w, h, (x, y) => (
+          ((docId + 3 * x + 5 * y) % 256).toInt,
+          ((docId + 3 * x + 5 * y + 11) % 256).toInt,
+          ((docId + 3 * x + 5 * y + 22) % 256).toInt))
+        val info = BmpCodec.decode(bytes)
+        BmpDecoded(docId, info.width, info.height, info.bpp, info.nPixels,
+          info.fileBytes, info.sumB, info.sumG, info.sumR)
+      }).toDF().orderBy(col("doc_id"))
+  }
+
+  val q157Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id, 4 + doc_id % 13 AS w, 3 + doc_id % 7 AS h
+      |  FROM documents),
+      |p AS (
+      |  SELECT doc_id, w, h,
+      |   list_transform(range(0, w * h * 3), i ->
+      |     struct_pack(c := i % 3,
+      |       v := (doc_id + 3 * ((i // 3) % w) + 5 * ((i // 3) // w)
+      |             + 11 * (i % 3)) % 256)) AS px
+      |  FROM d)
+      |SELECT doc_id,
+      | CAST(w AS BIGINT) AS width,
+      | CAST(h AS BIGINT) AS height,
+      | CAST(24 AS BIGINT) AS bpp,
+      | CAST(w * h AS BIGINT) AS n_pixels,
+      | CAST(54 + h * ((w * 3 + 3) // 4 * 4) AS BIGINT) AS file_bytes,
+      | CAST(list_sum(list_transform(px, e -> CASE WHEN e.c = 0 THEN e.v ELSE 0 END)) AS BIGINT) AS sum_b,
+      | CAST(list_sum(list_transform(px, e -> CASE WHEN e.c = 1 THEN e.v ELSE 0 END)) AS BIGINT) AS sum_g,
+      | CAST(list_sum(list_transform(px, e -> CASE WHEN e.c = 2 THEN e.v ELSE 0 END)) AS BIGINT) AS sum_r
+      |FROM p ORDER BY doc_id""".stripMargin
 }

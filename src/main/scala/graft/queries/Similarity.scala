@@ -116,14 +116,23 @@ object Similarity {
     * cheaper and lower recall: the standard ANN knob. Top-3 per vector
     * within its bucket.
     */
-  def q26AnnLsh(s: SparkSession, dir: String): DataFrame = {
+  /** Vectors with their [[AnnPlanes]]-bit hyperplane signature attached
+    * as `bucket` — ONE definition shared by q26's candidate join and
+    * q155's candidates-scanned audit, so the recall report can never
+    * disagree with the executed index on bucket geometry.
+    */
+  private def lshBuckets(s: SparkSession, dir: String): DataFrame = {
     val planesLit = array(PlaneCoeffs.map(p => array(p.map(c => lit(c.toDouble)): _*)): _*)
     val pow2 = array((0 until AnnPlanes).map(b => lit(1L << b)): _*)
     val sig = aggregate(
       sequence(lit(0), lit(AnnPlanes - 1)), lit(0L),
       (acc, p) => acc + when(dot(col("v"), element_at(planesLit, p + 1)) > 0,
         element_at(pow2, p + 1)).otherwise(0L))
-    val e = vecs(s, dir).withColumn("bucket", sig)
+    vecs(s, dir).withColumn("bucket", sig)
+  }
+
+  def q26AnnLsh(s: SparkSession, dir: String): DataFrame = {
+    val e = lshBuckets(s, dir)
     val pairs = e.as("a").join(e.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.vec_id") =!= col("b.vec_id"))
       .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("neighbor_id"),
@@ -537,7 +546,11 @@ object Similarity {
     * only as lineage: nothing like IVF training exists there; this is the
     * brief's similarity-search scale path completed.
     */
-  def q101IvfTrained(s: SparkSession, dir: String): DataFrame = {
+  /** The trained-to-convergence cell assignment q101 probes — exposed
+    * separately so q155's recall audit counts candidates from the SAME
+    * trained index the probe executes, not a re-derived one.
+    */
+  private[graft] def trainedAssignment(s: SparkSession, dir: String): DataFrame = {
     // one materialization of the widened vectors: every round scans them
     val e = vecs(s, dir).localCheckpoint(true)
     // SHARED assignment semantics with q39 ([[assignToCells]]) — the
@@ -577,33 +590,38 @@ object Similarity {
       }
       round_ += 1
     }
-    // probe the trained index: q39's per-cell self-join + bounded top-k.
-    // Checkpointed: the self-join reads `assigned` from BOTH branches and
-    // Spark does not CSE across them (the q23 rule); on the converged
-    // path the loop's final checkpointed assignment IS assign(cents), so
-    // no recomputation happens at all.
-    val assigned = (if (converged) lastA else None)
+    // the trained index: q39's per-cell frame. Checkpointed: consumers
+    // self-join it from BOTH branches and Spark does not CSE across them
+    // (the q23 rule); on the converged path the loop's final checkpointed
+    // assignment IS assign(cents), so no recomputation happens at all.
+    (if (converged) lastA else None)
       .getOrElse(assign(cents).localCheckpoint(true))
-    probeCells(assigned)
   }
 
-  /** Oracle for q101: [[TrainRounds]] Lloyd rounds unrolled as CTE pairs
-    * (aN = assignment against cN-1's centroids, cN = 6dp means + norm),
-    * then the q39-shaped probe against the last round's centroids. Safe
-    * against the Scala side's early stop by the fixpoint argument on
-    * [[q101IvfTrained]].
-    */
-  val q101Sql: String = {
-    def dotL(a: String, b: String): String =
-      s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
-         |     list_transform(range(1, ${AnnDims + 1}), i -> $a[i] * $b[i])), (x, y) -> x + y)""".stripMargin
-    def assignCte(name: String, cents: String): String =
-      s"""$name AS (
-         |  SELECT vec_id, v, norm, cell FROM (
-         |    SELECT n.vec_id, n.v, n.norm, c.c_id AS cell,
-         |     row_number() OVER (PARTITION BY n.vec_id ORDER BY
-         |       ROUND(${dotL("n.v", "c.cv")} / (n.norm * c.cnorm), 6) DESC, c.c_id) AS crn
-         |    FROM n CROSS JOIN $cents c) WHERE crn = 1)""".stripMargin
+  def q101IvfTrained(s: SparkSession, dir: String): DataFrame =
+    probeCells(trainedAssignment(s, dir))
+
+  /** The 64-dim sequential-fold dot product in DuckDB SQL — shared by
+    * every oracle CTE builder below. */
+  private def sqlDotL(a: String, b: String): String =
+    s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |     list_transform(range(1, ${AnnDims + 1}), i -> $a[i] * $b[i])), (x, y) -> x + y)""".stripMargin
+
+  /** Nearest-centroid assignment CTE (vec_id, v, norm, cell) against a
+    * centroid CTE `cents` — the SQL twin of [[assignToCells]]; shared by
+    * q101's unrolled training and q155's candidate counting. Assumes a
+    * CTE `n` (vec_id, v, norm) is in scope. */
+  private def sqlAssignCte(name: String, cents: String): String =
+    s"""$name AS (
+       |  SELECT vec_id, v, norm, cell FROM (
+       |    SELECT n.vec_id, n.v, n.norm, c.c_id AS cell,
+       |     row_number() OVER (PARTITION BY n.vec_id ORDER BY
+       |       ROUND(${sqlDotL("n.v", "c.cv")} / (n.norm * c.cnorm), 6) DESC, c.c_id) AS crn
+       |    FROM n CROSS JOIN $cents c) WHERE crn = 1)""".stripMargin
+
+  /** The unrolled [[TrainRounds]] Lloyd rounds (a1/c1 … aN/cN CTE pairs)
+    * — q101's training chain, reused verbatim by q155's oracle. */
+  private def sqlTrainedRoundsCtes: String = {
     def rebuildCtes(r: Int): String =
       s"""d$r AS (
          |  SELECT cell, unnest(list_transform(range(1, ${AnnDims + 1}),
@@ -617,10 +635,15 @@ object Similarity {
          |    list_transform(cv, x -> x * x)), (a, b) -> a + b)) AS cnorm
          |  FROM (SELECT cell AS c_id, list(c_val ORDER BY pos) AS cv
          |        FROM g$r GROUP BY cell) t$r)""".stripMargin
-    val rounds = (1 to TrainRounds)
-      .map(r => assignCte(s"a$r", s"c${r - 1}") + ",\n" + rebuildCtes(r))
+    (1 to TrainRounds)
+      .map(r => sqlAssignCte(s"a$r", s"c${r - 1}") + ",\n" + rebuildCtes(r))
       .mkString(",\n")
-    s"""WITH e AS (
+  }
+
+  /** Shared `e`/`n`/`c0` head CTEs: widened vectors, norms, and the
+    * K-lowest-vec_id seed centroids (q39/q85/q101's seed rule). */
+  private def sqlVecHeadCtes: String =
+    s"""e AS (
        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
        |  FROM embeddings),
        |n AS (
@@ -630,12 +653,21 @@ object Similarity {
        |  FROM e),
        |c0 AS (
        |  SELECT vec_id AS c_id, v AS cv, norm AS cnorm FROM n
-       |  ORDER BY vec_id LIMIT $IvfCells),
-       |$rounds,
-       |${assignCte("af", s"c$TrainRounds")},
+       |  ORDER BY vec_id LIMIT $IvfCells)""".stripMargin
+
+  /** Oracle for q101: [[TrainRounds]] Lloyd rounds unrolled as CTE pairs
+    * (aN = assignment against cN-1's centroids, cN = 6dp means + norm),
+    * then the q39-shaped probe against the last round's centroids. Safe
+    * against the Scala side's early stop by the fixpoint argument on
+    * [[q101IvfTrained]].
+    */
+  val q101Sql: String =
+    s"""WITH $sqlVecHeadCtes,
+       |$sqlTrainedRoundsCtes,
+       |${sqlAssignCte("af", s"c$TrainRounds")},
        |p AS (
        |  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id, a.cell AS cell,
-       |   ROUND(${dotL("a.v", "b.v")} / (a.norm * b.norm), 6) AS sim
+       |   ROUND(${sqlDotL("a.v", "b.v")} / (a.norm * b.norm), 6) AS sim
        |  FROM af a JOIN af b ON a.cell = b.cell AND a.vec_id <> b.vec_id),
        |r AS (
        |  SELECT vec_id, neighbor_id, cell, sim,
@@ -643,7 +675,6 @@ object Similarity {
        |  FROM p)
        |SELECT vec_id, neighbor_id, cell, sim, rnk FROM r WHERE rnk <= 3
        |ORDER BY vec_id, rnk""".stripMargin
-  }
 
   /** Product-quantization geometry for q109: [[PqM]] subspaces of
     * [[PqSubDims]] dims each (4×16 = 64 = [[AnnDims]]), [[PqK]] codewords
@@ -1186,4 +1217,173 @@ object Similarity {
        | CAST(count(*) AS BIGINT) AS n_members,
        | ROUND(avg(u.x), 6) AS c_val
        |FROM d GROUP BY cell, u.pos ORDER BY cell, pos""".stripMargin
+
+  // ---------------------------------------------------------------- q155
+
+  /** q155: ANN RECALL REPORT — the operator a 100 TB user runs to CHOOSE
+    * an index: one row per approximate method with its measured recall
+    * against the exact ground truth and the candidate volume it scored
+    * to get there. Previously this evidence lived only in the test suite
+    * (SimilaritySpec pins); registering it makes the recall/cost frontier
+    * a queryable artifact of the engine itself.
+    *
+    * Methods and their ground truths:
+    *   - `lsh` (q26), `ivf_seeded` (q39), `ivf_trained` (q101): top-3
+    *     cosine neighbors per vector, judged against the exact top-3 from
+    *     q25's brute-force scan (micro-averaged pair recall: |found ∩
+    *     true| ∕ |true| over all (vector, neighbor) pairs).
+    *   - `pq_adc` (q109): top-[[PqTopK]] by asymmetric PQ distance for
+    *     the [[PqQueries]] query vectors, judged against the exact
+    *     squared-L2 top-[[PqTopK]] — the approximation here is the
+    *     quantized DISTANCE, not candidate pruning.
+    *
+    * `candidates_scanned` counts the scored candidate pairs (Σ c·(c−1)
+    * over LSH buckets / IVF cells, computed from the SAME bucket and
+    * assignment frames the methods execute — [[lshBuckets]],
+    * [[seededAssignment]], [[trainedAssignment]]); `scan_frac` divides by
+    * that workload's brute-force pair count, so lsh/ivf rows show the
+    * fraction of the O(n²) scan the index avoided, while pq_adc shows
+    * 1.0 — PQ scans every candidate but at 4 table lookups each, its
+    * saving is per-candidate cost, not candidate count.
+    *
+    * Scale shape: the ground truths are the declared O(n²) yardsticks
+    * (exactly q25's pairwise scan; the PQ truth is queries×n), each
+    * localCheckpoint'd once since hit-join and truth-count both consume
+    * them; every per-method reduction is a 1-row aggregate, composed by
+    * broadcast joins of bounded frames. At production scale the truth
+    * side comes from a sampled query set — the report's structure is
+    * sample-size-agnostic.
+    */
+  def q155AnnRecall(s: SparkSession, dir: String): DataFrame = {
+    // exact cosine top-3 per vector: q25's scan re-ranked at k=3
+    val exact3 = q25CosineTopK(s, dir).filter(col("rnk") <= 3)
+      .select(col("vec_id"), col("neighbor_id")).localCheckpoint(true)
+    // exact L2 top-PqTopK for the PQ query set (same fold + 6dp + id
+    // tiebreak convention as q109's tables, but on the FULL vectors)
+    val ev = vecs(s, dir)
+    val qs = ev.orderBy(col("vec_id")).limit(PqQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val exactPq = ev.join(broadcast(qs), col("vec_id") =!= col("q_id"))
+      .groupBy(col("q_id"))
+      .agg(topKPairs(-round(l2sq(col("v"), col("qv")), 6), col("vec_id"), PqTopK).as("nb"))
+      .select(col("q_id").as("vec_id"), explode(col("nb")).as("nb"))
+      .select(col("vec_id"), col("nb.id").as("neighbor_id"))
+      .localCheckpoint(true)
+    val nVec = ev.agg(count(lit(1)).as("n_vec"))
+    val allPairs = nVec.select((col("n_vec") * (col("n_vec") - 1)).as("exhaustive"))
+    val pqPairs = nVec.select(
+      (lit(PqQueries.toLong) * (col("n_vec") - 1)).as("candidates_scanned"),
+      (lit(PqQueries.toLong) * (col("n_vec") - 1)).as("exhaustive"))
+    // Σ c·(c−1) over an index's partitions — the candidate pairs its
+    // equi-join actually scores (singleton partitions contribute 0)
+    def candCount(assign: DataFrame, key: String): DataFrame =
+      assign.groupBy(col(key)).agg(count(lit(1)).as("c"))
+        .agg(coalesce(sum(col("c") * (col("c") - 1)), lit(0L)).as("candidates_scanned"))
+        .crossJoin(allPairs)
+    def methodRow(method: String, k: Int, ann: DataFrame, truth: DataFrame,
+        cand: DataFrame): DataFrame =
+      truth.agg(count(lit(1)).as("n_truth"))
+        .crossJoin(ann.join(truth, Seq("vec_id", "neighbor_id"), "left_semi")
+          .agg(count(lit(1)).as("n_hit")))
+        .crossJoin(cand)
+        .select(lit(method).as("method"), lit(k.toLong).as("k"),
+          col("n_truth"), col("n_hit"),
+          round(col("n_hit").cast("double") / col("n_truth"), 6).as("recall"),
+          col("candidates_scanned"),
+          round(col("candidates_scanned").cast("double") / col("exhaustive"), 6)
+            .as("scan_frac"))
+    val pairCols = Seq("vec_id", "neighbor_id").map(col)
+    methodRow("ivf_seeded", 3,
+        q39AnnIvf(s, dir).select(pairCols: _*), exact3,
+        candCount(seededAssignment(s, dir), "cell"))
+      .unionAll(methodRow("ivf_trained", 3,
+        q101IvfTrained(s, dir).select(pairCols: _*), exact3,
+        candCount(trainedAssignment(s, dir), "cell")))
+      .unionAll(methodRow("lsh", 3,
+        q26AnnLsh(s, dir).select(pairCols: _*), exact3,
+        candCount(lshBuckets(s, dir), "bucket")))
+      .unionAll(methodRow("pq_adc", PqTopK,
+        q109PqAdc(s, dir).select(col("q_id").as("vec_id"), col("neighbor_id")),
+        exactPq, pqPairs))
+      .orderBy(col("method"))
+  }
+
+  /** Oracle for q155: each method's pair set comes from its OWN oracle
+    * embedded verbatim as a nested-CTE subquery (so the recall report's
+    * oracle can never drift from the per-method oracles), the candidate
+    * counts from the shared signature/assignment CTE builders, and the
+    * PQ ground truth from a fresh exact-L2 rank over the query set.
+    */
+  val q155Sql: String = {
+    val planes = PlaneCoeffs.map(_.mkString("[", ", ", "]")).mkString("[", ", ", "]")
+    def l2full(a: String, b: String): String =
+      s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |      list_transform(range(1, ${AnnDims + 1}),
+         |        i -> ($a[i] - $b[i]) * ($a[i] - $b[i]))), (x, y) -> x + y)""".stripMargin
+    s"""WITH $sqlVecHeadCtes,
+       |nv AS (SELECT CAST(count(*) AS BIGINT) AS n_vec FROM e),
+       |ex AS (SELECT vec_id, neighbor_id FROM ($q25Sql) x25 WHERE rnk <= 3),
+       |lshp AS (SELECT vec_id, neighbor_id FROM ($q26Sql) x26),
+       |ivfp AS (SELECT vec_id, neighbor_id FROM ($q39Sql) x39),
+       |trp AS (SELECT vec_id, neighbor_id FROM ($q101Sql) x101),
+       |pqp AS (SELECT q_id AS vec_id, neighbor_id FROM ($q109Sql) x109),
+       |sg AS (
+       |  SELECT vec_id,
+       |   CAST(list_sum(list_transform(range(0, $AnnPlanes), p ->
+       |     CASE WHEN list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |            list_transform(range(1, ${AnnDims + 1}), i ->
+       |              CAST((($planes)[p + 1])[i] AS DOUBLE) * v[i])), (x, y) -> x + y) > 0
+       |     THEN (CAST(1 AS BIGINT) << p) ELSE 0 END)) AS BIGINT) AS bucket
+       |  FROM n),
+       |${sqlAssignCte("sa", "c0")},
+       |$sqlTrainedRoundsCtes,
+       |${sqlAssignCte("af", s"c$TrainRounds")},
+       |qs AS (SELECT vec_id FROM e ORDER BY vec_id LIMIT $PqQueries),
+       |pqx AS (
+       |  SELECT vec_id, neighbor_id FROM (
+       |    SELECT q.vec_id AS vec_id, b.vec_id AS neighbor_id,
+       |     row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |       ROUND(${l2full("q.v", "b.v")}, 6), b.vec_id) AS rnk
+       |    FROM n q JOIN n b ON b.vec_id <> q.vec_id
+       |    WHERE q.vec_id IN (SELECT vec_id FROM qs)) zx WHERE rnk <= $PqTopK),
+       |lshc AS (SELECT CAST(COALESCE(SUM(c * (c - 1)), 0) AS BIGINT) AS cands
+       |         FROM (SELECT count(*) AS c FROM sg GROUP BY bucket) zb),
+       |ivfc AS (SELECT CAST(COALESCE(SUM(c * (c - 1)), 0) AS BIGINT) AS cands
+       |         FROM (SELECT count(*) AS c FROM sa GROUP BY cell) zc),
+       |trc AS (SELECT CAST(COALESCE(SUM(c * (c - 1)), 0) AS BIGINT) AS cands
+       |        FROM (SELECT count(*) AS c FROM af GROUP BY cell) zt),
+       |rows_ AS (
+       |  SELECT 'ivf_seeded' AS method, CAST(3 AS BIGINT) AS k,
+       |   (SELECT CAST(count(*) AS BIGINT) FROM ex) AS n_truth,
+       |   (SELECT CAST(count(*) AS BIGINT) FROM ivfp j
+       |    JOIN ex USING (vec_id, neighbor_id)) AS n_hit,
+       |   (SELECT cands FROM ivfc) AS candidates_scanned,
+       |   (SELECT n_vec * (n_vec - 1) FROM nv) AS exhaustive
+       |  UNION ALL
+       |  SELECT 'ivf_trained', CAST(3 AS BIGINT),
+       |   (SELECT CAST(count(*) AS BIGINT) FROM ex),
+       |   (SELECT CAST(count(*) AS BIGINT) FROM trp j
+       |    JOIN ex USING (vec_id, neighbor_id)),
+       |   (SELECT cands FROM trc),
+       |   (SELECT n_vec * (n_vec - 1) FROM nv)
+       |  UNION ALL
+       |  SELECT 'lsh', CAST(3 AS BIGINT),
+       |   (SELECT CAST(count(*) AS BIGINT) FROM ex),
+       |   (SELECT CAST(count(*) AS BIGINT) FROM lshp j
+       |    JOIN ex USING (vec_id, neighbor_id)),
+       |   (SELECT cands FROM lshc),
+       |   (SELECT n_vec * (n_vec - 1) FROM nv)
+       |  UNION ALL
+       |  SELECT 'pq_adc', CAST($PqTopK AS BIGINT),
+       |   (SELECT CAST(count(*) AS BIGINT) FROM pqx),
+       |   (SELECT CAST(count(*) AS BIGINT) FROM pqp j
+       |    JOIN pqx USING (vec_id, neighbor_id)),
+       |   (SELECT $PqQueries * (n_vec - 1) FROM nv),
+       |   (SELECT $PqQueries * (n_vec - 1) FROM nv))
+       |SELECT method, k, n_truth, n_hit,
+       | ROUND(CAST(n_hit AS DOUBLE) / n_truth, 6) AS recall,
+       | candidates_scanned,
+       | ROUND(CAST(candidates_scanned AS DOUBLE) / exhaustive, 6) AS scan_frac
+       |FROM rows_ ORDER BY method""".stripMargin
+  }
 }

@@ -81,4 +81,80 @@ class MultimodalSpec extends SparkTestBase {
     val again = Multimodal.resizeAll(ds.repartition(7), 64).collect().sortBy(_.doc_id)
     assert(out.zip(again).forall { case (a, b) => a.bytes.sameElements(b.bytes) })
   }
+
+  // ---- real codecs (q156/q157): parsers must handle containers the
+  // ---- encoder did NOT produce, and reject what they can't decode
+
+  test("WAV: known 2-frame stereo fixture decodes to hand-computed facts") {
+    import graft.multimodal.WavCodec
+    // frames: (L=1000, R=-1000), (L=32767, R=-32768)
+    val bytes = WavCodec.encode(44100, 2, Array[Short](1000, -1000, 32767, -32768))
+    val w = WavCodec.decode(bytes)
+    assert(w.sampleRate === 44100L && w.channels === 2L && w.bits === 16L)
+    assert(w.nFrames === 2L)
+    assert(w.durationMs === 2L * 1000 / 44100) // 0 ms — integer floor
+    assert(w.peakAbs === 32768L)
+    assert(w.sumSq === 1000L * 1000 * 2 + 32767L * 32767 + 32768L * 32768)
+    assert(w.sumAbs === 1000L + 1000 + 32767 + 32768)
+    assert(bytes.length === 44 + 8)
+  }
+
+  test("WAV: chunk walk survives a foreign LIST chunk before data (incl. odd size)") {
+    import graft.multimodal.WavCodec
+    import java.nio.{ByteBuffer, ByteOrder}
+    val plain = WavCodec.encode(8000, 1, Array[Short](5, -7, 9))
+    for (junkLen <- Seq(6, 7)) { // even and ODD payload (RIFF pads to even)
+      val junk = new Array[Byte](junkLen + (junkLen & 1))
+      val bb = ByteBuffer.allocate(plain.length + 8 + junk.length)
+        .order(ByteOrder.LITTLE_ENDIAN)
+      bb.put(plain, 0, 12)                        // RIFF..WAVE
+      bb.put("LIST".getBytes("US-ASCII")).putInt(junkLen).put(junk)
+      bb.put(plain, 12, plain.length - 12)        // fmt + data as-is
+      val w = WavCodec.decode(bb.array())
+      assert(w.nFrames === 3L && w.peakAbs === 9L && w.sumAbs === 21L,
+        s"junkLen=$junkLen: chunk walk broke")
+    }
+  }
+
+  test("WAV: non-RIFF, non-PCM, and non-16-bit containers are rejected") {
+    import graft.multimodal.WavCodec
+    import java.nio.{ByteBuffer, ByteOrder}
+    val good = WavCodec.encode(8000, 1, Array[Short](1, 2))
+    intercept[IllegalArgumentException](WavCodec.decode("nope".getBytes ++ good.drop(4)))
+    val fmtCode = ByteBuffer.wrap(good.clone()).order(ByteOrder.LITTLE_ENDIAN)
+    fmtCode.putShort(20, 7.toShort)               // audio format: μ-law
+    intercept[IllegalArgumentException](WavCodec.decode(fmtCode.array()))
+    val bits = ByteBuffer.wrap(good.clone()).order(ByteOrder.LITTLE_ENDIAN)
+    bits.putShort(34, 8.toShort)                  // bits per sample: 8
+    intercept[IllegalArgumentException](WavCodec.decode(bits.array()))
+  }
+
+  test("BMP: padded odd-width image round-trips exact channel sums") {
+    import graft.multimodal.BmpCodec
+    // width 5 → row 15 bytes → stride 16 (1 pad byte/row): exercises padding
+    val w = 5; val h = 3
+    def px(x: Int, y: Int) = (x + 10 * y, x + 10 * y + 1, x + 10 * y + 2)
+    val bytes = BmpCodec.encode(w, h, px)
+    val info = BmpCodec.decode(bytes)
+    assert(info.width === w.toLong && info.height === h.toLong && info.bpp === 24L)
+    assert(info.fileBytes === 54L + 16 * h)
+    val base = (for (x <- 0 until w; y <- 0 until h) yield x + 10 * y).sum.toLong
+    assert(info.sumB === base)
+    assert(info.sumG === base + w * h)
+    assert(info.sumR === base + 2L * w * h)
+  }
+
+  test("BMP: parser honors a non-standard pixel-array offset from the header") {
+    import graft.multimodal.BmpCodec
+    import java.nio.{ByteBuffer, ByteOrder}
+    val plain = BmpCodec.encode(2, 2, (x, y) => (x, y, x + y))
+    // splice 8 junk bytes between headers and pixels, patch the offset
+    val out = ByteBuffer.allocate(plain.length + 8).order(ByteOrder.LITTLE_ENDIAN)
+    out.put(plain, 0, 54).put(new Array[Byte](8)).put(plain, 54, plain.length - 54)
+    out.putInt(10, 54 + 8)                        // bfOffBits
+    val moved = BmpCodec.decode(out.array())
+    val orig = BmpCodec.decode(plain)
+    assert(moved.sumB === orig.sumB && moved.sumG === orig.sumG && moved.sumR === orig.sumR)
+    assert(moved.width === 2L && moved.height === 2L)
+  }
 }

@@ -111,4 +111,23 @@ class PipelineSpec extends SparkTestBase with TableDrivenPropertyChecks {
     assert(minP.signum() >= 0 && maxP.doubleValue() < 100000)
     assert(minD.signum() >= 0 && maxD.doubleValue() < 10000)
   }
+
+  test("EventsIngestJob: two-tick drain with redelivery conserves events exactly") {
+    // the runnable events entry end-to-end: staged time-sliced arrivals,
+    // dedup-within-watermark, windowed aggregate, foreachBatch upsert,
+    // two AvailableNow drains off one checkpoint — the composed job must
+    // aggregate every source event exactly once despite the redelivered
+    // overlap (run() returns the conservation verdict), and the store's
+    // per-window totals must equal the batch recompute
+    val work = Files.createTempDirectory("graft_ev_job").toString
+    assert(graft.pipeline.EventsIngestJob.run(spark, sf, work),
+      "conservation invariant failed — see [events-ingest] log lines")
+    val store = spark.read.parquet(s"$work/agg")
+    val batch = graft.streaming.EventStreams.tumbling(
+      Tables.events(spark, sf).select(
+        col("ts"), col("user_id"), col("event_type"), col("value")), "1 hour")
+    val diff = store.select(col("w_start"), col("event_type"), col("n_events"))
+      .exceptAll(batch.select(col("w_start"), col("event_type"), col("n_events")))
+    assert(diff.isEmpty, "upserted store diverges from the batch recompute")
+  }
 }

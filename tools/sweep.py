@@ -1,0 +1,78 @@
+#!/usr/bin/env python3
+"""Timeout-aware oracle sweep for out-of-band scale validation (dev tool,
+like check.py). Runs each query's DuckDB-oracle compare in its own
+subprocess with a wall-clock budget, so the handful of declared O(n^2)
+yardstick oracles (brute-force pair scans that DuckDB evaluates with
+interpreted list folds) can't block the other ~150 compares at sf1.
+
+Usage: python3 tools/sweep.py <verify_out_dir> <sf_dir> <report.json>
+         [--timeout SECS] [--workers N]
+
+Report: {query: {"status": "pass"|"fail"|"oracle_timeout"|"no_oracle",
+                 "secs": float, "spark_rows": int|null}}
+A timeout is NOT a pass — it records that the ORACLE (not the engine)
+exceeded the budget; the Spark result exists and its row count is kept.
+"""
+import json, os, subprocess, sys, time, glob
+from concurrent.futures import ThreadPoolExecutor
+
+def main():
+    out, sf, report_path = sys.argv[1], sys.argv[2], sys.argv[3]
+    timeout = 300
+    workers = 4
+    if "--timeout" in sys.argv:
+        timeout = int(sys.argv[sys.argv.index("--timeout") + 1])
+    if "--workers" in sys.argv:
+        workers = int(sys.argv[sys.argv.index("--workers") + 1])
+    oracle = json.load(open(os.path.join(out, "oracle_sql.json")))
+    dumped = sorted(n for n in os.listdir(out)
+                    if os.path.isdir(os.path.join(out, n)))
+
+    def spark_rows(name):
+        try:
+            import pyarrow.parquet as pq
+            return sum(pq.ParquetFile(f).metadata.num_rows
+                       for f in glob.glob(os.path.join(out, name, "*.parquet")))
+        except Exception:
+            return None
+
+    def one(name):
+        t0 = time.time()
+        if name not in oracle:
+            return name, {"status": "no_oracle", "secs": 0.0,
+                          "spark_rows": spark_rows(name)}
+        try:
+            p = subprocess.run(
+                [sys.executable, os.path.join(os.path.dirname(__file__), "check.py"),
+                 out, sf, name],
+                capture_output=True, text=True, timeout=timeout)
+            ok = "0 fail" in p.stdout and f"PASS {name}" in p.stdout
+            if ok:
+                status = "pass"
+            elif "oracle error" in p.stdout:
+                # DuckDB itself failed (spill-space exhaustion on the
+                # recursive pair-scan oracles) — an oracle resource wall,
+                # not an engine mismatch; keep it distinct from "fail"
+                status = "oracle_error"
+            else:
+                status = "fail"
+            if not ok:
+                sys.stderr.write(f"--- {name} ---\n{p.stdout[-2000:]}\n")
+        except subprocess.TimeoutExpired:
+            status = "oracle_timeout"
+        return name, {"status": status, "secs": round(time.time() - t0, 1),
+                      "spark_rows": spark_rows(name)}
+
+    with ThreadPoolExecutor(max_workers=workers) as ex:
+        results = dict(ex.map(one, dumped))
+    counts = {}
+    for r in results.values():
+        counts[r["status"]] = counts.get(r["status"], 0) + 1
+    json.dump({"sf_dir": sf, "timeout_secs": timeout, "summary": counts,
+               "queries": results},
+              open(report_path, "w"), indent=1, sort_keys=True)
+    print(f"== sweep: {counts} -> {report_path} ==")
+    sys.exit(1 if counts.get("fail", 0) else 0)
+
+if __name__ == "__main__":
+    main()

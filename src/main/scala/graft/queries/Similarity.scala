@@ -214,6 +214,15 @@ object Similarity {
     * nested-loop join anywhere (pinned in PlanSpec); per-band bucket work
     * is (n/2^planes)², and the verified output is exactly q40's pair set
     * at the calibrated threshold.
+    *
+    * Scale honesty (measured in the r11 sf1 sweep): band recall is
+    * PROBABILISTIC — at 20k vectors the 24×3 geometry finds 16,643 of
+    * the 16,647 true threshold pairs (recall 0.99976; the 4 misses sit
+    * at cosine ≈ the 0.45 boundary). The exact-pair-set oracle equality
+    * therefore holds at the fixture scales where the spec pins it, and
+    * degrades gracefully — never silently — beyond them; raising
+    * [[NdBands]] is the production knob, and q155 reports the measured
+    * recall/cost frontier per method.
     */
   def q67NearDupLsh(s: SparkSession, dir: String): DataFrame = {
     val e = vecs(s, dir)

@@ -27,6 +27,9 @@ def main():
     oracle = json.load(open(os.path.join(out, "oracle_sql.json")))
     dumped = sorted(n for n in os.listdir(out)
                     if os.path.isdir(os.path.join(out, n)))
+    if "--only" in sys.argv:
+        only = set(sys.argv[sys.argv.index("--only") + 1].split(","))
+        dumped = [n for n in dumped if n in only]
 
     def spark_rows(name):
         try:
@@ -49,15 +52,20 @@ def main():
             ok = "0 fail" in p.stdout and f"PASS {name}" in p.stdout
             if ok:
                 status = "pass"
-            elif "oracle error" in p.stdout:
-                # DuckDB itself failed (spill-space exhaustion on the
-                # recursive pair-scan oracles) — an oracle resource wall,
-                # not an engine mismatch; keep it distinct from "fail"
+            elif ("oracle error" in p.stdout
+                  or "No space left" in p.stderr or "MemoryError" in p.stderr
+                  or "OutOfMemory" in p.stderr
+                  or (p.returncode != 0 and f"FAIL {name}" not in p.stdout)):
+                # DuckDB/pandas themselves failed (spill-space exhaustion
+                # or OOM on the recursive pair-scan oracles) — an oracle
+                # resource wall, not an engine mismatch; keep it distinct
+                # from "fail" (which means a REAL value/row mismatch)
                 status = "oracle_error"
             else:
                 status = "fail"
             if not ok:
-                sys.stderr.write(f"--- {name} ---\n{p.stdout[-2000:]}\n")
+                sys.stderr.write(f"--- {name} ---\n{p.stdout[-2000:]}\n"
+                                 f"{p.stderr[-800:]}\n")
         except subprocess.TimeoutExpired:
             status = "oracle_timeout"
         return name, {"status": status, "secs": round(time.time() - t0, 1),

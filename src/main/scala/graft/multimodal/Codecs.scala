@@ -110,8 +110,9 @@ object BmpCodec {
   /** Row stride: pixel rows pad to a 4-byte boundary. */
   private def stride(width: Int): Int = (width * 3 + 3) / 4 * 4
 
-  /** Encode a 24bpp image. `px(y)(x)` is (b, g, r) with y=0 the TOP row;
-    * BMP stores rows bottom-up, which the encoder handles.
+  /** Encode a 24bpp image. The callback is invoked as `px(x, y)` and
+    * returns (b, g, r), with y=0 the TOP row; BMP stores rows bottom-up,
+    * which the encoder handles.
     */
   def encode(width: Int, height: Int, px: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
     val rowLen = stride(width)

@@ -131,8 +131,14 @@ object Similarity {
     vecs(s, dir).withColumn("bucket", sig)
   }
 
-  def q26AnnLsh(s: SparkSession, dir: String): DataFrame = {
-    val e = lshBuckets(s, dir)
+  def q26AnnLsh(s: SparkSession, dir: String): DataFrame =
+    annFromBuckets(lshBuckets(s, dir))
+
+  /** q26's candidate-join + top-3 tail over a bucketed frame — split out
+    * so q155 can drive it from a SHARED (checkpointed) bucket frame
+    * instead of re-deriving the signatures a second time.
+    */
+  private def annFromBuckets(e: DataFrame): DataFrame = {
     val pairs = e.as("a").join(e.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.vec_id") =!= col("b.vec_id"))
       .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("neighbor_id"),
@@ -1302,15 +1308,21 @@ object Similarity {
           round(col("candidates_scanned").cast("double") / col("exhaustive"), 6)
             .as("scan_frac"))
     val pairCols = Seq("vec_id", "neighbor_id").map(col)
+    // each index frame is bound ONCE and feeds both its probe and its
+    // candidate count — binding q101IvfTrained and trainedAssignment
+    // separately would run the whole Lloyd training loop twice (it was
+    // the slowest stage of the sf1 sweep), and a re-derived lshBuckets
+    // would recompute every signature dot product a second time
+    val sa = seededAssignment(s, dir).localCheckpoint(true)
+    val ta = trainedAssignment(s, dir) // already checkpointed internally
+    val lb = lshBuckets(s, dir).localCheckpoint(true)
     methodRow("ivf_seeded", 3,
-        q39AnnIvf(s, dir).select(pairCols: _*), exact3,
-        candCount(seededAssignment(s, dir), "cell"))
+        probeCells(sa).select(pairCols: _*), exact3, candCount(sa, "cell"))
       .unionAll(methodRow("ivf_trained", 3,
-        q101IvfTrained(s, dir).select(pairCols: _*), exact3,
-        candCount(trainedAssignment(s, dir), "cell")))
+        probeCells(ta).select(pairCols: _*), exact3, candCount(ta, "cell")))
       .unionAll(methodRow("lsh", 3,
-        q26AnnLsh(s, dir).select(pairCols: _*), exact3,
-        candCount(lshBuckets(s, dir), "bucket")))
+        annFromBuckets(lb).select(pairCols: _*), exact3,
+        candCount(lb, "bucket")))
       .unionAll(methodRow("pq_adc", PqTopK,
         q109PqAdc(s, dir).select(col("q_id").as("vec_id"), col("neighbor_id")),
         exactPq, pqPairs))

@@ -13,7 +13,7 @@ Report: {query: {"status": "pass"|"fail"|"oracle_timeout"|"no_oracle",
 A timeout is NOT a pass — it records that the ORACLE (not the engine)
 exceeded the budget; the Spark result exists and its row count is kept.
 """
-import json, os, subprocess, sys, time, glob
+import json, os, re, subprocess, sys, time, glob
 from concurrent.futures import ThreadPoolExecutor
 
 def main():
@@ -49,17 +49,23 @@ def main():
                 [sys.executable, os.path.join(os.path.dirname(__file__), "check.py"),
                  out, sf, name],
                 capture_output=True, text=True, timeout=timeout)
-            ok = "0 fail" in p.stdout and f"PASS {name}" in p.stdout
+            # exact one-query summary, not a substring ("0 fail" would
+            # also match "20 fail"); check.py is invoked with exactly one
+            # query so the expected line is "== 1 pass, 0 fail =="
+            ok = (p.returncode == 0 and f"PASS {name}" in p.stdout
+                  and re.search(r"== \d+ pass, 0 fail ==", p.stdout))
+            blob = p.stdout + p.stderr
+            resource_wall = ("No space left" in blob or "MemoryError" in blob
+                             or "OutOfMemory" in blob
+                             or "could not allocate" in blob.lower())
             if ok:
                 status = "pass"
-            elif ("oracle error" in p.stdout
-                  or "No space left" in p.stderr or "MemoryError" in p.stderr
-                  or "OutOfMemory" in p.stderr
-                  or (p.returncode != 0 and f"FAIL {name}" not in p.stdout)):
-                # DuckDB/pandas themselves failed (spill-space exhaustion
-                # or OOM on the recursive pair-scan oracles) — an oracle
-                # resource wall, not an engine mismatch; keep it distinct
-                # from "fail" (which means a REAL value/row mismatch)
+            elif resource_wall:
+                # DuckDB/pandas themselves hit a resource wall (spill-space
+                # exhaustion or OOM on the recursive pair-scan oracles) —
+                # not an engine mismatch; keep it distinct from "fail".
+                # Any OTHER oracle exception (e.g. a syntax error from an
+                # SQL refactor) is a real, gating failure.
                 status = "oracle_error"
             else:
                 status = "fail"

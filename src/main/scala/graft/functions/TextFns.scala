@@ -107,6 +107,53 @@ object HashConsts {
   val SimHashBandBits: Int = SimHashBits / SimHashBands
   val SimHashMaxHamming: Int = 3 // ≤ bands-1 ⇒ pigeonhole guarantees a matching band
 
+  /** Occupancy-adaptive candidate-table geometry for the SimHash hamming
+    * join — the Manku/Jain/Das Sarma WWW'07 block-permutation scheme. The
+    * 48-bit signature is cut into `m` equal blocks; a pair at hamming ≤ 3
+    * has its dirty bits inside ≤ 3 blocks, so for EVERY m ≥ 4 some
+    * (m−3)-block subset is clean on both sides — keying one candidate
+    * table per 3-block EXCLUSION (C(m,3) tables, each on the remaining
+    * m−3 blocks = 48·(m−3)/m key bits) is a lossless candidate generator
+    * at any m. Raising m widens the key (12 → 24 → 30 → 36 bits), so
+    * uniform bucket occupancy n/2^keybits stays bounded as the corpus
+    * grows: the fix for the measured r11 ×22 growth of the fixed 12-bit
+    * geometry at 10× data, and the difference between quadratic and
+    * near-linear candidate cost at 100 TB. The table count grows
+    * combinatorially (4 → 20 → 56 → 220) but is a per-row explode factor,
+    * not a join blow-up. m is chosen from the corpus row count at plan
+    * time; the FINAL pair set (candidates ∩ hamming ≤ 3) is identical for
+    * every valid geometry, so the oracle stays geometry-free.
+    */
+  val SimHashBlockChoices: Seq[Int] = Seq(4, 6, 8, 12)
+
+  /** Target expected bucket occupancy (n / 2^keybits) the block choice
+    * aims at under a uniform-signature assumption. */
+  val SimHashTargetOcc: Long = 4L
+
+  /** Key width of the m-block geometry: bits carried by the m−3 kept
+    * blocks. */
+  def simHashKeyBits(m: Int): Int = SimHashBits / m * (m - 3)
+
+  /** Smallest block count whose key keeps expected occupancy ≤
+    * [[SimHashTargetOcc]]; the widest ladder step beyond that. */
+  def simHashBlocks(n: Long): Int =
+    SimHashBlockChoices
+      .find(m => (n >> simHashKeyBits(m)) <= SimHashTargetOcc)
+      .getOrElse(SimHashBlockChoices.last)
+
+  /** The C(m,3) candidate-table masks: table k keeps the signature bits
+    * of all blocks OUTSIDE its excluded 3-block combination. */
+  def simHashTableMasks(m: Int): Seq[Long] = {
+    require(SimHashBits % m == 0 && m >= SimHashMaxHamming + 1,
+      s"block count $m must divide $SimHashBits and exceed max hamming")
+    val blockBits = SimHashBits / m
+    val blockMask = (1L << blockBits) - 1
+    val full = (1L << SimHashBits) - 1
+    (0 until m).combinations(SimHashMaxHamming).map { excluded =>
+      full ^ excluded.map(b => blockMask << (b * blockBits)).reduce(_ | _)
+    }.toSeq
+  }
+
   /** Rolling-hash modulus (2^40) for document fingerprinting: keeps
     * `acc * 31 + hash60` < 2^61, overflow-safe in both engines.
     */

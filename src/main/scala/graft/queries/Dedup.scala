@@ -503,14 +503,28 @@ object Dedup {
 
   /** q24: SimHash near-dup detection. Per doc: a 48-bit signature — bit i
     * is the sign of Σ over the token stream of ±1 (token hash bit i) —
-    * then a banded hamming join: signatures are split into 4×12-bit bands;
-    * pairs sharing any band are candidates (pigeonhole: hamming ≤ 3 ⇒ ≥1
-    * identical band), verified with bit_count(a XOR b) ≤ 3. Frequency-
-    * weighted by construction (repeated tokens add weight), order-
-    * insensitive, one map pass + band equi-join — the Google-style
-    * web-dedup shape.
+    * then a banded hamming join with OCCUPANCY-ADAPTIVE geometry
+    * (Manku/WWW'07 block permutation, [[simHashBlocks]]): the signature is
+    * cut into m equal blocks and candidates are keyed per 3-block
+    * exclusion (C(m,3) tables on 48·(m−3)/m-bit masked signatures), so
+    * pigeonhole still guarantees every hamming ≤ 3 pair a clean table
+    * while the key width grows with the corpus (12-bit keys ≤ 16k docs,
+    * 24-bit to 67M, then 30/36) and uniform bucket occupancy stays
+    * bounded. Candidates are verified with bit_count(a XOR b) ≤ 3; the
+    * verified pair set is geometry-invariant (every ladder step is
+    * lossless — pinned by DedupSpec), so scale-ups change cost, never
+    * results. Frequency-weighted by construction (repeated tokens add
+    * weight), order-insensitive, one map pass + band equi-join — the
+    * Google-style web-dedup shape.
     */
-  def q24SimHash(s: SparkSession, dir: String): DataFrame = {
+  def q24SimHash(s: SparkSession, dir: String): DataFrame =
+    q24SimHashWithBlocks(s, dir,
+      simHashBlocks(documents(s, dir).count()))
+
+  /** The q24 pipeline at a FIXED block count — package-visible so the
+    * spec can pin pair-set equality across ladder steps. */
+  private[graft] def q24SimHashWithBlocks(s: SparkSession, dir: String,
+      blocks: Int): DataFrame = {
     // Token stream WITH duplicates (frequency weighting), on the codegen
     // path: explode → one hash-aggregate with 48 sum(±1) columns, then the
     // signature is assembled from the 48 sign bits. The earlier
@@ -528,10 +542,10 @@ object Dedup {
       .agg(bitSums.head, bitSums.tail: _*)
       .withColumn("simhash", sig)
       .select(col("doc_id"), col("simhash"))
-    val mask = (1L << SimHashBandBits) - 1
-    val bandStructs = array((0 until SimHashBands).map(k =>
-      struct(lit(k).as("band"),
-        shiftright(col("simhash"), k * SimHashBandBits).bitwiseAND(lit(mask)).as("band_val"))): _*)
+    val bandStructs = array(simHashTableMasks(blocks).zipWithIndex.map {
+      case (mask, k) => struct(lit(k).as("band"),
+        col("simhash").bitwiseAND(lit(mask)).as("band_val"))
+    }: _*)
     val bands = base.select(col("doc_id"), col("simhash"),
       explode(bandStructs).as("bv"))
       .select(col("doc_id"), col("simhash"),
@@ -548,6 +562,10 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** q24's oracle keeps the FIXED 4×12-bit geometry: every ladder step is
+    * a lossless candidate generator for hamming ≤ 3, so the verified pair
+    * set the oracle computes is identical to the engine's at any adaptive
+    * block count — the oracle checks results, not geometry. */
   val q24Sql: String = {
     val mask = (1L << SimHashBandBits) - 1
     s"""WITH t AS (

@@ -377,4 +377,41 @@ class DedupSpec extends SparkTestBase {
     assert(fx.keySet === Set((2L, 1L)), s"expected only the excerpt pair, got ${fx.keySet}")
     assert(fx((2L, 1L)) === 1.0, "a verbatim prefix must be fully contained")
   }
+
+  test("q24 geometry ladder: every block count is a lossless candidate generator") {
+    import graft.functions.HashConsts._
+    // pigeonhole property, exhaustively over deterministic pseudo-random
+    // signature pairs at every hamming distance 0..MaxHamming: a pair
+    // within threshold must share at least one masked table key at EVERY
+    // ladder step (this is the theorem that lets the geometry adapt
+    // without touching results — a miss here means lost pairs at scale)
+    val rnd = new scala.util.Random(42)
+    val full = (1L << SimHashBits) - 1
+    for (m <- SimHashBlockChoices; trial <- 1 to 200) {
+      val a = rnd.nextLong() & full
+      val ham = trial % (SimHashMaxHamming + 1)
+      // flip `ham` DISTINCT bit positions
+      val positions = rnd.shuffle((0 until SimHashBits).toList).take(ham)
+      val b = positions.foldLeft(a)((acc, p) => acc ^ (1L << p))
+      val masks = simHashTableMasks(m)
+      assert(masks.size === (m * (m - 1) * (m - 2)) / 6)
+      assert(masks.exists(k => (a & k) == (b & k)),
+        s"m=$m hamming=$ham pair lost by every table")
+    }
+    // ladder-choice sanity: the gate corpora stay on the 4-block plan,
+    // the 10x corpus steps to 6 blocks, web scale to the widest key
+    assert(simHashBlocks(5000) === 4)
+    assert(simHashBlocks(50000) === 6)
+    assert(simHashBlocks(100L * 1000 * 1000 * 1000) === 12)
+  }
+
+  test("q24: verified pair set is identical at every geometry ladder step") {
+    // the end-to-end guarantee on real data: candidates differ per
+    // geometry, the verified output must not
+    val expected = Dedup.q24SimHashWithBlocks(spark, sf, 4).collect().toSeq
+    for (m <- Seq(6, 8, 12)) {
+      val got = Dedup.q24SimHashWithBlocks(spark, sf, m).collect().toSeq
+      assert(got === expected, s"pair set changed at m=$m")
+    }
+  }
 }

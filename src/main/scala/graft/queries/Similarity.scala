@@ -184,29 +184,56 @@ object Similarity {
       .orderBy(col("keep_id"), col("drop_id"))
   }
 
-  /** Banded-LSH geometry for q67: OR over [[NdBands]] bands, each an AND
-    * of [[NdPlanesPerBand]] random hyperplanes — q23's band construction
-    * transplanted to embedding space (q26 is a single 8-plane AND: right
-    * for top-k bucketing, far too low-recall for near-dup detection). A
-    * pair at angle θ collides in one band with (1−θ/π)^planes and is a
-    * candidate with 1−(1−(1−θ/π)^p)^bands; at this corpus's calibrated
-    * threshold (cos 0.45 ⇒ θ≈63°) the measured recall vs brute-force q40
-    * is 1.0 at every fixture scale (the q67 ≡ q40 test), while at a
-    * production threshold (0.95 ⇒ θ≈18°) the same construction is sharply
-    * selective — bands/planes are the standard recall-vs-cost knobs.
+  /** Banded-LSH geometry for q67: OR over bands, each an AND of p random
+    * hyperplanes — q23's band construction transplanted to embedding
+    * space (q26 is a single 8-plane AND: right for top-k bucketing, far
+    * too low-recall for near-dup detection). A pair at angle θ collides
+    * in one band with s = (1−θ/π)^p and is a candidate with
+    * 1−(1−s)^bands.
+    *
+    * The geometry is OCCUPANCY-ADAPTIVE (the fix for the measured r11
+    * ×17.6 growth at 10× data, quadratic at 100× under any FIXED band
+    * width): planes-per-band p is the smallest rung with expected
+    * uniform bucket occupancy n/2^p ≤ [[NdTargetOcc]], and the band
+    * count spends a constant recall budget ([[NdBandBudget]] =
+    * −ln(1−recall) at the threshold angle, recall ≈ 0.9985) against the
+    * chosen p: bands = ⌈budget / s1^p⌉ with s1 the collision probability
+    * AT the calibrated threshold. Each +1 rung halves bucket occupancy
+    * and multiplies bands by 1/s1 ≈ 1.54, so candidate work grows as
+    * n·bands ≈ n^(1+log2(1/s1)) ≈ n^1.6 instead of n² — the standard
+    * LSH n^ρ scale path, with ρ pinned by the corpus-calibrated
+    * threshold (cos 0.45 ⇒ θ≈63°; production near-dup at 0.95 ⇒ θ≈18°
+    * gives s1 ≈ 0.9 and a far flatter curve). Rung p=3 reproduces the
+    * r11 geometry (24 bands × 3 planes) exactly, so every driver gate
+    * corpus (n ≤ 2048) plans and hashes identically to before; the
+    * oracle derives the SAME rung from the corpus row count in SQL
+    * ([[q67Sql]]'s ladder VALUES — integer thresholds precomputed here,
+    * so no cross-engine float boundary can flip a rung).
     */
-  val NdBands: Int = 24
-  val NdPlanesPerBand: Int = 3
+  val NdTargetOcc: Long = 256L
+  val NdMaxPlanes: Int = 16
+  val NdBandBudget: Double = 6.5
+  private val ndS1: Double = 1.0 - math.acos(NearDupThreshold) / math.Pi
+
+  /** Smallest rung keeping expected occupancy ≤ [[NdTargetOcc]]. */
+  def ndPlanesFor(n: Long): Int =
+    (3 to NdMaxPlanes).find(p => n <= (NdTargetOcc << p)).getOrElse(NdMaxPlanes)
+
+  /** Bands spending the fixed recall budget at rung p. */
+  def ndBandsFor(p: Int): Int =
+    math.ceil(NdBandBudget / math.pow(ndS1, p)).toInt
 
   /** Deterministic ±1 coefficients per (band, plane, dim) — md5 parity,
-    * reproducible in both engines (cf. [[PlaneCoeffs]]).
+    * reproducible in both engines (cf. [[PlaneCoeffs]]). Band b / plane j
+    * coefficients depend only on (b, j, d), so lower rungs' planes are a
+    * prefix of higher rungs' — the rung never reshuffles geometry.
     */
-  val NdPlaneCoeffs: Seq[Seq[Seq[Long]]] = {
+  def ndPlaneCoeffs(bands: Int, planes: Int): Seq[Seq[Seq[Long]]] = {
     def parity(s: String): Long = {
       val d = MessageDigest.getInstance("MD5").digest(s.getBytes(StandardCharsets.UTF_8))
       if ((d(15) & 1) == 1) 1L else -1L
     }
-    (0 until NdBands).map(b => (0 until NdPlanesPerBand).map(p =>
+    (0 until bands).map(b => (0 until planes).map(p =>
       (0 until AnnDims).map(d => parity(s"nd${b}p${p}d$d"))))
   }
 
@@ -221,24 +248,32 @@ object Similarity {
     * is (n/2^planes)², and the verified output is exactly q40's pair set
     * at the calibrated threshold.
     *
-    * Scale honesty (measured in the r11 sf1 sweep): band recall is
-    * PROBABILISTIC — at 20k vectors the 24×3 geometry finds 16,643 of
-    * the 16,647 true threshold pairs (recall 0.99976; the 4 misses sit
-    * at cosine ≈ the 0.45 boundary). The exact-pair-set oracle equality
-    * therefore holds at the fixture scales where the spec pins it, and
-    * degrades gracefully — never silently — beyond them; raising
-    * [[NdBands]] is the production knob, and q155 reports the measured
-    * recall/cost frontier per method.
+    * Band recall is PROBABILISTIC (the r11 sweep measured 0.99976 at 20k
+    * vectors under the then-fixed geometry), so the CONTRACT is engine ≡
+    * oracle, not engine ≡ exhaustive: [[q67Sql]] derives the identical
+    * rung and band signatures from the corpus row count and verifies the
+    * same candidates exactly — deterministic agreement at EVERY scale
+    * (the r11 lesson: an approximate method pinned to an exact oracle
+    * must eventually diverge; q40 remains the exact yardstick and the
+    * q67 ≡ q40 spec pins recall 1.0 at the fixture scale).
     */
   def q67NearDupLsh(s: SparkSession, dir: String): DataFrame = {
     val e = vecs(s, dir)
-    val bandStructs = array((0 until NdBands).map { b =>
-      val sig = (0 until NdPlanesPerBand).map { p =>
-        val plane = array(NdPlaneCoeffs(b)(p).map(c => lit(c.toDouble)): _*)
-        when(dot(col("v"), plane) > 0, lit(1L << p)).otherwise(lit(0L))
-      }.reduce(_ + _)
-      struct(lit(b).as("band"), sig.as("band_sig"))
-    }: _*)
+    val rung = ndPlanesFor(embeddings(s, dir).count())
+    val nBands = ndBandsFor(rung)
+    // ONE nested-array Literal (typedlit), not bands×planes×dims lit()
+    // nodes: at the finer rungs the coefficient tensor holds tens of
+    // thousands of values, and an expression TREE that size blows the
+    // 64KB codegen method limit — as a single constant it's a reference
+    // lookup, and the signature loop is an expression-level fold whose
+    // tree size is geometry-independent (q26's planesLit pattern)
+    val coefLit = typedlit(ndPlaneCoeffs(nBands, rung).map(_.map(_.map(_.toDouble))))
+    val bitsLit = typedlit((0 until rung).map(j => 1L << j))
+    val bandStructs = transform(sequence(lit(0), lit(nBands - 1)), b =>
+      struct(b.as("band"),
+        aggregate(sequence(lit(0), lit(rung - 1)), lit(0L), (acc, j) =>
+          acc + when(dot(col("v"), element_at(element_at(coefLit, b + 1), j + 1)) > 0,
+            element_at(bitsLit, j + 1)).otherwise(lit(0L))).as("band_sig")))
     val bands = e.select(col("vec_id"), explode(bandStructs).as("bs"))
       .select(col("vec_id"), col("bs.band").as("band"), col("bs.band_sig").as("band_sig"))
     // checkpoint + resplit (cf. q22's verify): scoring the candidates is
@@ -279,6 +314,59 @@ object Similarity {
       |     list_transform(range(1, 65), i -> a.v[i] * b.v[i])), (x, y) -> x + y)
       |   / (a.norm * b.norm) >= 0.45
       |ORDER BY keep_id, drop_id""".stripMargin
+
+  /** q67's band-aware oracle: derives the SAME adaptive rung from the
+    * corpus row count (the ladder VALUES are Scala-precomputed integers —
+    * no float boundary can disagree across engines), rebuilds the md5-
+    * parity hyperplane coefficients in SQL, generates candidates from the
+    * identical (band, band_sig) equi-join, and verifies them with the
+    * same sequential-fold cosine. Engine ≡ oracle is therefore
+    * deterministic at EVERY scale; recall vs the exact q40 pair set is
+    * measured, not asserted (SimilaritySpec pins 1.0 at the fixture).
+    */
+  val q67Sql: String = {
+    val ladder = (3 to NdMaxPlanes)
+      .map(p => s"(${p}, ${ndBandsFor(p)}, ${NdTargetOcc << p})").mkString(", ")
+    def fold(a: String, b: String): String =
+      s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |     list_transform(range(1, ${AnnDims + 1}), i -> $a[i] * $b[i])), (x, y) -> x + y)""".stripMargin
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |n AS (
+       |  SELECT vec_id, v,
+       |   sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |     list_transform(v, x -> x * x)), (a, b) -> a + b)) AS norm
+       |  FROM e),
+       |cnt AS (SELECT CAST(count(*) AS BIGINT) AS c FROM embeddings),
+       |geom AS (
+       |  SELECT np, nb FROM (VALUES $ladder) l(np, nb, hi), cnt
+       |  WHERE c <= hi OR np = $NdMaxPlanes ORDER BY np LIMIT 1),
+       |coef AS (
+       |  SELECT b, j, list(CASE WHEN CAST(concat('0x',
+       |      substr(md5('nd' || b || 'p' || j || 'd' || d), 32, 1)) AS BIGINT) % 2 = 1
+       |    THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END ORDER BY d) AS w
+       |  FROM geom,
+       |   unnest(range(0, nb)) AS ub(b),
+       |   unnest(range(0, np)) AS uj(j),
+       |   unnest(range(0, $AnnDims)) AS ud(d)
+       |  GROUP BY b, j),
+       |sigs AS (
+       |  SELECT n.vec_id, c.b AS band,
+       |   CAST(sum(CASE WHEN ${fold("c.w", "n.v")} > 0
+       |     THEN (CAST(1 AS BIGINT) << c.j) ELSE 0 END) AS BIGINT) AS band_sig
+       |  FROM n CROSS JOIN coef c
+       |  GROUP BY n.vec_id, c.b),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS keep_id, b.vec_id AS drop_id
+       |  FROM sigs a JOIN sigs b
+       |    ON a.band = b.band AND a.band_sig = b.band_sig AND a.vec_id < b.vec_id)
+       |SELECT keep_id, drop_id,
+       | ROUND(${fold("ka.v", "kb.v")} / (ka.norm * kb.norm), 6) AS sim
+       |FROM cand JOIN n ka ON keep_id = ka.vec_id JOIN n kb ON drop_id = kb.vec_id
+       |WHERE ${fold("ka.v", "kb.v")} / (ka.norm * kb.norm) >= $NearDupThreshold
+       |ORDER BY keep_id, drop_id""".stripMargin
+  }
 
   /** IVF cell count (√n-ish for the test corpora). */
   val IvfCells: Int = 16

@@ -16,6 +16,32 @@ class SimilaritySpec extends SparkTestBase {
     assert(brute.nonEmpty, "fixture must actually contain near-dup pairs")
   }
 
+  test("q67 geometry ladder: occupancy-bounded rungs, recall-budgeted bands") {
+    // the gate corpora (n ≤ 2048) sit on rung p=3 with exactly the r11
+    // geometry (24 bands × 3 planes) — plans and hashes unchanged there
+    assert(Similarity.ndPlanesFor(500) === 3)
+    assert(Similarity.ndPlanesFor(2048) === 3)
+    assert(Similarity.ndBandsFor(3) === 24)
+    // the 10× corpus steps to a finer rung
+    assert(Similarity.ndPlanesFor(20000) === 7)
+    // occupancy bound holds at every rung the ladder assigns (until the
+    // documented cap)
+    for (n <- Seq(100L, 2048L, 2049L, 20000L, 1000000L, 1L << 30)) {
+      val p = Similarity.ndPlanesFor(n)
+      assert(p === Similarity.NdMaxPlanes || n <= (Similarity.NdTargetOcc << p),
+        s"occupancy bound violated at n=$n (rung $p)")
+    }
+    // each +1 rung halves occupancy and must RAISE bands to hold the
+    // recall budget — the cost model is monotone, never a cliff
+    assert((3 until Similarity.NdMaxPlanes)
+      .forall(p => Similarity.ndBandsFor(p) < Similarity.ndBandsFor(p + 1)))
+    // coefficients are rung-stable: a lower rung's planes are a prefix
+    // of a higher rung's (the rung never reshuffles geometry)
+    val lo = Similarity.ndPlaneCoeffs(24, 3)
+    val hi = Similarity.ndPlaneCoeffs(37, 4)
+    assert((0 until 24).forall(b => (0 until 3).forall(j => lo(b)(j) == hi(b)(j))))
+  }
+
   test("q85: every cell is complete, members conserve the corpus, means sit in range") {
     import org.apache.spark.sql.functions._
     val out = Similarity.q85KmeansIteration(spark, sf).cache()

@@ -6,7 +6,12 @@ yardstick oracles (brute-force pair scans that DuckDB evaluates with
 interpreted list folds) can't block the other ~150 compares at sf1.
 
 Usage: python3 tools/sweep.py <verify_out_dir> <sf_dir> <report.json>
-         [--timeout SECS] [--workers N]
+         [--timeout SECS] [--workers N] [--only q1,q2] [--cte-cache]
+
+--cte-cache: materialize the shared near-dup components CTE block once
+  (check.py --build-cte-cache) and run every compare against it — at sf1
+  the recursive closure spills ~78 GB per execution, and 13 oracles embed
+  it, so without the cache those compares hit the disk wall.
 
 Report: {query: {"status": "pass"|"fail"|"oracle_timeout"|"no_oracle",
                  "secs": float, "spark_rows": int|null}}
@@ -31,6 +36,26 @@ def main():
         only = set(sys.argv[sys.argv.index("--only") + 1].split(","))
         dumped = [n for n in dumped if n in only]
 
+    check_py = os.path.join(os.path.dirname(__file__), "check.py")
+    cte_args = []
+    if "--cte-cache" in sys.argv:
+        # build sequentially BEFORE the pool (one closure computation for
+        # the whole sweep); a build failure just falls back to plain runs
+        dbpath = os.path.join(out, "cte_cache.duckdb")
+        try:
+            b = subprocess.run(
+                [sys.executable, check_py, out, sf,
+                 "--build-cte-cache", dbpath],
+                capture_output=True, text=True, timeout=timeout * 6)
+            if b.returncode == 0:
+                cte_args = ["--cte-db", dbpath]
+                print(b.stdout.strip())
+            else:
+                sys.stderr.write(f"CTE cache build failed, running without:\n"
+                                 f"{b.stdout[-500:]}\n{b.stderr[-500:]}\n")
+        except subprocess.TimeoutExpired:
+            sys.stderr.write("CTE cache build timed out, running without\n")
+
     def spark_rows(name):
         try:
             import pyarrow.parquet as pq
@@ -46,8 +71,7 @@ def main():
                           "spark_rows": spark_rows(name)}
         try:
             p = subprocess.run(
-                [sys.executable, os.path.join(os.path.dirname(__file__), "check.py"),
-                 out, sf, name],
+                [sys.executable, check_py, out, sf, name] + cte_args,
                 capture_output=True, text=True, timeout=timeout)
             # exact one-query summary, not a substring ("0 fail" would
             # also match "20 fail"); check.py is invoked with exactly one

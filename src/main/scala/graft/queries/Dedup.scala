@@ -83,10 +83,34 @@ object Dedup {
   private[graft] def jaccardPrefix(ex: DataFrame): DataFrame =
     jaccardPrefixOf(orderedSets(ex))
 
-  private def jaccardPrefixOf(ordered: DataFrame): DataFrame = {
+  /** Document-frequency cap for the INDEXED prefix (the q158 knob): with
+    * cap C, a prefix shingle is indexed only if its df ≤ C, so every
+    * index bucket holds ≤ C rows — per-shingle join fan-out is bounded by
+    * a CONSTANT at any corpus scale, where the uncapped prefix index only
+    * bounds it by the prefix-position distribution. The price is a
+    * DECLARED approximation with an exact retention theorem: a pair with
+    * J ≥ t is found iff some common shingle lies in both docs' prefixes
+    * AND has df ≤ C; since the PPJoin prefix theorem puts the pair's
+    * RAREST common shingle in both prefixes, every pair whose rarest
+    * common shingle has df ≤ C is retained (pinned by DedupSpec) — only
+    * pairs ALL of whose common shingles are viral can be lost, exactly
+    * the boilerplate-only matches a capped production index means to
+    * shed. The demo cap is deliberately small so the approximation path
+    * is exercised at the gate corpora; the oracle embeds the same cap.
+    */
+  val JaccardDfCap: Long = 3L
+
+  private def jaccardPrefixOf(ordered: DataFrame,
+      dfCap: Long = Long.MaxValue): DataFrame = {
     val p = (col("n") - ceil(col("n") * JaccardT) + 1).cast("int")
-    ordered.select(col("doc_id"),
-      explode(transform(slice(col("ord"), lit(1), p), _.getField("shingle"))).as("shingle"))
+    val pref = ordered.select(col("doc_id"),
+      explode(slice(col("ord"), lit(1), p)).as("e"))
+    // cap applies AFTER the prefix cut: the prefix positions are defined
+    // on the full rarest-first order (filtering first would promote more
+    // frequent shingles INTO the prefix and break the retention theorem)
+    (if (dfCap == Long.MaxValue) pref
+     else pref.filter(col("e.df") <= dfCap))
+      .select(col("doc_id"), col("e.shingle").as("shingle"))
   }
 
   /** The q22 pipeline, built fresh (no memo): prefix-filtered candidate
@@ -94,7 +118,10 @@ object Dedup {
     * shapes of the real computation, not a memoized RDD scan. Output is
     * UNSORTED — consumers order or join as they need.
     */
-  private[graft] def q22Fresh(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def q22Fresh(s: SparkSession, dir: String): DataFrame =
+    q22Pipeline(s, dir, Long.MaxValue)
+
+  private def q22Pipeline(s: SparkSession, dir: String, dfCap: Long): DataFrame = {
     // ONE eager localCheckpoint on the ordered per-doc sets: Spark does
     // not CSE across self-join branches, so without it the tokenize +
     // index + aggregate subtree would be recomputed for both prefix sides
@@ -102,7 +129,7 @@ object Dedup {
     // memoized (below) because q121's incremental fold probes the same
     // index surface — one build per session, not one per consumer.
     val ordered = orderedSetsCached(s, dir)
-    val pref = jaccardPrefixOf(ordered)
+    val pref = jaccardPrefixOf(ordered, dfCap)
     // checkpoint THEN resplit before the verify: candidate verification is
     // CPU-bound (set intersection per pair), and AQE's size-based
     // coalescing would schedule the tiny-by-bytes candidate list onto a
@@ -280,6 +307,47 @@ object Dedup {
        | JOIN sz sa ON doc_a = sa.doc_id
        | JOIN sz sb ON doc_b = sb.doc_id
        |WHERE CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE) >= 0.5
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** q158: the Jaccard near-dup join under the [[JaccardDfCap]] index cap
+    * — q22's pipeline with the prefix index restricted to shingles of
+    * df ≤ cap, so every index bucket is at most cap rows at ANY corpus
+    * scale (the production knob for adversarial/boilerplate-heavy
+    * corpora, where even prefix-filtered df keeps growing with the
+    * corpus). Same exact full-set verify; the capped candidate set is a
+    * SUBSET of q22's and retains every pair whose rarest common shingle
+    * has df ≤ cap (the retention theorem, pinned by DedupSpec). The
+    * oracle embeds the identical cap, order, and prefix cut, so engine ≡
+    * oracle is deterministic even where the approximation drops pairs.
+    */
+  def q158JaccardDfCap(s: SparkSession, dir: String): DataFrame =
+    q22Pipeline(s, dir, JaccardDfCap).orderBy(col("doc_a"), col("doc_b"))
+
+  val q158Sql: String =
+    s"""WITH $sqlShingles,
+       |dfq AS (SELECT s, CAST(count(*) AS BIGINT) AS df FROM sh GROUP BY s),
+       |ord AS (
+       |  SELECT sh.doc_id, sh.s, dfq.df,
+       |   row_number() OVER (PARTITION BY sh.doc_id ORDER BY dfq.df, sh.s) AS rn
+       |  FROM sh JOIN dfq ON sh.s = dfq.s),
+       |pref AS (
+       |  SELECT o.doc_id, o.s FROM ord o JOIN sz ON o.doc_id = sz.doc_id
+       |  WHERE o.rn <= sz.n - CEIL(sz.n * $JaccardT) + 1 AND o.df <= $JaccardDfCap),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM pref a JOIN pref b ON a.s = b.s AND a.doc_id < b.doc_id),
+       |iv AS (
+       |  SELECT c.doc_a, c.doc_b, CAST(count(*) AS BIGINT) AS inter
+       |  FROM cand c
+       |   JOIN sh a ON a.doc_id = c.doc_a
+       |   JOIN sh b ON b.doc_id = c.doc_b AND a.s = b.s
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b, inter,
+       | ROUND(CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE), 6) AS jaccard
+       |FROM iv
+       | JOIN sz sa ON doc_a = sa.doc_id
+       | JOIN sz sb ON doc_b = sb.doc_id
+       |WHERE CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE) >= $JaccardT
        |ORDER BY doc_a, doc_b""".stripMargin
 
   /** q23: MinHash + banded LSH near-dup detection. Per doc: a K-component

@@ -378,6 +378,37 @@ class DedupSpec extends SparkTestBase {
     assert(fx((2L, 1L)) === 1.0, "a verbatim prefix must be fully contained")
   }
 
+  test("q158 df-cap: subset of q22, retention theorem holds, buckets bounded") {
+    import graft.queries.Dedup
+    val full = Dedup.q22NgramJaccard(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    val capped = Dedup.q158JaccardDfCap(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    // the cap only ever DROPS pairs
+    assert(capped.subsetOf(full), s"cap invented pairs: ${capped -- full}")
+    // retention theorem: every q22 pair whose rarest COMMON shingle has
+    // df <= cap must survive the cap (recomputed from first principles)
+    val ex = Tables.documents(spark, sf).select(col("doc_id"),
+      explode(TextFns.shingles(TextFns.words(col("text")), 3)).as("s")).distinct()
+    val dfq = ex.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    val minDf = ex.as("a").join(ex.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .join(dfq.withColumnRenamed("s", "dfs"), col("a.s") === col("dfs"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(min(col("df")).as("min_df"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val mustKeep = full.filter(p => minDf(p) <= Dedup.JaccardDfCap)
+    assert(mustKeep.subsetOf(capped),
+      s"retention theorem violated for ${mustKeep -- capped}")
+    assert(mustKeep.nonEmpty, "cap retains nothing at this sf — test proves nothing")
+    // the knob's raison d'etre: every capped index bucket is <= cap rows
+    // (df <= cap implies at most cap docs index the shingle)
+    val cappedIdx = ex.join(dfq.filter(col("df") <= Dedup.JaccardDfCap).select(col("s"), col("df")), Seq("s"))
+      .groupBy(col("s")).agg(count(lit(1)).as("bucket"))
+      .agg(max(col("bucket"))).collect()(0).getLong(0)
+    assert(cappedIdx <= Dedup.JaccardDfCap)
+  }
+
   test("q24 geometry ladder: every block count is a lossless candidate generator") {
     import graft.functions.HashConsts._
     // pigeonhole property, exhaustively over deterministic pseudo-random

@@ -7,6 +7,11 @@ interpreted list folds) can't block the other ~150 compares at sf1.
 
 Usage: python3 tools/sweep.py <verify_out_dir> <sf_dir> <report.json>
          [--timeout SECS] [--workers N] [--only q1,q2] [--cte-cache]
+         [--retry-timeouts SECS]
+
+--retry-timeouts SECS: rerun any oracle_timeout entries sequentially with
+  this larger budget after the parallel pass (for the declared O(n^2)
+  yardstick oracles).
 
 --cte-cache: materialize the shared near-dup components CTE block once
   (check.py --build-cte-cache) and run every compare against it — at sf1
@@ -25,10 +30,13 @@ def main():
     out, sf, report_path = sys.argv[1], sys.argv[2], sys.argv[3]
     timeout = 300
     workers = 4
+    retry_secs = 0
     if "--timeout" in sys.argv:
         timeout = int(sys.argv[sys.argv.index("--timeout") + 1])
     if "--workers" in sys.argv:
         workers = int(sys.argv[sys.argv.index("--workers") + 1])
+    if "--retry-timeouts" in sys.argv:
+        retry_secs = int(sys.argv[sys.argv.index("--retry-timeouts") + 1])
     oracle = json.load(open(os.path.join(out, "oracle_sql.json")))
     dumped = sorted(n for n in os.listdir(out)
                     if os.path.isdir(os.path.join(out, n)))
@@ -64,7 +72,7 @@ def main():
         except Exception:
             return None
 
-    def one(name):
+    def one(name, budget=None):
         t0 = time.time()
         if name not in oracle:
             return name, {"status": "no_oracle", "secs": 0.0,
@@ -72,7 +80,7 @@ def main():
         try:
             p = subprocess.run(
                 [sys.executable, check_py, out, sf, name] + cte_args,
-                capture_output=True, text=True, timeout=timeout)
+                capture_output=True, text=True, timeout=budget or timeout)
             # exact one-query summary, not a substring ("0 fail" would
             # also match "20 fail"); check.py is invoked with exactly one
             # query so the expected line is "== 1 pass, 0 fail =="
@@ -103,6 +111,13 @@ def main():
 
     with ThreadPoolExecutor(max_workers=workers) as ex:
         results = dict(ex.map(one, dumped))
+    if retry_secs:
+        # the declared O(n^2)-oracle yardsticks need big SEQUENTIAL
+        # budgets; rerun just the timeouts, one at a time
+        for name in sorted(n for n, r in results.items()
+                           if r["status"] == "oracle_timeout"):
+            print(f"retrying {name} with {retry_secs}s sequential budget")
+            _, results[name] = one(name, budget=retry_secs)
     counts = {}
     for r in results.values():
         counts[r["status"]] = counts.get(r["status"], 0) + 1

@@ -569,6 +569,92 @@ object Dedup {
     s"""WITH RECURSIVE $sqlComponentsCtes
        |SELECT doc, comp FROM labels ORDER BY doc""".stripMargin
 
+  /** Span length (tokens) for q159's exact-substring duplication audit. */
+  val DupSpanLen: Int = 8
+
+  /** q159: exact-substring duplication coverage — the span-level member of
+    * the dedup family (Lee et al. 2022, "Deduplicating Training Data
+    * Makes Language Models Better"): document-level dedup (q21–q24, q40)
+    * misses the boilerplate/quotation case where only PASSAGES repeat, so
+    * per document this reports how much of its token stream is covered by
+    * some [[DupSpanLen]]-token gram that occurs elsewhere in the corpus
+    * (any second occurrence counts — another doc or a repeat within the
+    * same doc, matching the reference recipe's within-corpus semantics).
+    *
+    * Plan shape — the gram-join formulation of exact-substring dedup:
+    * positions explode map-side (Σ(n−L+1) rows, linear), duplicated grams
+    * come from one gram-keyed hash aggregate (map-side partials; the same
+    * shuffle any exact-substring pass pays — suffix-array variants save
+    * memory, not shuffle), duplicated positions re-attach by a gram
+    * equi-join, and per-doc interval union runs as a sort_array +
+    * expression-level fold inside ONE doc-keyed aggregate — no window, no
+    * second corpus pass, no per-pair work anywhere: cost is linear in
+    * corpus tokens + duplicated-gram occurrences at any scale.
+    */
+  def q159DupSpans(s: SparkSession, dir: String): DataFrame = {
+    val L = DupSpanLen
+    val docs = resplit(documents(s, dir).select(col("doc_id"), col("text")))
+      .select(col("doc_id"), words(col("text")).as("ws"))
+      .select(col("doc_id"), size(col("ws")).cast("long").as("n_tokens"), col("ws"))
+    val grams = docs
+      .select(col("doc_id"), col("n_tokens"),
+        posexplode(shingles(col("ws"), L)).as(Seq("p0", "g")))
+      .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"), col("g"))
+    // total occurrence multiplicity ≥ 2 — a corpus-wide gram aggregate
+    val dupG = grams.groupBy(col("g")).agg(count(lit(1)).as("occ"))
+      .filter(col("occ") >= 2).select(col("g"))
+    val dupPos = grams.join(dupG, "g").select(col("doc_id"), col("pos"))
+    // union length of [p, p+L) over the doc's sorted duplicated positions:
+    // positions ascend, so each span's fresh coverage is p+L − max(end, p)
+    val state0 = struct(lit(0L).as("cov"), lit(0L).as("end"))
+    val perDoc = dupPos.groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("pos"))).as("ps"),
+        count(lit(1)).as("dup_grams"))
+      .select(col("doc_id"), col("dup_grams"),
+        aggregate(col("ps"), state0, (acc, p) =>
+          struct(
+            (acc.getField("cov") +
+              greatest(lit(0L), p + L - greatest(acc.getField("end"), p))).as("cov"),
+            (p + lit(L.toLong)).as("end")),
+          acc => acc.getField("cov")).as("covered_tokens"))
+    docs.select(col("doc_id"), col("n_tokens"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("dup_grams"), lit(0L)).as("dup_grams"),
+        coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"),
+        round(coalesce(col("covered_tokens"), lit(0L)).cast("double")
+          / col("n_tokens"), 6).as("dup_frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q159Sql: String = {
+    val L = DupSpanLen
+    s"""WITH w AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents),
+       |grams AS (
+       |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+       |   array_to_string(w[i:i+${L - 1}], ' ') AS g
+       |  FROM w, unnest(range(1, len(w) - ${L - 2})) AS u(i)
+       |  WHERE len(w) >= $L),
+       |dupg AS (SELECT g FROM grams GROUP BY g HAVING count(*) >= 2),
+       |dp AS (
+       |  SELECT doc_id, pos,
+       |   max(pos + $L) OVER (PARTITION BY doc_id ORDER BY pos
+       |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+       |  FROM grams JOIN dupg USING (g)),
+       |cov AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS dup_grams,
+       |   CAST(sum(pos + $L - greatest(coalesce(prev_end, pos), pos)) AS BIGINT)
+       |     AS covered_tokens
+       |  FROM dp GROUP BY doc_id)
+       |SELECT w.doc_id, CAST(len(w.w) AS BIGINT) AS n_tokens,
+       | coalesce(cov.dup_grams, 0) AS dup_grams,
+       | coalesce(cov.covered_tokens, 0) AS covered_tokens,
+       | ROUND(CAST(coalesce(cov.covered_tokens, 0) AS DOUBLE) / len(w.w), 6) AS dup_frac
+       |FROM w LEFT JOIN cov ON w.doc_id = cov.doc_id
+       |ORDER BY w.doc_id""".stripMargin
+  }
+
   /** q24: SimHash near-dup detection. Per doc: a 48-bit signature — bit i
     * is the sign of Σ over the token stream of ±1 (token hash bit i) —
     * then a banded hamming join with OCCUPANCY-ADAPTIVE geometry

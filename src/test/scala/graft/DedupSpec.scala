@@ -378,6 +378,33 @@ class DedupSpec extends SparkTestBase {
     assert(fx((2L, 1L)) === 1.0, "a verbatim prefix must be fully contained")
   }
 
+  test("q159 dup spans: hand-computed coverage on a purpose-built fixture") {
+    // doc 1: a 10-token passage (p1..p10) + unique tail (u1..u4)
+    // doc 2: the same passage + different tail (v1..v4) — cross-doc dup
+    // doc 3: internal repetition: an 8-gram (r1..r8) occurring twice
+    // doc 4: all unique — zero coverage
+    val passage = (1 to 10).map(i => s"p$i").mkString(" ")
+    val rep = (1 to 8).map(i => s"r$i").mkString(" ")
+    val dir = docsDir(Seq(
+      s"$passage u1 u2 u3 u4",
+      s"$passage v1 v2 v3 v4",
+      s"$rep x1 $rep",
+      (1 to 16).map(i => s"q$i").mkString(" ")))
+    val out = Dedup.q159DupSpans(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("dup_grams"),
+          r.getAs[Long]("covered_tokens"), r.getAs[Double]("dup_frac")))).toMap
+    // docs 1/2: the shared 10-token passage yields 3 duplicated 8-grams
+    // (positions 1..3), union [1, 11) = 10 covered tokens of 14
+    assert(out(1L) === ((14L, 3L, 10L, 0.714286)))
+    assert(out(2L) === ((14L, 3L, 10L, 0.714286)))
+    // doc 3: 17 tokens, the 8-gram at positions 1 and 10 (occ 2 within
+    // one doc counts), union [1,9)∪[10,18) = 16 covered
+    assert(out(3L) === ((17L, 2L, 16L, 0.941176)))
+    // doc 4: nothing repeats
+    assert(out(4L) === ((16L, 0L, 0L, 0.0)))
+  }
+
   test("q158 df-cap: subset of q22, retention theorem holds, buckets bounded") {
     import graft.queries.Dedup
     val full = Dedup.q22NgramJaccard(spark, sf).collect()

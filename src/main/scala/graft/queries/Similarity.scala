@@ -156,6 +156,80 @@ object Similarity {
       .orderBy(col("vec_id"), col("rnk"))
   }
 
+  /** q160: MULTI-PROBE LSH top-k (Lv et al., VLDB'07) — q26's index, the
+    * recall of a 9-bucket union: each query vector probes its own bucket
+    * plus the [[AnnPlanes]] buckets at hamming distance 1 in signature
+    * space (the most-likely-neighboring hyperplane cells), so candidates
+    * come from the same single-table index but recall approaches what 9
+    * independent tables would buy. At scale this is the standard lever
+    * when the INDEX must stay one table (build cost, memory): probe-side
+    * fan-out is a 9× explode of (id, probe) rows — never of vectors —
+    * and per-vector candidate work stays (9·n/2^planes) vs brute-force
+    * n. The probe list is DISTINCT by construction (the bucket and its
+    * 8 single-bit flips), so no candidate pair is scored twice; the
+    * verify and top-3 tail are exactly q26's (6dp cosine, TopKPairs
+    * bounded heap, id tiebreak), making the two directly comparable —
+    * the spec pins candidate-superset and recall ≥ q26 on the fixture.
+    */
+  def q160MultiProbeLsh(s: SparkSession, dir: String): DataFrame = {
+    // one checkpointed bucket frame: the probe explode and the index side
+    // both read it, and Spark does not CSE across self-join branches
+    val e = lshBuckets(s, dir).localCheckpoint(true)
+    val probes = array((0 to AnnPlanes).map(i =>
+      if (i == 0) col("bucket")
+      else col("bucket").bitwiseXOR(lit(1L << (i - 1)))): _*)
+    val q = e.select(col("vec_id"), col("v"), col("norm"),
+      explode(probes).as("probe"))
+    val pairs = q.as("a").join(e.as("b"),
+        col("a.probe") === col("b.bucket") && col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("neighbor_id"),
+        round(dot(col("a.v"), col("b.v")) / (col("a.norm") * col("b.norm")), 6).as("sim"))
+    pairs
+      .groupBy(col("vec_id"))
+      .agg(topKPairs(col("sim"), col("neighbor_id"), 3).as("nb"))
+      .select(col("vec_id"), posexplode(col("nb")).as(Seq("pos", "nb")))
+      .select(col("vec_id"), col("nb.id").as("neighbor_id"),
+        col("nb.score").as("sim"), (col("pos") + 1).cast("long").as("rnk"))
+      .orderBy(col("vec_id"), col("rnk"))
+  }
+
+  val q160Sql: String = {
+    val planes = PlaneCoeffs.map(_.mkString("[", ", ", "]")).mkString("[", ", ", "]")
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |n AS (
+       |  SELECT vec_id, v,
+       |   sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |     list_transform(v, x -> x * x)), (a, b) -> a + b)) AS norm
+       |  FROM e),
+       |sg AS (
+       |  SELECT vec_id, v, norm,
+       |   CAST(list_sum(list_transform(range(0, $AnnPlanes), p ->
+       |     CASE WHEN list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |            list_transform(range(1, ${AnnDims + 1}), i ->
+       |              CAST((($planes)[p + 1])[i] AS DOUBLE) * v[i])), (x, y) -> x + y) > 0
+       |     THEN (CAST(1 AS BIGINT) << p) ELSE 0 END)) AS BIGINT) AS bucket
+       |  FROM n),
+       |pr AS (
+       |  SELECT vec_id, v, norm,
+       |   CASE WHEN i = 0 THEN bucket
+       |        ELSE xor(bucket, CAST(1 AS BIGINT) << (i - 1)) END AS probe
+       |  FROM sg, unnest(range(0, ${AnnPlanes + 1})) AS u(i)),
+       |p AS (
+       |  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+       |   ROUND(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |       list_transform(range(1, ${AnnDims + 1}), i -> a.v[i] * b.v[i])), (x, y) -> x + y)
+       |     / (a.norm * b.norm), 6) AS sim
+       |  FROM pr a JOIN sg b ON a.probe = b.bucket AND a.vec_id <> b.vec_id),
+       |r AS (
+       |  SELECT vec_id, neighbor_id, sim,
+       |   CAST(row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rnk
+       |  FROM p)
+       |SELECT vec_id, neighbor_id, sim, rnk FROM r WHERE rnk <= 3
+       |ORDER BY vec_id, rnk""".stripMargin
+  }
+
   /** Cosine threshold shared by q40 (brute-force) and q67 (LSH-bucketed).
     * Corpus-calibrated: this synthetic corpus's max pairwise cosine is
     * 0.51; production near-dup runs at ~0.95+ — the plans are identical.

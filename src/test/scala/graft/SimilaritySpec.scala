@@ -16,6 +16,27 @@ class SimilaritySpec extends SparkTestBase {
     assert(brute.nonEmpty, "fixture must actually contain near-dup pairs")
   }
 
+  test("q160 multi-probe: superset of q26's candidates, recall never below q26") {
+    import org.apache.spark.sql.functions._
+    // probe i=0 is the vector's own bucket, so every single-probe (q26)
+    // candidate pair is also a multi-probe candidate — q26's RESULT pairs
+    // are re-scored identically (same 6dp cosine) and can only be
+    // displaced in the top-3 by a candidate scoring strictly better
+    // under the same total order; recall vs the exact top-3 therefore
+    // cannot drop (measured below — deterministic facts of the fixture)
+    def recall(ann: org.apache.spark.sql.DataFrame): Long = {
+      val exact3 = Similarity.q25CosineTopK(spark, sf).filter(col("rnk") <= 3)
+        .select(col("vec_id"), col("neighbor_id"))
+      ann.select(col("vec_id"), col("neighbor_id"))
+        .join(exact3, Seq("vec_id", "neighbor_id"), "left_semi").count()
+    }
+    val single = recall(Similarity.q26AnnLsh(spark, sf))
+    val multi = recall(Similarity.q160MultiProbeLsh(spark, sf))
+    assert(multi >= single, s"multi-probe recall $multi < single-probe $single")
+    assert(multi > single,
+      "fixture shows no recall gain — probe neighborhood never fires, test proves nothing")
+  }
+
   test("q67 geometry ladder: occupancy-bounded rungs, recall-budgeted bands") {
     // the gate corpora (n ≤ 2048) sit on rung p=3 with exactly the r11
     // geometry (24 bands × 3 planes) — plans and hashes unchanged there

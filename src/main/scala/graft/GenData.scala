@@ -68,9 +68,11 @@ object GenData {
     "the", "agg", "key", "query", "a", "scan", "batch")
 
   /** Heaps-law vocabulary size: V(n) ≈ K·n^β with the driver's 30 words
-    * as a floor (they stay the rank-1..30 head, so small corpora are
-    * bit-identical to the stress recipe). K=7, β=0.55 lands V(50k)≈2690 —
-    * inside the published 0.4–0.6 β band for natural text.
+    * as a floor (they stay the rank-1..30 HEAD of the realistic draw; the
+    * draw itself still differs from the stress recipe — log-uniform rank
+    * vs uniform pmod-30 — so even a vocabulary-floor corpus is not
+    * bit-identical across modes). K=7, β=0.55 lands V(50k)≈2690 — inside
+    * the published 0.4–0.6 β band for natural text.
     */
   private[graft] def vocabSize(n: Long): Int =
     math.max(Vocab.size, math.round(7.0 * math.pow(n.toDouble, 0.55)).toInt)

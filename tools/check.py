@@ -33,7 +33,6 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 # cache instead of corrupting a compare.
 CTE_PREFIX = "WITH RECURSIVE "
 CTE_SUFFIX = "SELECT doc, comp FROM labels ORDER BY doc"
-CTE_NAMES = ["w", "sh", "sz", "inter", "near", "edges", "labels"]
 
 def components_block(oracle):
     """The shared CTE block text, or None if q45's shape changed."""
@@ -85,6 +84,13 @@ def build_cte_cache(sf, block, dbpath):
             con.execute(f"CREATE TABLE {name} AS {ctes[name]}")
     con.close()
 
+def cached_names(block):
+    """The table names build_cte_cache stores for this block: every parsed
+    CTE except the recursive closure `reach` (deliberately not stored).
+    Derived from the SAME parse the builder uses, so a renamed/added CTE
+    can never leave the rewrite aliasing tables the cache doesn't hold."""
+    return [n for n, _ in parse_ctes(block) if n != "reach"]
+
 def rewrite_with_cache(sql, block):
     """Swap the embedded block for reads of the attached cache db."""
     target = CTE_PREFIX + block
@@ -93,7 +99,7 @@ def rewrite_with_cache(sql, block):
     rest = sql[len(target):]
     if re.search(r"\breach\b", rest):
         return sql  # tail uses the closure itself; cache doesn't store it
-    aliases = ", ".join(f"{n} AS (SELECT * FROM cte.{n})" for n in CTE_NAMES)
+    aliases = ", ".join(f"{n} AS (SELECT * FROM cte.{n})" for n in cached_names(block))
     sep = "" if rest.startswith(",") else " "
     # keep RECURSIVE: some tails (q121/q126) declare their own recursive
     # CTEs; the keyword is harmless for the plain cache aliases

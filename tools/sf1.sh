@@ -29,12 +29,19 @@ echo "== verify dump at sf1 =="
 SPARK_GRAFT_CPUS=$cpus sbt -batch "runMain graft.Verify $sfdir $dump"
 
 echo "== paired bench: sf0.1 then sf1 (same boot) =="
+# Bench persists its metric line to SPARK_GRAFT_BENCH_OUT itself — no
+# grep|head pipeline, which under pipefail could fail the whole gate on
+# head's early-exit SIGPIPE (Bench prints TWO metric-shaped lines).
 SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=$cpus \
-  sbt -batch "runMain graft.Bench" | grep -o '{"metric".*}' | head -1 \
-  > "bench_records/sf1pair_${tag}_sf01.json"
+  SPARK_GRAFT_BENCH_OUT="bench_records/sf1pair_${tag}_sf01.json" \
+  sbt -batch "runMain graft.Bench"
 SPARK_GRAFT_SF_DIR=$sfdir SPARK_GRAFT_CPUS=$cpus \
-  sbt -batch "runMain graft.Bench" | grep -o '{"metric".*}' | head -1 \
-  > "bench_records/sf1pair_${tag}_sf1.json"
+  SPARK_GRAFT_BENCH_OUT="bench_records/sf1pair_${tag}_sf1.json" \
+  sbt -batch "runMain graft.Bench"
+for side in sf01 sf1; do
+  test -s "bench_records/sf1pair_${tag}_${side}.json" \
+    || { echo "ERROR: empty bench record ($side)"; exit 1; }
+done
 
 echo "== oracle sweep (sequenced after all Spark work) =="
 python3 tools/sweep.py "$dump" "$sfdir" "$report" \

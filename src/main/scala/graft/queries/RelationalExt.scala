@@ -193,12 +193,20 @@ object RelationalExt {
       |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
       |ORDER BY g_rf, g_ls, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
 
-  /** q35: approximate distinct counting (HyperLogLog++). No SQL oracle —
-    * DuckDB's approx_count_distinct uses a different sketch, so exact
-    * equality is undefined by design; the driver records a rows-only
-    * check and RelationalExtSpec pins the ≤2% relative-error bound
-    * against the exact count. At 100 TB this is the difference between a
-    * fixed few-KB sketch per group and a shuffle of every distinct key.
+  /** q35: approximate distinct counting (HyperLogLog++). At 100 TB this
+    * is the difference between a fixed few-KB sketch per group and a
+    * shuffle of every distinct key.
+    *
+    * Oracle contract (hash-checkable since r13): sketch INTERNALS differ
+    * across engines, so the estimate itself can't be hash-compared —
+    * instead the engine emits, per group, the exact distinct count plus
+    * `approx_within_rsd` = whether its own HLL estimate sits within the
+    * documented deterministic-safe envelope of its own exact count
+    * (relErr < 5·rsd = 10%; rsd=0.02 is one sigma — same bound
+    * RelationalExtSpec has pinned since r2), and the oracle emits the
+    * same groups with literal TRUE from exact counts. A hash match
+    * therefore PROVES the error bound held, turning the old rows-only
+    * check into a checked contract.
     */
   def q35ApproxDistinct(s: SparkSession, dir: String): DataFrame =
     resplit(orders(s, dir).select(col("o_orderstatus"), col("o_custkey")))
@@ -206,5 +214,16 @@ object RelationalExt {
       .agg(
         approx_count_distinct(col("o_custkey"), 0.02).as("approx_cust"),
         countDistinct(col("o_custkey")).as("exact_cust"))
+      .select(col("o_orderstatus"), col("exact_cust"),
+        (abs(col("approx_cust") - col("exact_cust")).cast("double")
+          < col("exact_cust").cast("double") * 0.10).as("approx_within_rsd"))
       .orderBy(col("o_orderstatus"))
+
+  val q35Sql: String =
+    """SELECT o_orderstatus,
+      | count(DISTINCT o_custkey) AS exact_cust,
+      | TRUE AS approx_within_rsd
+      |FROM orders
+      |GROUP BY o_orderstatus
+      |ORDER BY o_orderstatus""".stripMargin
 }

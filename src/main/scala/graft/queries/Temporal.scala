@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -126,14 +126,23 @@ object Temporal {
   /** q55: sketch-based quantiles — q38's scale path. `approx_percentile`
     * is Spark's Greenwald–Khanna sketch: mergeable fixed-size per-group
     * state, so huge groups aggregate in one pass with map-side partials
-    * instead of sorting each group. Exact values ride along to expose the
-    * error. Like q35 (HLL), intentionally NO DuckDB oracle — sketch
-    * internals differ across engines; the driver records a rows-only
-    * check and TemporalSpec pins the accuracy bound (1/accuracy = 1%
-    * max rank error at accuracy=100).
+    * instead of sorting each group.
+    *
+    * Oracle contract (hash-checkable since r13, cf. q35): the sketch
+    * VALUE can't be hash-compared across engines, but its documented
+    * guarantee can — GK at accuracy=100 promises max rank error
+    * 1/accuracy = 1%, so the engine measures the RANK of its own
+    * estimate within the group (one extra aggregate over the same
+    * scan, with the 3-row estimate table broadcast back) and emits
+    * `p50_rank_ok`/`p99_rank_ok` = |rank − q| ≤ 1% + 1/n (the same
+    * bound TemporalSpec has pinned in-memory since r2); the oracle
+    * emits the exact percentiles (cross-engine 6dp agreement is the
+    * already-proven q38 contract) with literal TRUE. A hash match
+    * PROVES the rank bound held at gate scale.
     */
-  def q55ApproxQuantiles(s: SparkSession, dir: String): DataFrame =
-    resplit(orders(s, dir).select(col("o_orderstatus"), col("o_totalprice")))
+  def q55ApproxQuantiles(s: SparkSession, dir: String): DataFrame = {
+    val src = resplit(orders(s, dir).select(col("o_orderstatus"), col("o_totalprice")))
+    val g = src
       .groupBy(col("o_orderstatus"))
       .agg(
         count(lit(1)).as("n_orders"),
@@ -141,7 +150,33 @@ object Temporal {
         expr("approx_percentile(o_totalprice, 0.99D, 100)").as("approx_p99"),
         round(expr("percentile(o_totalprice, 0.5D)"), 6).as("exact_p50"),
         round(expr("percentile(o_totalprice, 0.99D)"), 6).as("exact_p99"))
+    // rank-of-estimate: count values ≤ the estimate per group — the
+    // group-count-sized estimate frame broadcasts into a rescan, so the
+    // audit costs one more map-side aggregate, never a second shuffle of
+    // the data by anything wider than the group key
+    val ranks = src
+      .join(broadcast(g.select(col("o_orderstatus"), col("approx_p50"), col("approx_p99"))),
+        Seq("o_orderstatus"))
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        sum(when(col("o_totalprice") <= col("approx_p50"), 1L).otherwise(0L)).as("r50"),
+        sum(when(col("o_totalprice") <= col("approx_p99"), 1L).otherwise(0L)).as("r99"))
+    def rankOk(r: Column, q: Double): Column =
+      abs(r.cast("double") / col("n_orders").cast("double") - q) <=
+        lit(1.0 / 100) + lit(1.0) / col("n_orders").cast("double")
+    g.join(broadcast(ranks), Seq("o_orderstatus"))
+      .select(col("o_orderstatus"), col("n_orders"), col("exact_p50"), col("exact_p99"),
+        rankOk(col("r50"), 0.5).as("p50_rank_ok"),
+        rankOk(col("r99"), 0.99).as("p99_rank_ok"))
       .orderBy(col("o_orderstatus"))
+  }
+
+  val q55Sql: String =
+    """SELECT o_orderstatus, COUNT(*) AS n_orders,
+      | ROUND(quantile_cont(o_totalprice, 0.5), 6) AS exact_p50,
+      | ROUND(quantile_cont(o_totalprice, 0.99), 6) AS exact_p99,
+      | TRUE AS p50_rank_ok, TRUE AS p99_rank_ok
+      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
   /** q106: SCD2-style state-history compaction (gaps-and-islands). Each
     * user's event stream collapses to versioned state intervals: a run of

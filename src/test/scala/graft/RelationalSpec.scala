@@ -13,12 +13,14 @@ class RelationalSpec extends SparkTestBase {
     }
   }
 
-  test("every query has an oracle or is explicitly rows-only") {
+  test("every query has an oracle — no rows-only entries remain") {
+    // r13 retired the last three rows-only entries (q35/q55/q114) via
+    // bound-contract oracles: the engine emits its own sketch-vs-exact
+    // verdict, the oracle emits TRUE from exact values, and the hash
+    // match proves the bound held. Every registered query is now
+    // hash-checkable.
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    // rows-only ops (sketch-based, not SQL-oracle-expressible) documented here
-    val allowed = Set("q35_approx_distinct", "q55_approx_quantiles",
-      "q114_sketch_rollup")
-    assert(noOracle.subsetOf(allowed), s"queries missing oracle SQL: $noOracle")
+    assert(noOracle.isEmpty, s"queries missing oracle SQL: $noOracle")
   }
 
   test("q01 aggregates lineitem exactly") {

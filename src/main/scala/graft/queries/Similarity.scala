@@ -172,18 +172,31 @@ object Similarity {
     * the spec pins candidate-superset and recall ≥ q26 on the fixture.
     */
   def q160MultiProbeLsh(s: SparkSession, dir: String): DataFrame = {
-    // one checkpointed bucket frame: the probe explode and the index side
-    // both read it, and Spark does not CSE across self-join branches
+    // one checkpointed bucket frame: the probe explode, the index side,
+    // and the two vector-fetch joins all read it, and Spark does not CSE
+    // across self-join branches
     val e = lshBuckets(s, dir).localCheckpoint(true)
     val probes = array((0 to AnnPlanes).map(i =>
       if (i == 0) col("bucket")
       else col("bucket").bitwiseXOR(lit(1L << (i - 1)))): _*)
-    val q = e.select(col("vec_id"), col("v"), col("norm"),
-      explode(probes).as("probe"))
-    val pairs = q.as("a").join(e.as("b"),
+    // the 9× probe fan-out carries (vec_id, probe) ONLY — never the
+    // 64-dim vectors (q67's bare-id band-shuffle rule, pinned in
+    // PlanSpec): the probe row is 16 bytes where a duplicated vector
+    // would be ~520, so the explode+join shuffle stays ~30× narrower
+    val q = e.select(col("vec_id"), explode(probes).as("probe"))
+    // candidate pairs are unique by construction — the 9 probes of a
+    // vector are distinct signatures, so (a, b) can match in at most one
+    // — no distinct needed before the verify fetch
+    val cand = q.as("a").join(e.as("b"),
         col("a.probe") === col("b.bucket") && col("a.vec_id") =!= col("b.vec_id"))
-      .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("neighbor_id"),
-        round(dot(col("a.v"), col("b.v")) / (col("a.norm") * col("b.norm")), 6).as("sim"))
+      .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("neighbor_id"))
+    // vectors join back per CANDIDATE (not per probe), q67-verify style
+    val pairs = cand
+      .join(e.select(col("vec_id"), col("v").as("av"), col("norm").as("an")), Seq("vec_id"))
+      .join(e.select(col("vec_id").as("neighbor_id"), col("v").as("bv"),
+        col("norm").as("bn")), Seq("neighbor_id"))
+      .select(col("vec_id"), col("neighbor_id"),
+        round(dot(col("av"), col("bv")) / (col("an") * col("bn")), 6).as("sim"))
     pairs
       .groupBy(col("vec_id"))
       .agg(topKPairs(col("sim"), col("neighbor_id"), 3).as("nb"))
@@ -287,15 +300,62 @@ object Similarity {
   val NdTargetOcc: Long = 256L
   val NdMaxPlanes: Int = 16
   val NdBandBudget: Double = 6.5
-  private val ndS1: Double = 1.0 - math.acos(NearDupThreshold) / math.Pi
+
+  /** Single-band collision probability AT a cosine threshold: a pair at
+    * exactly angle θ = acos(t) agrees with one random hyperplane with
+    * probability 1 − θ/π (Goemans–Williamson), and with all p planes of
+    * a band with that probability to the p-th power.
+    */
+  def ndS1At(threshold: Double): Double = 1.0 - math.acos(threshold) / math.Pi
+  private val ndS1: Double = ndS1At(NearDupThreshold)
 
   /** Smallest rung keeping expected occupancy ≤ [[NdTargetOcc]]. */
   def ndPlanesFor(n: Long): Int =
     (3 to NdMaxPlanes).find(p => n <= (NdTargetOcc << p)).getOrElse(NdMaxPlanes)
 
-  /** Bands spending the fixed recall budget at rung p. */
-  def ndBandsFor(p: Int): Int =
-    math.ceil(NdBandBudget / math.pow(ndS1, p)).toInt
+  /** Bands spending the fixed recall budget at rung p for a threshold. */
+  def ndBandsForAt(p: Int, threshold: Double): Int =
+    math.ceil(NdBandBudget / math.pow(ndS1At(threshold), p)).toInt
+
+  /** Bands at the calibrated default threshold (q67's geometry). */
+  def ndBandsFor(p: Int): Int = ndBandsForAt(p, NearDupThreshold)
+
+  /** Expected fraction of UNRELATED (near-orthogonal, s ≈ 1/2 per plane)
+    * pairs that survive as candidates under rung p with b bands:
+    * 1 − (1 − 2^-p)^b. This is the banded path's pruning power — when it
+    * is large, LSH scans almost every pair AND pays the signature/shuffle
+    * constant on top, so brute force is strictly cheaper.
+    */
+  def ndCandidateRatio(p: Int, b: Int): Double =
+    1.0 - math.pow(1.0 - math.pow(0.5, p), b)
+
+  /** Measured-calibrated pruning bar for choosing the banded path. The
+    * two recorded operating points bracket it: ratio 0.655 (rung 7 at the
+    * 0.45 threshold, sf1) ran 7.1× SLOWER than brute (61.8 s vs 8.75 s,
+    * r12 sweep), ratio 0.018 (rung 10 at the 0.95 threshold, q161) runs
+    * measurably FASTER than brute at the same scale (r13 record in
+    * BASELINE.md). 0.15 sits between them with ~4× headroom on the
+    * losing side — the banded path must prune ≥ 85% of the pair space
+    * before its constants can pay for themselves.
+    */
+  val NdLshMaxRatio: Double = 0.15
+
+  /** The corpus size where q67's ladder first clears [[NdLshMaxRatio]] —
+    * the brute/banded crossover at the calibrated 0.45 threshold. Below
+    * it the occupancy ladder's band count is so high (θ ≈ 63° ⇒ s1 ≈
+    * 0.65 ⇒ 24…2790 bands at rungs 3…14) that nearly every pair becomes
+    * a candidate and brute force wins outright; the first rung that
+    * prunes ≥ 85% is p = 15, which the ladder assigns above
+    * 256·2^14 ≈ 4.19M vectors. At a production threshold the crossover
+    * is far lower (q161: rung 10 prunes 98% with 19 bands) — the
+    * pruning bar, not corpus size per se, is what decides the mode.
+    */
+  val NdBruteCrossoverN: Long = {
+    val p = (3 to NdMaxPlanes)
+      .find(p => ndCandidateRatio(p, ndBandsFor(p)) <= NdLshMaxRatio)
+      .getOrElse(NdMaxPlanes)
+    NdTargetOcc << (p - 1) // the ladder steps onto rung p just above this n
+  }
 
   /** Deterministic ±1 coefficients per (band, plane, dim) — md5 parity,
     * reproducible in both engines (cf. [[PlaneCoeffs]]). Band b / plane j
@@ -311,30 +371,20 @@ object Similarity {
       (0 until AnnDims).map(d => parity(s"nd${b}p${p}d$d"))))
   }
 
-  /** q67: embedding near-dup detection at scale — q40's declared candidate
-    * generator, executed: banded random-hyperplane LSH produces candidate
-    * pairs via a (band, band_sig) equi-join, then candidates are verified
-    * EXACTLY against the full vectors. Candidates are deduped to bare id
-    * pairs BEFORE the verify joins, so the band shuffle carries ids and
-    * small signatures — the 64-dim vectors travel only into the final
+  /** The banded-LSH near-dup core over a prepared (vec_id, v, norm)
+    * frame: banded random-hyperplane LSH produces candidate pairs via a
+    * (band, band_sig) equi-join, then candidates are verified EXACTLY
+    * against the full vectors. Candidates are deduped to bare id pairs
+    * BEFORE the verify joins, so the band shuffle carries ids and small
+    * signatures — the 64-dim vectors travel only into the final
     * per-candidate verify join, never through the band fan-out. No
-    * nested-loop join anywhere (pinned in PlanSpec); per-band bucket work
-    * is (n/2^planes)², and the verified output is exactly q40's pair set
-    * at the calibrated threshold.
-    *
-    * Band recall is PROBABILISTIC (the r11 sweep measured 0.99976 at 20k
-    * vectors under the then-fixed geometry), so the CONTRACT is engine ≡
-    * oracle, not engine ≡ exhaustive: [[q67Sql]] derives the identical
-    * rung and band signatures from the corpus row count and verifies the
-    * same candidates exactly — deterministic agreement at EVERY scale
-    * (the r11 lesson: an approximate method pinned to an exact oracle
-    * must eventually diverge; q40 remains the exact yardstick and the
-    * q67 ≡ q40 spec pins recall 1.0 at the fixture scale).
+    * nested-loop join anywhere (pinned in PlanSpec); per-band bucket
+    * work is (n/2^planes)². ONE core shared by q67's above-crossover
+    * mode, q161's production-threshold sweep, and the rung-forced recall
+    * specs, so no consumer can drift on band semantics.
     */
-  def q67NearDupLsh(s: SparkSession, dir: String): DataFrame = {
-    val e = vecs(s, dir)
-    val rung = ndPlanesFor(embeddings(s, dir).count())
-    val nBands = ndBandsFor(rung)
+  private[graft] def nearDupBandedFrame(e: DataFrame, rung: Int, nBands: Int,
+      threshold: Double): DataFrame = {
     // ONE nested-array Literal (typedlit), not bands×planes×dims lit()
     // nodes: at the finer rungs the coefficient tensor holds tens of
     // thousands of values, and an expression TREE that size blows the
@@ -365,9 +415,51 @@ object Similarity {
       .select(col("keep_id"), col("drop_id"),
         (dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("sim_raw"))
       // unrounded threshold, matching q40 (and q22/q23/q45's Jaccard)
-      .filter(col("sim_raw") >= NearDupThreshold)
+      .filter(col("sim_raw") >= threshold)
       .select(col("keep_id"), col("drop_id"), round(col("sim_raw"), 6).as("sim"))
       .orderBy(col("keep_id"), col("drop_id"))
+  }
+
+  /** The banded core on the raw corpus at a FORCED rung — the spec hook
+    * that keeps the adaptive geometry recall-tested at fixture scale for
+    * the rungs only big corpora reach (r12 advice: the ladder must not
+    * be recall-tested at p=3 alone).
+    */
+  private[graft] def nearDupBandedAt(s: SparkSession, dir: String, rung: Int): DataFrame =
+    nearDupBandedFrame(vecs(s, dir), rung, ndBandsFor(rung), NearDupThreshold)
+
+  /** q67: embedding near-dup detection at scale — with a MEASURED
+    * brute/banded fallback (r13, closing the r12 `weak`). The r12 sweep
+    * proved that at the corpus-calibrated 0.45 threshold the banded path
+    * is slower than its own brute-force yardstick at every recorded
+    * operating point (61.8 s vs 8.75 s at sf1): θ ≈ 63° makes per-band
+    * collision s1 ≈ 0.65, so holding the recall budget needs 24…2790
+    * bands at rungs 3…14 and the expected unrelated-pair candidate ratio
+    * [[ndCandidateRatio]] stays ≥ 0.16 — the "index" admits most of the
+    * pair space and pays signatures + band shuffle on top. An adaptive
+    * method that is measurably slower than exhaustive scanning below
+    * some scale should SAY so and fall back: q67 now runs q40's exact
+    * brute plan up to [[NdBruteCrossoverN]] (≈ 4.19M vectors, where the
+    * ladder first prunes ≥ 85%) and the banded core above it. The
+    * banded-beats-brute regime is not hypothetical — q161 demonstrates
+    * it at a production threshold (0.95 ⇒ s1 ≈ 0.9 ⇒ 19 bands prune 98%)
+    * with a recorded same-boot win over brute force at sf1 (BASELINE.md
+    * r13).
+    *
+    * Oracle: [[q67Sql]] derives the SAME mode from the corpus row count
+    * (integer crossover precomputed here) and, above the crossover, the
+    * same rung/band geometry — engine ≡ oracle stays deterministic at
+    * every scale. The banded core's recall is spec-pinned per rung
+    * against q40 (rungs 3, 5, 7 at fixture scale — not just the legacy
+    * p=3 geometry).
+    */
+  def q67NearDupLsh(s: SparkSession, dir: String): DataFrame = {
+    val n = embeddings(s, dir).count()
+    if (n <= NdBruteCrossoverN) q40EmbeddingNearDup(s, dir)
+    else {
+      val rung = ndPlanesFor(n)
+      nearDupBandedFrame(vecs(s, dir), rung, ndBandsFor(rung), NearDupThreshold)
+    }
   }
 
   val q40Sql: String =
@@ -389,14 +481,18 @@ object Similarity {
       |   / (a.norm * b.norm) >= 0.45
       |ORDER BY keep_id, drop_id""".stripMargin
 
-  /** q67's band-aware oracle: derives the SAME adaptive rung from the
-    * corpus row count (the ladder VALUES are Scala-precomputed integers —
-    * no float boundary can disagree across engines), rebuilds the md5-
-    * parity hyperplane coefficients in SQL, generates candidates from the
-    * identical (band, band_sig) equi-join, and verifies them with the
-    * same sequential-fold cosine. Engine ≡ oracle is therefore
-    * deterministic at EVERY scale; recall vs the exact q40 pair set is
-    * measured, not asserted (SimilaritySpec pins 1.0 at the fixture).
+  /** q67's mode-aware oracle: derives the SAME brute/banded decision —
+    * and, above the crossover, the same adaptive rung — from the corpus
+    * row count (crossover and ladder VALUES are Scala-precomputed
+    * integers, so no cross-engine float boundary can flip the mode or a
+    * rung). At or below [[NdBruteCrossoverN]] the banded CTEs are gated
+    * empty and the brute branch runs q40's exact arithmetic; above it
+    * the brute branch is empty and the banded branch rebuilds the md5-
+    * parity hyperplane coefficients in SQL, generates candidates from
+    * the identical (band, band_sig) equi-join, and verifies them with
+    * the same sequential-fold cosine. Engine ≡ oracle is deterministic
+    * at EVERY scale; banded recall vs the exact q40 pair set stays a
+    * measurement (spec-pinned per rung at the fixture).
     */
   val q67Sql: String = {
     val ladder = (3 to NdMaxPlanes)
@@ -413,6 +509,170 @@ object Similarity {
        |     list_transform(v, x -> x * x)), (a, b) -> a + b)) AS norm
        |  FROM e),
        |cnt AS (SELECT CAST(count(*) AS BIGINT) AS c FROM embeddings),
+       |brute AS (
+       |  SELECT a.vec_id AS keep_id, b.vec_id AS drop_id,
+       |   ROUND(${fold("a.v", "b.v")} / (a.norm * b.norm), 6) AS sim
+       |  FROM n a JOIN n b ON a.vec_id < b.vec_id, cnt
+       |  WHERE c <= $NdBruteCrossoverN
+       |   AND ${fold("a.v", "b.v")} / (a.norm * b.norm) >= $NearDupThreshold),
+       |geom AS (
+       |  SELECT np, nb FROM (VALUES $ladder) l(np, nb, hi), cnt
+       |  WHERE c > $NdBruteCrossoverN AND (c <= hi OR np = $NdMaxPlanes)
+       |  ORDER BY np LIMIT 1),
+       |coef AS (
+       |  SELECT b, j, list(CASE WHEN CAST(concat('0x',
+       |      substr(md5('nd' || b || 'p' || j || 'd' || d), 32, 1)) AS BIGINT) % 2 = 1
+       |    THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END ORDER BY d) AS w
+       |  FROM geom,
+       |   unnest(range(0, nb)) AS ub(b),
+       |   unnest(range(0, np)) AS uj(j),
+       |   unnest(range(0, $AnnDims)) AS ud(d)
+       |  GROUP BY b, j),
+       |sigs AS (
+       |  SELECT n.vec_id, c.b AS band,
+       |   CAST(sum(CASE WHEN ${fold("c.w", "n.v")} > 0
+       |     THEN (CAST(1 AS BIGINT) << c.j) ELSE 0 END) AS BIGINT) AS band_sig
+       |  FROM n CROSS JOIN coef c
+       |  GROUP BY n.vec_id, c.b),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS keep_id, b.vec_id AS drop_id
+       |  FROM sigs a JOIN sigs b
+       |    ON a.band = b.band AND a.band_sig = b.band_sig AND a.vec_id < b.vec_id),
+       |banded AS (
+       |  SELECT keep_id, drop_id,
+       |   ROUND(${fold("ka.v", "kb.v")} / (ka.norm * kb.norm), 6) AS sim
+       |  FROM cand JOIN n ka ON keep_id = ka.vec_id JOIN n kb ON drop_id = kb.vec_id
+       |  WHERE ${fold("ka.v", "kb.v")} / (ka.norm * kb.norm) >= $NearDupThreshold)
+       |SELECT keep_id, drop_id, sim FROM brute
+       |UNION ALL
+       |SELECT keep_id, drop_id, sim FROM banded
+       |ORDER BY keep_id, drop_id""".stripMargin
+  }
+
+  // ---- q161: production-threshold near-dup (the banded-beats-brute
+  // operating point) ----
+
+  /** Production near-dup threshold: real dedup pipelines drop pairs at
+    * cosine ≈ 0.95+, i.e. θ ≈ 18°, where a random hyperplane separates
+    * the pair with probability only θ/π ≈ 0.10 — the regime banded LSH
+    * is built for (s1 ≈ 0.9 per plane, so deep rungs cost few bands).
+    */
+  val ProdNearDupThreshold: Double = 0.95
+
+  /** Per-dim jitter amplitude for the planted near-copies: ε = 0.02 over
+    * 64 dims perturbs a unit vector by ‖εs‖² = 64ε² ≈ 0.026, landing the
+    * copy at cosine ≈ 1/√1.026 ≈ 0.987 ± 0.02 of its source — above the
+    * 0.95 bar with margin, while every non-planted pair stays below 0.52
+    * (the corpus's measured max), so the sweep's answer set is exactly
+    * the planted ledger.
+    */
+  val ProdJitterEps: Double = 0.02
+
+  /** Rung floor for the production geometry: at s1 ≈ 0.9 the band count
+    * barely grows with p (×1.11 per rung), while each +1 plane halves
+    * the unrelated-pair collision rate — so the floor is set where
+    * pruning, not occupancy, saturates: p = 10 with
+    * [[ndBandsForAt]](10, 0.95) = 19 bands gives
+    * [[ndCandidateRatio]] ≈ 0.018 (98% of the pair space never becomes
+    * a candidate) at a planted-pair miss probability of
+    * (1 − s1^10)^19 ≈ 1.5e-5. Above 256·2^10 vectors the occupancy
+    * ladder takes over as usual.
+    */
+  val NdProdMinPlanes: Int = 10
+
+  /** Bands at the production threshold (recall budget vs s1 ≈ 0.9). */
+  def prodBandsFor(p: Int): Int = ndBandsForAt(p, ProdNearDupThreshold)
+
+  /** (id shift for planted copies, augmented corpus size) — one
+    * aggregate over the corpus; both are integers the oracle re-derives
+    * with the same arithmetic, so the two engines can never disagree on
+    * the rung. */
+  private[graft] def prodStats(s: SparkSession, dir: String): (Long, Long) = {
+    val r = embeddings(s, dir).agg(
+      max(col("vec_id")), count(lit(1)),
+      sum(when(col("vec_id") % 8 === 0, 1L).otherwise(0L))).head()
+    (r.getLong(0) + 1, r.getLong(1) + r.getLong(2))
+  }
+
+  /** The dup-injected corpus: the raw vectors plus, for every 8th id, a
+    * near-copy at cosine ≈ 0.987 (md5-parity ±ε jitter — reproducible in
+    * SQL, cf. [[ndPlaneCoeffs]]) under id `vec_id + shift`. This is the
+    * workload a production near-dup sweep actually faces — a corpus
+    * whose duplicates are near-copies, not merely same-cluster
+    * neighbors — and it is derived, not synthesized: both engines build
+    * it from the same stored table with the same deterministic
+    * arithmetic, so the driver's hash compare covers the construction
+    * too.
+    */
+  private[graft] def prodCorpus(s: SparkSession, dir: String, shift: Long): DataFrame = {
+    val base = embeddings(s, dir).select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("v"))
+    def sign(d: Column): Column =
+      when(conv(substring(md5(concat(lit("jit"), col("vec_id").cast("string"),
+        lit("d"), d.cast("string"))), 32, 1), 16, 10).cast("long") % 2 === 1,
+        lit(1.0)).otherwise(lit(-1.0))
+    val jit = base.filter(col("vec_id") % 8 === 0)
+      .select(col("vec_id"),
+        zip_with(col("v"), sequence(lit(0), lit(AnnDims - 1)),
+          (x, d) => x + lit(ProdJitterEps) * sign(d)).as("v"))
+      .select((col("vec_id") + lit(shift)).as("vec_id"), col("v"))
+    resplit(base.unionByName(jit))
+      .withColumn("norm", sqrt(dotFold(col("v"), col("v"))))
+  }
+
+  /** q161: the production-threshold near-dup sweep — the operating point
+    * where banded LSH BEATS brute force, closing the loop q67's fallback
+    * opened: the r12 verdict's one `weak` was that the near-dup scale
+    * path had never been measured cheaper than its own exact yardstick.
+    * Here it is: at threshold 0.95 the geometry (rung ≥ 10, 19 bands)
+    * prunes ~98% of the pair space while missing a planted near-copy
+    * with probability ~1.5e-5, and the r13 BASELINE.md record shows it
+    * wall-clock-ahead of the brute q40 scan at sf1 in the same boot —
+    * despite sweeping a 12.5% LARGER corpus (the dup-injected frame).
+    * Same banded core as q67 ([[nearDupBandedFrame]]); the spec pins the
+    * output against a brute-force sweep of the same frame at fixture
+    * scale, and the band-aware oracle makes engine ≡ oracle
+    * deterministic at every scale.
+    */
+  def q161NearDupProd(s: SparkSession, dir: String): DataFrame = {
+    val (shift, total) = prodStats(s, dir)
+    val rung = math.max(ndPlanesFor(total), NdProdMinPlanes)
+    nearDupBandedFrame(prodCorpus(s, dir, shift), rung, prodBandsFor(rung),
+      ProdNearDupThreshold)
+  }
+
+  /** q161's band-aware oracle — the q67Sql pattern over the dup-injected
+    * corpus: rebuild the jittered copies (md5-parity signs, identical
+    * double arithmetic), derive the same rung from the augmented count
+    * (integer ladder, floor at [[NdProdMinPlanes]]), regenerate the same
+    * band signatures, and verify candidates with the sequential-fold
+    * cosine at the production threshold.
+    */
+  val q161Sql: String = {
+    val ladder = (NdProdMinPlanes to NdMaxPlanes)
+      .map(p => s"(${p}, ${prodBandsFor(p)}, ${NdTargetOcc << p})").mkString(", ")
+    def fold(a: String, b: String): String =
+      s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |     list_transform(range(1, ${AnnDims + 1}), i -> $a[i] * $b[i])), (x, y) -> x + y)""".stripMargin
+    s"""WITH e0 AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |sh AS (SELECT CAST(max(vec_id) + 1 AS BIGINT) AS m FROM embeddings),
+       |jit AS (
+       |  SELECT j.vec_id + (SELECT m FROM sh) AS vec_id, j.jv AS v FROM (
+       |    SELECT vec_id,
+       |     list_transform(range(0, $AnnDims), d -> v[d + 1] + $ProdJitterEps *
+       |       (CASE WHEN CAST(concat('0x',
+       |            substr(md5('jit' || vec_id || 'd' || d), 32, 1)) AS BIGINT) % 2 = 1
+       |        THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END)) AS jv
+       |    FROM e0 WHERE vec_id % 8 = 0) j),
+       |e AS (SELECT vec_id, v FROM e0 UNION ALL SELECT vec_id, v FROM jit),
+       |n AS (
+       |  SELECT vec_id, v,
+       |   sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |     list_transform(v, x -> x * x)), (a, b) -> a + b)) AS norm
+       |  FROM e),
+       |cnt AS (SELECT CAST(count(*) AS BIGINT) AS c FROM e),
        |geom AS (
        |  SELECT np, nb FROM (VALUES $ladder) l(np, nb, hi), cnt
        |  WHERE c <= hi OR np = $NdMaxPlanes ORDER BY np LIMIT 1),
@@ -438,7 +698,7 @@ object Similarity {
        |SELECT keep_id, drop_id,
        | ROUND(${fold("ka.v", "kb.v")} / (ka.norm * kb.norm), 6) AS sim
        |FROM cand JOIN n ka ON keep_id = ka.vec_id JOIN n kb ON drop_id = kb.vec_id
-       |WHERE ${fold("ka.v", "kb.v")} / (ka.norm * kb.norm) >= $NearDupThreshold
+       |WHERE ${fold("ka.v", "kb.v")} / (ka.norm * kb.norm) >= $ProdNearDupThreshold
        |ORDER BY keep_id, drop_id""".stripMargin
   }
 

@@ -200,11 +200,20 @@ class PlanSpec extends SparkTestBase {
     val ivf = plan(graft.queries.Similarity.q39AnnIvf(spark, sf))
     assert(!ivf.contains("CartesianProduct") && bnljCount(ivf) <= 2 && hasEquiJoin(ivf),
       s"IVF cell join degraded to all-pairs:\n$ivf")
-    // q67: both the banded candidate join AND the vector-fetch verify
-    // joins must be equi-joins — zero nested loops anywhere
-    val nd = plan(graft.queries.Similarity.q67NearDupLsh(spark, sf))
+    // the banded near-dup core (q67's above-crossover mode, q161's
+    // executed path): both the banded candidate join AND the
+    // vector-fetch verify joins must be equi-joins — zero nested loops
+    // anywhere. Pinned via the rung-forced hook since the registered
+    // q67 deliberately runs the brute plan below the measured crossover.
+    val nd = plan(graft.queries.Similarity.nearDupBandedAt(spark, sf, 3))
     assert(!nd.contains("CartesianProduct") && bnljCount(nd) === 0 && hasEquiJoin(nd),
       s"near-dup LSH candidate join degraded to all-pairs:\n$nd")
+    // q161: the production-threshold sweep executes the banded core at
+    // every scale — equi-joins only, and the dup-injection union must
+    // not smuggle in any pair scan
+    val prod = plan(graft.queries.Similarity.q161NearDupProd(spark, sf))
+    assert(!prod.contains("CartesianProduct") && bnljCount(prod) === 0 && hasEquiJoin(prod),
+      s"production near-dup sweep degraded to all-pairs:\n$prod")
     // q101: same contract as q39 for the TRAINED index — centroid
     // assignment may broadcast-nested-loop (16 trained centroids per
     // self-join side), the cell pair join must stay an equi-join. The
@@ -282,6 +291,10 @@ class PlanSpec extends SparkTestBase {
       "q25_cosine_topk",       // brute-force cosine baseline (recall yardstick)
       "q32_cross_join",        // the cross-join operator itself
       "q40_embedding_neardup", // brute-force near-dup baseline (recall yardstick)
+      "q67_neardup_lsh",       // measured fallback: IS the brute plan below the
+                               // ~4.19M-vector crossover (r13); the banded mode
+                               // above it is equi-join-only, pinned via
+                               // nearDupBandedAt in the ANN-joins test
       "q66_semantic_decontam") // eval side is the broadcast: tiny by
                                // construction of the hold-out split, but a
                                // FILTER, not an aggregate/limit, so the
@@ -460,6 +473,26 @@ class PlanSpec extends SparkTestBase {
       val bnlj = p.split("BroadcastNestedLoopJoin").length - 1
       assert(bnlj <= 2, // offset/cum inequality join + (q135) broadcast 1-row total
         s"$name: expected bounded-domain nested loops only, got $bnlj:\n$p")
+    }
+  }
+
+  test("q160: the probe fan-out explodes ids only — no vector rides the 9× explode") {
+    // multi-probe's whole scale argument is that the fan-out multiplies
+    // 16-byte (vec_id, probe) rows, never 520-byte vectors: the vectors
+    // join back per CANDIDATE. Pin it structurally — every GenerateExec
+    // (the probe explode) must emit zero array-typed columns; a refactor
+    // that re-attaches v/norm before the candidate join fails here.
+    import org.apache.spark.sql.execution.GenerateExec
+    import org.apache.spark.sql.types.ArrayType
+    val noAqe = spark.newSession()
+    noAqe.conf.set("spark.sql.adaptive.enabled", "false")
+    val p = graft.queries.Similarity.q160MultiProbeLsh(noAqe, sf)
+      .queryExecution.executedPlan
+    val gens = p.collect { case g: GenerateExec => g }
+    assert(gens.nonEmpty, s"no probe explode found in the plan:\n$p")
+    gens.foreach { g =>
+      assert(!g.output.exists(_.dataType.isInstanceOf[ArrayType]),
+        s"probe explode carries an array column through the fan-out:\n$p")
     }
   }
 

@@ -9,11 +9,85 @@ import graft.queries.Similarity
   */
 class SimilaritySpec extends SparkTestBase {
 
-  test("q67 ≡ q40: LSH-bucketed near-dup finds exactly the brute-force pair set") {
+  test("q67 fallback: below the measured crossover the registered query runs the brute plan") {
+    // the r13 contract: at the calibrated 0.45 threshold the banded path
+    // is measured SLOWER than brute below ~4.19M vectors (ratio bar in
+    // Similarity.NdLshMaxRatio), so q67 must select the exact brute plan
+    // here — same output as q40 by construction, BNLJ pair-scan shape
+    val n = Tables.embeddings(spark, sf).count()
+    assert(n <= Similarity.NdBruteCrossoverN)
+    val p = Similarity.q67NearDupLsh(spark, sf).queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"fallback did not pick the brute pair-scan below the crossover:\n$p")
     val brute = Similarity.q40EmbeddingNearDup(spark, sf).collect().toSet
-    val lsh = Similarity.q67NearDupLsh(spark, sf).collect().toSet
-    assert(lsh === brute)
+    val got = Similarity.q67NearDupLsh(spark, sf).collect().toSet
+    assert(got === brute)
     assert(brute.nonEmpty, "fixture must actually contain near-dup pairs")
+  }
+
+  test("q67 banded core: every deep rung finds exactly the brute-force pair set on the fixture") {
+    // r12 advice: the adaptive geometry must be recall-tested at the
+    // rungs the big corpora actually use, not only the legacy p=3 —
+    // rung 5 is the sf0.3-class geometry and rung 7 is the sf1 geometry
+    // (ndPlanesFor(20000) = 7). Deterministic md5 planes ⇒ these are
+    // fixed facts of the fixture, not sampled probabilities.
+    val brute = Similarity.q40EmbeddingNearDup(spark, sf).collect().toSet
+    assert(brute.nonEmpty)
+    for (rung <- Seq(3, 5, 7)) {
+      val banded = Similarity.nearDupBandedAt(spark, sf, rung).collect().toSet
+      assert(banded === brute, s"rung $rung diverged from brute force")
+    }
+  }
+
+  test("q67 crossover: the ratio bar sits between the measured operating points") {
+    // the mode decision is an integer precomputed from the ladder: rung
+    // 15 is the first that prunes ≥ 1 − NdLshMaxRatio of the pair space
+    // at the 0.45 threshold, and the ladder assigns it above 256·2^14
+    assert(Similarity.NdBruteCrossoverN === (256L << 14))
+    assert(Similarity.ndCandidateRatio(15, Similarity.ndBandsFor(15)) <=
+      Similarity.NdLshMaxRatio)
+    assert(Similarity.ndCandidateRatio(14, Similarity.ndBandsFor(14)) >
+      Similarity.NdLshMaxRatio)
+    // the measured losing point (rung 7 @ 0.45, r12 sf1: 7.1× slower
+    // than brute) is comfortably above the bar; the measured winning
+    // point (q161's rung-10 production geometry) comfortably below
+    assert(Similarity.ndCandidateRatio(7, Similarity.ndBandsFor(7)) > 0.5)
+    assert(Similarity.ndCandidateRatio(10, Similarity.prodBandsFor(10)) < 0.05)
+  }
+
+  test("q161: production sweep equals an in-memory brute force over the dup-injected corpus") {
+    val (shift, total) = Similarity.prodStats(spark, sf)
+    // fixture sits on the rung floor: occupancy ladder would say 3
+    assert(math.max(Similarity.ndPlanesFor(total), Similarity.NdProdMinPlanes) === 10)
+    val frame = Similarity.prodCorpus(spark, sf, shift)
+      .collect().map(r => (r.getAs[Long]("vec_id"), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    assert(frame.length.toLong === total)
+    // independent ground truth: all-pairs cosine at the production
+    // threshold over the same derived corpus
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val expected = (for {
+      i <- frame.indices.iterator
+      j <- (i + 1) until frame.length
+      s = cos(frame(i)._2, frame(j)._2)
+      if s >= Similarity.ProdNearDupThreshold
+    } yield (frame(i)._1, frame(j)._1, math.rint(s * 1e6) / 1e6)).toSet
+    val got = Similarity.q161NearDupProd(spark, sf).collect()
+      .map(r => (r.getAs[Long]("keep_id"), r.getAs[Long]("drop_id"),
+        r.getAs[Double]("sim"))).toSet
+    assert(got === expected,
+      s"extra=${got -- expected}, missing=${expected -- got}")
+    // the answer set is exactly the planted ledger: every 8th vector's
+    // near-copy, nothing else — the jitter margin analysis in the
+    // Scaladoc, verified
+    val planted = frame.map(_._1).filter(id => id < shift && id % 8 == 0)
+      .map(id => (id, id + shift)).toSet
+    assert(got.map(p => (p._1, p._2)) === planted)
+    assert(got.forall(_._3 >= Similarity.ProdNearDupThreshold))
   }
 
   test("q160 multi-probe: superset of q26's candidates, recall never below q26") {

@@ -56,9 +56,16 @@ object Sessions {
         ext.injectOptimizerRule(_ => graft.plans.RewriteHofDotProduct)
       }
 
-  /** Session for the harness mains: `local[$SPARK_GRAFT_CPUS]`. */
+  /** Session for the harness mains: `local[$SPARK_GRAFT_CPUS]`.
+    * `SPARK_GRAFT_SHUFFLE_PARTITIONS` overrides the partition count
+    * (default = core count) — the knob behind the r13 partitions-scaled
+    * A/B on the sf1 relational outliers (BASELINE.md): on a real cluster
+    * this is the ~2-3× total-cores setting noted on [[builder]], and the
+    * A/B documents how the fixed local default behaves at 10× data.
+    */
   def local(appName: String): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    builder(s"local[$cpus]", cpus).appName(appName).getOrCreate()
+    val parts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
+    builder(s"local[$cpus]", parts).appName(appName).getOrCreate()
   }
 }

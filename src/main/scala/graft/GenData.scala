@@ -171,7 +171,7 @@ object GenData {
 
   def main(args: Array[String]): Unit = {
     require(args.length >= 2,
-      "usage: GenData <srcSfDir> <outDir> [factor] [realistic|stress-uniform]")
+      "usage: GenData <srcSfDir> <outDir> [factor] [realistic|stress-uniform] [table,...]")
     val (src, out) = (args(0), args(1))
     val factor = args.lift(2).map(_.toInt).getOrElse(10)
     val realistic = args.lift(3) match {
@@ -179,13 +179,19 @@ object GenData {
       case Some("stress-uniform")   => false
       case Some(other) => sys.error(s"unknown corpus mode '$other'")
     }
+    // optional 5th arg: only generate the named tables — for targeted
+    // scale points (e.g. a factor-20 embeddings corpus for the
+    // brute/banded crossover measurement) without paying for a full
+    // dataset nobody reads
+    val only: Option[Set[String]] = args.lift(4).map(_.split(",").toSet)
     val spark = Sessions.local("graft-gendata")
     spark.sparkContext.setLogLevel("WARN")
     def read(t: String) = spark.read.parquet(s"$src/$t.parquet")
-    def write(df: DataFrame, t: String): Unit = {
-      df.write.mode("overwrite").parquet(s"$out/$t.parquet")
-      println(s"[gendata] $t: ${spark.read.parquet(s"$out/$t.parquet").count()} rows")
-    }
+    def write(df: => DataFrame, t: String): Unit =
+      if (only.forall(_.contains(t))) {
+        df.write.mode("overwrite").parquet(s"$out/$t.parquet")
+        println(s"[gendata] $t: ${spark.read.parquet(s"$out/$t.parquet").count()} rows")
+      }
 
     // dimensions: fixed-domain tables copy as-is
     write(read("region"), "region")

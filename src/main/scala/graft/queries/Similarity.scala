@@ -330,13 +330,16 @@ object Similarity {
     1.0 - math.pow(1.0 - math.pow(0.5, p), b)
 
   /** Measured-calibrated pruning bar for choosing the banded path. The
-    * two recorded operating points bracket it: ratio 0.655 (rung 7 at the
-    * 0.45 threshold, sf1) ran 7.1× SLOWER than brute (61.8 s vs 8.75 s,
-    * r12 sweep), ratio 0.018 (rung 10 at the 0.95 threshold, q161) runs
-    * measurably FASTER than brute at the same scale (r13 record in
-    * BASELINE.md). 0.15 sits between them with ~4× headroom on the
+    * recorded operating points bracket it (BASELINE.md r13): ratio 0.655
+    * (rung 7 at the 0.45 threshold, sf1) ran 7.1× SLOWER than brute
+    * (61.8 s vs 8.75 s, r12 sweep); ratio 0.018 (rung 10 at the 0.95
+    * threshold, q161) is measurably FASTER than brute at 40k vectors
+    * (21.9 s vs 40.7 s same-boot — and still loses narrowly at 20k,
+    * 11.4 s vs 8.8 s, where n² hasn't yet paid for the banded
+    * constants). 0.15 sits between the ratios with ~4× headroom on the
     * losing side — the banded path must prune ≥ 85% of the pair space
-    * before its constants can pay for themselves.
+    * before its constants can pay for themselves, and even then only
+    * once n² dominates (the crossover n below).
     */
   val NdLshMaxRatio: Double = 0.15
 
@@ -443,8 +446,9 @@ object Similarity {
     * ladder first prunes ≥ 85%) and the banded core above it. The
     * banded-beats-brute regime is not hypothetical — q161 demonstrates
     * it at a production threshold (0.95 ⇒ s1 ≈ 0.9 ⇒ 19 bands prune 98%)
-    * with a recorded same-boot win over brute force at sf1 (BASELINE.md
-    * r13).
+    * with a recorded same-boot 1.9× win over brute force at 40k vectors,
+    * and the same measurement brackets the crossover from below: at 20k
+    * brute still wins narrowly (BASELINE.md r13).
     *
     * Oracle: [[q67Sql]] derives the SAME mode from the corpus row count
     * (integer crossover precomputed here) and, above the crossover, the
@@ -626,9 +630,13 @@ object Similarity {
     * path had never been measured cheaper than its own exact yardstick.
     * Here it is: at threshold 0.95 the geometry (rung ≥ 10, 19 bands)
     * prunes ~98% of the pair space while missing a planted near-copy
-    * with probability ~1.5e-5, and the r13 BASELINE.md record shows it
-    * wall-clock-ahead of the brute q40 scan at sf1 in the same boot —
-    * despite sweeping a 12.5% LARGER corpus (the dup-injected frame).
+    * with probability ~1.5e-5, and the r13 BASELINE.md records show it
+    * wall-clock-ahead of the brute q40 scan by 1.9× at 40k vectors in
+    * the same boot (21.9 s vs 40.7 s) — despite sweeping a 12.5% LARGER
+    * corpus (the dup-injected frame). The same-boot sf1 (20k) pair
+    * brackets the crossover from below: there brute still wins (8.8 s
+    * vs 11.4 s), which is exactly why q67 falls back to the brute plan
+    * at small n instead of pretending the index is free.
     * Same banded core as q67 ([[nearDupBandedFrame]]); the spec pins the
     * output against a brute-force sweep of the same frame at fixture
     * scale, and the band-aware oracle makes engine ≡ oracle

@@ -175,3 +175,162 @@ object BmpCodec {
       bytes.length.toLong, sumB, sumG, sumR)
   }
 }
+
+/** PNG (truecolor RGB8, non-interlaced): the COMPRESSED third of the
+  * codec family — WAV and BMP prove container parsing, PNG adds the two
+  * layers real image formats live on: per-chunk CRC32 integrity and a
+  * zlib-deflated, per-row-filtered pixel stream (`java.util.zip` — pure
+  * JVM, no native libs). Format per the public PNG specification
+  * (RFC 2083 / W3C PNG): 8-byte signature, big-endian length-typed
+  * chunks (IHDR/IDAT/IEND) each carrying a CRC32 over type+data, IDAT =
+  * zlib(scanlines), scanline = 1 filter byte + 3·width RGB bytes.
+  *
+  * The encoder alternates filter types per row — None (0) on even rows,
+  * Sub (1) on odd rows — so the decoder must actually RECONSTRUCT
+  * filtered bytes (recon(x) = filt(x) + recon(x−3)), not just skip the
+  * filter byte: a reconstruction, stride, or CRC bug flips the decoded
+  * pixel sums and with them the oracle hash. Compressed byte counts are
+  * deliberately NOT part of the decoded facts — deflate output is
+  * implementation-defined; everything emitted is arithmetic on the
+  * ORIGINAL pixels, which the DuckDB oracle predicts independently.
+  */
+object PngCodec {
+  import java.util.zip.{CRC32, Deflater, Inflater}
+
+  /** Decoded facts: IHDR geometry, the inflated payload length (proves
+    * the zlib round-trip restored every scanline byte), the number of
+    * chunks whose CRC32 verified, and exact per-channel pixel sums
+    * (proves filter reconstruction). */
+  case class PngInfo(width: Long, height: Long, bitDepth: Long,
+                     colorType: Long, nPixels: Long, payloadLen: Long,
+                     chunksCrcOk: Long, sumR: Long, sumG: Long, sumB: Long)
+
+  private val Signature: Array[Byte] =
+    Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+  /** One chunk: length(4 BE) + type(4) + data + CRC32(type+data)(4 BE). */
+  private def chunk(tpe: String, data: Array[Byte]): Array[Byte] = {
+    val tb = tpe.getBytes(US_ASCII)
+    val bb = ByteBuffer.allocate(12 + data.length) // PNG is big-endian
+    bb.putInt(data.length).put(tb).put(data)
+    val crc = new CRC32
+    crc.update(tb); crc.update(data)
+    bb.putInt(crc.getValue.toInt)
+    bb.array()
+  }
+
+  /** Encode an RGB8 image. `px(x, y)` returns (r, g, b), y=0 the top
+    * row; rows alternate None/Sub filters (see object doc). */
+  def encode(width: Int, height: Int, px: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+    val rowLen = 1 + 3 * width
+    val raw = new Array[Byte](height * rowLen)
+    var y = 0
+    while (y < height) {
+      val off = y * rowLen
+      val sub = y % 2 == 1
+      raw(off) = if (sub) 1 else 0
+      var x = 0
+      while (x < width) {
+        val (r, g, b) = px(x, y)
+        val o = off + 1 + 3 * x
+        if (sub && x > 0) {
+          // Sub filter is BYTEWISE with bpp=3: subtract the same channel
+          // of the left pixel, mod 256 (toByte truncation)
+          val (pr, pg, pb) = px(x - 1, y)
+          raw(o) = (r - pr).toByte; raw(o + 1) = (g - pg).toByte
+          raw(o + 2) = (b - pb).toByte
+        } else {
+          raw(o) = r.toByte; raw(o + 1) = g.toByte; raw(o + 2) = b.toByte
+        }
+        x += 1
+      }
+      y += 1
+    }
+    val d = new Deflater()
+    d.setInput(raw); d.finish()
+    val out = new java.io.ByteArrayOutputStream(raw.length / 2 + 64)
+    val buf = new Array[Byte](4096)
+    while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+    d.end()
+    val ihdr = ByteBuffer.allocate(13)
+      .putInt(width).putInt(height)
+      .put(8.toByte)  // bit depth
+      .put(2.toByte)  // color type: truecolor RGB
+      .put(0.toByte).put(0.toByte).put(0.toByte) // deflate, adaptive filter, no interlace
+      .array()
+    Signature ++ chunk("IHDR", ihdr) ++ chunk("IDAT", out.toByteArray) ++
+      chunk("IEND", Array.emptyByteArray)
+  }
+
+  /** Parse a PNG: verify the signature and every chunk CRC, read IHDR
+    * geometry, concatenate IDAT bodies (real PNGs split them), inflate,
+    * and reconstruct each scanline's filter before summing channels. */
+  def decode(bytes: Array[Byte]): PngInfo = {
+    require(bytes.length > 8 && bytes.take(8).sameElements(Signature), "not a PNG")
+    val bb = ByteBuffer.wrap(bytes)
+    bb.position(8)
+    var width = 0; var height = 0; var bitDepth = 0; var colorType = 0
+    var crcOk = 0L
+    val idat = new java.io.ByteArrayOutputStream()
+    var done = false
+    while (!done && bb.remaining() >= 12) {
+      val len = bb.getInt()
+      val tb = new Array[Byte](4); bb.get(tb)
+      val tpe = new String(tb, US_ASCII)
+      val data = new Array[Byte](len); bb.get(data)
+      val declared = bb.getInt()
+      val crc = new CRC32
+      crc.update(tb); crc.update(data)
+      require(crc.getValue.toInt == declared, s"CRC mismatch on $tpe chunk")
+      crcOk += 1
+      tpe match {
+        case "IHDR" =>
+          val h = ByteBuffer.wrap(data)
+          width = h.getInt(); height = h.getInt()
+          bitDepth = h.get() & 0xff; colorType = h.get() & 0xff
+          require(bitDepth == 8 && colorType == 2,
+            s"unsupported PNG flavor: depth=$bitDepth color=$colorType (RGB8 only)")
+          require(h.get() == 0 && h.get() == 0 && h.get() == 0,
+            "unsupported compression/filter/interlace method")
+        case "IDAT" => idat.write(data)
+        case "IEND" => done = true
+        case _      => () // ancillary chunk: CRC-checked above, content ignored
+      }
+    }
+    require(done && width > 0 && height > 0, "missing IHDR/IEND")
+    val inf = new Inflater()
+    inf.setInput(idat.toByteArray)
+    val rowLen = 1 + 3 * width
+    val raw = new Array[Byte](height * rowLen)
+    var got = 0
+    while (!inf.finished() && got < raw.length)
+      got += inf.inflate(raw, got, raw.length - got)
+    val trailing = !inf.finished() && { inf.inflate(new Array[Byte](1)) > 0 }
+    require(!trailing, "IDAT inflates past the expected scanline bytes")
+    inf.end()
+    var sumR = 0L; var sumG = 0L; var sumB = 0L
+    var y = 0
+    while (y < height) {
+      val off = y * rowLen
+      val filter = raw(off) & 0xff
+      require(filter <= 1, s"unsupported scanline filter $filter (None/Sub only)")
+      if (filter == 1) {
+        // reconstruct Sub in place: recon(x) = filt(x) + recon(x - 3)
+        var o = off + 4
+        while (o < off + rowLen) {
+          raw(o) = (raw(o) + raw(o - 3)).toByte
+          o += 1
+        }
+      }
+      var x = 0
+      while (x < width) {
+        val o = off + 1 + 3 * x
+        sumR += raw(o) & 0xff; sumG += raw(o + 1) & 0xff; sumB += raw(o + 2) & 0xff
+        x += 1
+      }
+      y += 1
+    }
+    PngInfo(width.toLong, height.toLong, bitDepth.toLong, colorType.toLong,
+      width.toLong * height, got.toLong, crcOk, sumR, sumG, sumB)
+  }
+}

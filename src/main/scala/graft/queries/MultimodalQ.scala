@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables._
-import graft.multimodal.{BmpCodec, Multimodal, WavCodec}
+import graft.multimodal.{BmpCodec, Multimodal, PngCodec, WavCodec}
 
 /** Oracle-checked slice of the multimodal plumbing: the binary media
   * column + typed metadata (q36), plus the two REAL pure-JVM codec paths
@@ -154,5 +154,70 @@ object MultimodalQ {
       | CAST(list_sum(list_transform(px, e -> CASE WHEN e.c = 0 THEN e.v ELSE 0 END)) AS BIGINT) AS sum_b,
       | CAST(list_sum(list_transform(px, e -> CASE WHEN e.c = 1 THEN e.v ELSE 0 END)) AS BIGINT) AS sum_g,
       | CAST(list_sum(list_transform(px, e -> CASE WHEN e.c = 2 THEN e.v ELSE 0 END)) AS BIGINT) AS sum_r
+      |FROM p ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q162
+
+  /** q162 row: PNG geometry + zlib/CRC/filter round-trip facts. */
+  case class PngDecoded(doc_id: Long, width: Long, height: Long,
+                        bit_depth: Long, color_type: Long, n_pixels: Long,
+                        payload_len: Long, chunks_crc_ok: Long,
+                        sum_r: Long, sum_g: Long, sum_b: Long)
+
+  /** q162: REAL PNG round-trip — the COMPRESSED member of the codec
+    * family (q156 WAV, q157 BMP are raw containers): per document an RGB8
+    * pixel grid is encoded as a genuine PNG ([[PngCodec]]: big-endian
+    * CRC32-sealed chunks, zlib-deflated scanlines, alternating None/Sub
+    * row filters) and parsed back — the decoder verifies every chunk CRC,
+    * inflates the IDAT stream, and RECONSTRUCTS the Sub-filtered rows
+    * before summing channels. The oracle predicts every emitted fact from
+    * the pixel formula alone (compressed sizes are deliberately not
+    * emitted — deflate output is implementation-defined), so a CRC,
+    * inflate, stride, or filter-reconstruction bug flips the hash:
+    * `payload_len` pins the inflated byte count to h·(1+3w),
+    * `chunks_crc_ok` pins all 3 chunks verifying, and the channel sums
+    * pin the reconstructed pixels. Scale shape: map-only mapPartitions
+    * kernel over a one-column scan, like q156/q157 — at 100 TB the same
+    * kernel decodes archived thumbnails off a binary column.
+    */
+  def q162PngDecode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    documents(s, dir).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { docId =>
+        val w = (5 + docId % 11).toInt
+        val h = (4 + docId % 6).toInt
+        val bytes = PngCodec.encode(w, h, (x, y) => (
+          ((docId + 7 * x + 13 * y) % 256).toInt,
+          ((docId + 7 * x + 13 * y + 29) % 256).toInt,
+          ((docId + 7 * x + 13 * y + 101) % 256).toInt))
+        val info = PngCodec.decode(bytes)
+        PngDecoded(docId, info.width, info.height, info.bitDepth,
+          info.colorType, info.nPixels, info.payloadLen, info.chunksCrcOk,
+          info.sumR, info.sumG, info.sumB)
+      }).toDF().orderBy(col("doc_id"))
+  }
+
+  val q162Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id, 5 + doc_id % 11 AS w, 4 + doc_id % 6 AS h
+      |  FROM documents),
+      |p AS (
+      |  SELECT doc_id, w, h,
+      |   list_transform(range(0, w * h * 3), i ->
+      |     struct_pack(c := i % 3,
+      |       v := (doc_id + 7 * ((i // 3) % w) + 13 * ((i // 3) // w)
+      |             + (CASE i % 3 WHEN 0 THEN 0 WHEN 1 THEN 29 ELSE 101 END)) % 256)) AS px
+      |  FROM d)
+      |SELECT doc_id,
+      | CAST(w AS BIGINT) AS width,
+      | CAST(h AS BIGINT) AS height,
+      | CAST(8 AS BIGINT) AS bit_depth,
+      | CAST(2 AS BIGINT) AS color_type,
+      | CAST(w * h AS BIGINT) AS n_pixels,
+      | CAST(h * (1 + 3 * w) AS BIGINT) AS payload_len,
+      | CAST(3 AS BIGINT) AS chunks_crc_ok,
+      | CAST(list_sum(list_transform(px, e -> CASE WHEN e.c = 0 THEN e.v ELSE 0 END)) AS BIGINT) AS sum_r,
+      | CAST(list_sum(list_transform(px, e -> CASE WHEN e.c = 1 THEN e.v ELSE 0 END)) AS BIGINT) AS sum_g,
+      | CAST(list_sum(list_transform(px, e -> CASE WHEN e.c = 2 THEN e.v ELSE 0 END)) AS BIGINT) AS sum_b
       |FROM p ORDER BY doc_id""".stripMargin
 }

@@ -157,4 +157,71 @@ class MultimodalSpec extends SparkTestBase {
     assert(moved.sumB === orig.sumB && moved.sumG === orig.sumG && moved.sumR === orig.sumR)
     assert(moved.width === 2L && moved.height === 2L)
   }
+
+  test("PNG: round-trip restores exact channel sums through deflate + Sub filter") {
+    import graft.multimodal.PngCodec
+    // width 4, height 3: rows 0,2 filter None, row 1 filter Sub — the
+    // Sub row's pixels INCREASE left-to-right, so unreconstructed sums
+    // would be wrong by a large margin
+    val w = 4; val h = 3
+    def px(x: Int, y: Int) = (40 * x + y, 40 * x + y + 1, 40 * x + y + 2)
+    val info = PngCodec.decode(PngCodec.encode(w, h, px))
+    assert(info.width === w.toLong && info.height === h.toLong)
+    assert(info.bitDepth === 8L && info.colorType === 2L)
+    assert(info.payloadLen === h.toLong * (1 + 3 * w))
+    assert(info.chunksCrcOk === 3L)
+    val base = (for (x <- 0 until w; y <- 0 until h) yield 40 * x + y).sum.toLong
+    assert(info.sumR === base)
+    assert(info.sumG === base + w * h)
+    assert(info.sumB === base + 2L * w * h)
+  }
+
+  test("PNG: Sub filter wraps mod 256 and reconstructs byte-exactly") {
+    import graft.multimodal.PngCodec
+    // deltas beyond ±127 force the mod-256 wrap in the filtered bytes
+    val info = PngCodec.decode(PngCodec.encode(3, 2,
+      (x, y) => (200 * x % 256, (255 - 130 * x) % 256, (3 + 90 * x + y) % 256)))
+    val expR = (0 until 3).map(x => 200 * x % 256).sum.toLong * 2
+    assert(info.sumR === expR)
+  }
+
+  test("PNG: decoder concatenates split IDAT chunks (real-world layout)") {
+    import graft.multimodal.PngCodec
+    import java.nio.ByteBuffer
+    import java.util.zip.CRC32
+    val plain = PngCodec.encode(6, 4, (x, y) => (x, y, x + y))
+    // locate the single IDAT chunk (PNG is big-endian)
+    val bb = ByteBuffer.wrap(plain); bb.position(8)
+    var idatOff = -1; var idatLen = -1
+    while (idatLen < 0) {
+      val off = bb.position(); val len = bb.getInt()
+      val tb = new Array[Byte](4); bb.get(tb)
+      if (new String(tb, "US-ASCII") == "IDAT") { idatOff = off; idatLen = len }
+      else bb.position(bb.position() + len + 4)
+    }
+    val data = java.util.Arrays.copyOfRange(plain, idatOff + 8, idatOff + 8 + idatLen)
+    val cut = idatLen / 2
+    def idatChunk(d: Array[Byte]): Array[Byte] = {
+      val out = ByteBuffer.allocate(12 + d.length)
+      out.putInt(d.length).put("IDAT".getBytes("US-ASCII")).put(d)
+      val crc = new CRC32
+      crc.update("IDAT".getBytes("US-ASCII")); crc.update(d)
+      out.putInt(crc.getValue.toInt).array()
+    }
+    val split = plain.take(idatOff) ++
+      idatChunk(data.take(cut)) ++ idatChunk(data.drop(cut)) ++
+      plain.drop(idatOff + 12 + idatLen)
+    val a = PngCodec.decode(split); val b = PngCodec.decode(plain)
+    assert(a.sumR === b.sumR && a.sumG === b.sumG && a.sumB === b.sumB)
+    assert(a.chunksCrcOk === 4L) // IHDR + 2×IDAT + IEND all verified
+  }
+
+  test("PNG: corrupted payload byte and wrong signature are rejected by CRC/signature checks") {
+    import graft.multimodal.PngCodec
+    val good = PngCodec.encode(5, 5, (x, y) => (x * y, x, y))
+    val flipped = good.clone()
+    flipped(8 + 12 + 13 + 8 + 4) = (flipped(8 + 12 + 13 + 8 + 4) ^ 0x40).toByte // inside IDAT data
+    intercept[IllegalArgumentException](PngCodec.decode(flipped))
+    intercept[IllegalArgumentException](PngCodec.decode(good.drop(1)))
+  }
 }

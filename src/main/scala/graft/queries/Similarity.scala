@@ -1275,6 +1275,212 @@ object Similarity {
        |ORDER BY q_id, rnk""".stripMargin
   }
 
+  // ---- q163: IVF+PQ composite index (coarse cells + residual codes +
+  // probe-limited ADC scan) ----
+
+  /** Cells probed per query by the composite index. 2 of [[IvfCells]]=16
+    * ⇒ the ADC scan touches ~12.5% of the corpus instead of 100% (q109
+    * scans flat) — the coarse-quantizer economics — while the residual
+    * codes keep the per-candidate cost at [[PqM]] table lookups.
+    */
+  val IvfPqProbes: Int = 2
+
+  /** q163: the production ANN shape — IVF coarse cells composed with
+    * product quantization over RESIDUALS (Jégou et al., IVFADC): q39's
+    * seeded cells give each vector a centroid, the PQ codebook (q109's
+    * geometry: [[PqM]]×[[PqK]], seeded from the first [[PqK]] vectors)
+    * is trained on `v − centroid` — residuals concentrate near 0, which
+    * is WHY production indexes encode them instead of raw vectors — and
+    * a query probes only its [[IvfPqProbes]] nearest cells, scoring each
+    * cell's members by asymmetric distance against a PER-(query, cell)
+    * table built from the query's residual to THAT cell.
+    *
+    * Scale shape at 100 TB: codebook and per-query tables broadcast
+    * (M×K and queries×probes×M×K rows); candidate scoring is one
+    * equi-join of the code table with the broadcast probe tables on
+    * `cell` — the scan reads only probed cells' codes (4 bytes/vector),
+    * never the vectors; the only wide exchange is the bounded
+    * [[graft.functions.TopKPairs]] heads. Index build (assign + encode)
+    * is the one-time cost, like q102's bucketed write.
+    *
+    * Determinism mirrors q109 everywhere: 6dp-rounded argmins tie-broken
+    * by codeword id, probe ranking by (6dp cosine DESC, c_id), table
+    * entries quantized to integer micros BEFORE the [[PqM]]-term sum,
+    * final rank by (adist, neighbor id).
+    */
+  def q163IvfPq(s: SparkSession, dir: String): DataFrame = {
+    val cells = seededAssignment(s, dir)
+    val cents = vecs(s, dir).orderBy(col("vec_id")).limit(IvfCells)
+      .select(col("vec_id").as("c_id"), col("v").as("cv"), col("norm").as("cnorm"))
+    // residual frame: r = v − centroid(cell), centroid fetched broadcast.
+    // ONE checkpointed copy — the codebook seeds, the encode, and the
+    // cell carry all read it, and without the checkpoint each reference
+    // re-expands the full n×16 assignment subtree (cf. q160's shared
+    // bucket frame): the corpus would be scanned and assigned 4× at
+    // 100 TB
+    val res = cells.join(broadcast(cents), col("cell") === col("c_id"))
+      .select(col("vec_id"), col("cell"),
+        zip_with(col("v"), col("cv"), (x, c) => x - c).as("r"))
+      .localCheckpoint(true)
+    // residual codebook: dense codeword ranks over the first PqK
+    // vectors' RESIDUALS (same seed rule as q109's raw-vector codebook)
+    val rseeds = res.orderBy(col("vec_id")).limit(PqK)
+      .agg(array_sort(collect_list(struct(col("vec_id"), col("r")))).as("ss"))
+      .select(posexplode(col("ss")).as(Seq("c_id", "sv0")))
+      .select(col("c_id").cast("long").as("c_id"), col("sv0.r").as("v"))
+    val rcb = subvecs(rseeds.select(col("c_id").as("vec_id"), col("v")))
+      .select(col("vec_id").as("c_id"), col("m"), col("sv").as("cv"))
+    // encode residuals: nearest codeword per (vector, subspace)
+    val codes = subvecs(res.select(col("vec_id"), col("r").as("v")))
+      .join(broadcast(rcb), Seq("m"))
+      .select(col("vec_id"), col("m"),
+        round(l2sq(col("sv"), col("cv")), 6).as("d2"), col("c_id"))
+      .groupBy(col("vec_id"), col("m"))
+      .agg(min(struct(col("d2"), col("c_id"))).as("ch"))
+      .groupBy(col("vec_id"))
+      .agg(transform(array_sort(collect_list(struct(col("m"), col("ch.c_id").as("code")))),
+        x => x.getField("code")).as("codes"))
+      .join(res.select(col("vec_id"), col("cell")), Seq("vec_id"))
+    // probe selection: rank cells per query by the ASSIGNMENT rule
+    val qs = vecs(s, dir).orderBy(col("vec_id")).limit(PqQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("norm").as("qnorm"))
+    val wProbe = Window.partitionBy(col("q_id"))
+      .orderBy(col("qsim").desc, col("c_id"))
+    val probes = qs.crossJoin(broadcast(cents))
+      .withColumn("qsim", round(dot(col("qv"), col("cv")) / (col("qnorm") * col("cnorm")), 6))
+      .withColumn("prn", row_number().over(wProbe))
+      .filter(col("prn") <= IvfPqProbes)
+      .select(col("q_id"), col("c_id").as("cell"),
+        zip_with(col("qv"), col("cv"), (x, c) => x - c).as("qr"))
+    // per-(query, probed cell) distance tables over the query's residual
+    // to THAT cell — dtm[m][c_id+1] in integer micros (cf. q109)
+    val dtq = subvecs(probes.select(
+        concat_ws(":", col("q_id"), col("cell")).as("vec_id"), col("qr").as("v")))
+      .join(broadcast(rcb), Seq("m"))
+      .select(col("vec_id"), col("m"), col("c_id"),
+        round(l2sq(col("sv"), col("cv")) * 1e6).cast("long").as("qd2_u"))
+      .groupBy(col("vec_id"), col("m"))
+      .agg(transform(array_sort(collect_list(struct(col("c_id"), col("qd2_u")))),
+        x => x.getField("qd2_u")).as("row_k"))
+      .groupBy(col("vec_id"))
+      .agg(transform(array_sort(collect_list(struct(col("m"), col("row_k")))),
+        x => x.getField("row_k")).as("dtm"))
+      .select(split(col("vec_id"), ":").getItem(0).cast("long").as("q_id"),
+        split(col("vec_id"), ":").getItem(1).cast("long").as("cell"), col("dtm"))
+    val adistU = (0 until PqM).map { m =>
+      element_at(element_at(col("dtm"), m + 1),
+        (element_at(col("codes"), m + 1) + 1L).cast("int"))
+    }.reduce(_ + _)
+    // probe-limited ADC scan: codes ⋈ broadcast tables on cell — only
+    // members of probed cells are ever scored
+    codes.join(broadcast(dtq), Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), adistU.as("adist_u"))
+      .groupBy(col("q_id"))
+      .agg(topKPairs(-col("adist_u").cast("double"), col("vec_id"), PqTopK).as("nb"))
+      .select(col("q_id"), posexplode(col("nb")).as(Seq("pos", "nb")))
+      .select(col("q_id"), col("nb.id").as("neighbor_id"),
+        (-col("nb.score") / 1e6).as("adist"),
+        (col("pos") + 1).cast("long").as("rnk"))
+      .orderBy(col("q_id"), col("rnk"))
+  }
+
+  /** q163's oracle: q39's assignment CTEs + q109's PQ CTEs retargeted at
+    * residuals, probe ranking by the same (6dp cosine, c_id) rule, and
+    * the ADC sum over per-(query, cell) micro tables — identical integer
+    * arithmetic at every scale.
+    */
+  val q163Sql: String = {
+    def l2(a: String, b: String): String =
+      s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |      list_transform(range(1, ${PqSubDims + 1}),
+         |        i -> ($a[i] - $b[i]) * ($a[i] - $b[i]))), (x, y) -> x + y)""".stripMargin
+    def cos(av: String, an: String, bv: String, bn: String): String =
+      s"""ROUND(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |      list_transform(range(1, ${AnnDims + 1}), i -> $av[i] * $bv[i])),
+         |      (x, y) -> x + y) / ($an * $bn), 6)""".stripMargin
+    val adist = (1 to PqM)
+      .map(m => s"dtm[$m][CAST(codes[$m] + 1 AS INT)]").mkString(" + ")
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |n AS (
+       |  SELECT vec_id, v,
+       |   sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |     list_transform(v, x -> x * x)), (a, b) -> a + b)) AS norm
+       |  FROM e),
+       |cents AS (
+       |  SELECT vec_id AS c_id, v AS cv, norm AS cnorm FROM n
+       |  ORDER BY vec_id LIMIT $IvfCells),
+       |assign AS (
+       |  SELECT vec_id, v, norm, c_id AS cell,
+       |   row_number() OVER (PARTITION BY vec_id ORDER BY
+       |     ${cos("n.v", "n.norm", "cents.cv", "cents.cnorm")} DESC, c_id) AS crn
+       |  FROM n CROSS JOIN cents),
+       |res AS (
+       |  SELECT a.vec_id, a.cell,
+       |   list_transform(range(1, ${AnnDims + 1}), i -> a.v[i] - c.cv[i]) AS r
+       |  FROM assign a JOIN cents c ON a.cell = c.c_id WHERE a.crn = 1),
+       |rsub AS (
+       |  SELECT vec_id, cell, u.m AS m, u.sv AS sv FROM (
+       |    SELECT vec_id, cell, unnest(list_transform(range(0, $PqM),
+       |      m -> struct_pack(m := m, sv := r[m*$PqSubDims+1 : (m+1)*$PqSubDims]))) AS u
+       |    FROM res)),
+       |rseeds AS (
+       |  SELECT vec_id, r, CAST(row_number() OVER (ORDER BY vec_id) AS BIGINT) - 1 AS c_id
+       |  FROM (SELECT vec_id, r FROM res ORDER BY vec_id LIMIT $PqK)),
+       |rcb AS (
+       |  SELECT c_id, u.m AS m, u.cv AS cv FROM (
+       |    SELECT c_id, unnest(list_transform(range(0, $PqM),
+       |      m -> struct_pack(m := m, cv := r[m*$PqSubDims+1 : (m+1)*$PqSubDims]))) AS u
+       |    FROM rseeds)),
+       |enc AS (
+       |  SELECT vec_id, cell, m, c_id AS code FROM (
+       |    SELECT rsub.vec_id, rsub.cell, rsub.m, rcb.c_id,
+       |      row_number() OVER (PARTITION BY rsub.vec_id, rsub.m
+       |        ORDER BY ROUND(${l2("rsub.sv", "rcb.cv")}, 6), rcb.c_id) AS ern
+       |    FROM rsub JOIN rcb ON rsub.m = rcb.m) WHERE ern = 1),
+       |codes AS (
+       |  SELECT vec_id, any_value(cell) AS cell, list(code ORDER BY m) AS codes
+       |  FROM enc GROUP BY vec_id),
+       |qs AS (
+       |  SELECT vec_id AS q_id, v AS qv, norm AS qnorm FROM n
+       |  ORDER BY vec_id LIMIT $PqQueries),
+       |probes AS (
+       |  SELECT q_id, cell, qr FROM (
+       |    SELECT qs.q_id, cents.c_id AS cell,
+       |     list_transform(range(1, ${AnnDims + 1}), i -> qs.qv[i] - cents.cv[i]) AS qr,
+       |     row_number() OVER (PARTITION BY qs.q_id ORDER BY
+       |       ${cos("qs.qv", "qs.qnorm", "cents.cv", "cents.cnorm")} DESC, cents.c_id) AS prn
+       |    FROM qs CROSS JOIN cents) WHERE prn <= $IvfPqProbes),
+       |qsub AS (
+       |  SELECT q_id, cell, u.m AS m, u.sv AS sv FROM (
+       |    SELECT q_id, cell, unnest(list_transform(range(0, $PqM),
+       |      m -> struct_pack(m := m, sv := qr[m*$PqSubDims+1 : (m+1)*$PqSubDims]))) AS u
+       |    FROM probes)),
+       |dt AS (
+       |  SELECT qsub.q_id, qsub.cell, qsub.m, rcb.c_id,
+       |    CAST(round(${l2("qsub.sv", "rcb.cv")} * 1e6) AS BIGINT) AS qd2_u
+       |  FROM qsub JOIN rcb ON qsub.m = rcb.m),
+       |dtr AS (
+       |  SELECT q_id, cell, m, list(qd2_u ORDER BY c_id) AS row_k
+       |  FROM dt GROUP BY q_id, cell, m),
+       |dtq AS (
+       |  SELECT q_id, cell, list(row_k ORDER BY m) AS dtm
+       |  FROM dtr GROUP BY q_id, cell),
+       |adc AS (
+       |  SELECT dtq.q_id, codes.vec_id, $adist AS adist_u
+       |  FROM codes JOIN dtq ON codes.cell = dtq.cell
+       |  WHERE codes.vec_id <> dtq.q_id),
+       |r AS (
+       |  SELECT q_id, vec_id AS neighbor_id, adist_u,
+       |   CAST(row_number() OVER (PARTITION BY q_id ORDER BY adist_u, vec_id) AS BIGINT) AS rnk
+       |  FROM adc)
+       |SELECT q_id, neighbor_id, CAST(adist_u AS DOUBLE) / 1e6 AS adist, rnk
+       |FROM r WHERE rnk <= $PqTopK
+       |ORDER BY q_id, rnk""".stripMargin
+  }
+
   /** The q39/q101 seeded-centroid cell assignment as a reusable frame
     * (vec_id, v, norm, cell) — shared by q117 and the SemDeDup spec. */
   private[graft] def seededAssignment(s: SparkSession, dir: String): DataFrame = {

@@ -214,6 +214,12 @@ class PlanSpec extends SparkTestBase {
     val prod = plan(graft.queries.Similarity.q161NearDupProd(spark, sf))
     assert(!prod.contains("CartesianProduct") && bnljCount(prod) === 0 && hasEquiJoin(prod),
       s"production near-dup sweep degraded to all-pairs:\n$prod")
+    // q163: the composite index's ADC scan must be an equi-join on cell
+    // (probe-limited); the only nested-loop joins are the two bounded
+    // 16-row centroid broadcasts (assignment + probe ranking)
+    val ivfpq = plan(graft.queries.Similarity.q163IvfPq(spark, sf))
+    assert(!ivfpq.contains("CartesianProduct") && bnljCount(ivfpq) <= 3 && hasEquiJoin(ivfpq),
+      s"IVF+PQ scan degraded to all-pairs:\n$ivfpq")
     // q101: same contract as q39 for the TRAINED index — centroid
     // assignment may broadcast-nested-loop (16 trained centroids per
     // self-join side), the cell pair join must stay an equi-join. The

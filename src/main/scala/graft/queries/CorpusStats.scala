@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables._
 import graft.functions.TextFns._
+import graft.functions.TopKPairs.topKPairs
 
 /** Corpus-composition statistics: the planning ops a training-data
   * pipeline runs BEFORE committing to a mixture — temperature-rebalanced
@@ -920,4 +921,100 @@ object CorpusStats {
        | CAST(SUM(cnt) AS BIGINT) AS n_occurrences,
        | count(*) > 1 AS collided
        |FROM v GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------- q165
+
+  /** Count-min sketch geometry: width (buckets per row) and depth
+    * (independent hash rows). w=256 keeps the fixture sketch genuinely
+    * colliding (the 31-word stress vocabulary fits, but the Heaps-law
+    * corpora overflow it hard), d=3 is the textbook δ=e⁻³≈5% row count.
+    */
+  val CmsWidth: Int = 256
+  val CmsDepth: Int = 3
+
+  /** Heavy hitters tracked by q165 (top-k exact occurrence counts). */
+  val CmsTrackK: Int = 12
+
+  /** q165: COUNT-MIN SKETCH heavy-hitter estimation — the sketch q52's
+    * Scaladoc promises for "extreme cardinality" vocabularies, built as a
+    * first-class operator. The sketch is d=[[CmsDepth]] rows ×
+    * w=[[CmsWidth]] counters; row r hashes a token with
+    * hash60(token ':cms' r) mod w and every counter sums the occurrence
+    * counts of all tokens landing there (Cormode–Muthukrishnan '05). The
+    * estimate for a token is the MIN over its d counters — always ≥ the
+    * true count (one-sided error, pinned in spec), within εN with
+    * probability 1−δ. The report tracks the [[CmsTrackK]] highest exact
+    * occurrence counts (total order: cnt DESC, hash60(term) ASC via the
+    * TopKPairs heap) and emits exact count, sketch estimate, and the
+    * overcount — the operator a pipeline uses to VALIDATE a sketch
+    * deployment before dropping the exact vocabulary aggregate.
+    *
+    * The ORACLE RECOMPUTES THE SKETCH: every hash bottoms out in md5, so
+    * DuckDB builds the identical d×w counter table and the hash compare
+    * covers the estimates themselves, not just a bound verdict — stronger
+    * than the q35/q55 bound-contract form, available here because the
+    * sketch is exact integer arithmetic with no libm anywhere.
+    *
+    * Scale shape: vocabulary extraction is the one corpus-sized stage
+    * (q51's explode + word-keyed map-side-combined aggregate). The sketch
+    * build aggregates the VOCABULARY frame down to d·w rows (map-side:
+    * each mapper emits ≤ 768 partials), the tracked set is a bounded
+    * TopKPairs heap, and the probe joins 3·k probe rows against the
+    * BROADCAST d·w counter table. Nothing corpus-sized ever shuffles
+    * twice, and the sketch itself is mergeable across any partitioning —
+    * the property that makes it the streaming/distributed standard.
+    */
+  def q165CmsHeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    def bucketAt(r: Int): Column =
+      hash60(concat(col("term"), lit(s":cms$r"))) % CmsWidth
+    val rowBuckets = array((0 until CmsDepth).map(r =>
+      struct(lit(r).as("r"), bucketAt(r).as("bucket"))): _*)
+
+    val cnt = documents(s, dir)
+      .select(explode(words(col("text"))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+
+    val counters = cnt
+      .select(col("cnt"), explode(rowBuckets).as("rb"))
+      .groupBy(col("rb.r").as("r"), col("rb.bucket").as("bucket"))
+      .agg(sum(col("cnt")).as("c"))
+
+    val tracked = cnt
+      .agg(topKPairs(col("cnt").cast("double"), hash60(col("term")), CmsTrackK)
+        .as("top"))
+      .select(posexplode(col("top")).as(Seq("pos", "t")))
+      .select((col("pos") + 1).cast("long").as("rnk"), col("t.id").as("h"))
+      .join(cnt.select(col("term"), col("cnt"), hash60(col("term")).as("h")), "h")
+
+    tracked
+      .select(col("rnk"), col("term"), col("cnt"), explode(rowBuckets).as("rb"))
+      .join(broadcast(counters),
+        col("rb.r") === counters("r") && col("rb.bucket") === counters("bucket"))
+      .groupBy(col("rnk"), col("term"), col("cnt"))
+      .agg(min(col("c")).as("cms_est"))
+      .select(col("rnk"), col("term").as("token"), col("cnt").as("exact_cnt"),
+        col("cms_est"), (col("cms_est") - col("cnt")).as("overcount"))
+      .orderBy(col("rnk"))
+  }
+
+  val q165Sql: String = {
+    val h60t = "CAST(concat('0x', substr(md5(term), 1, 15)) AS BIGINT)"
+    val h60r = "CAST(concat('0x', substr(md5(concat(term, ':cms', CAST(r AS VARCHAR))), 1, 15)) AS BIGINT)"
+    s"""WITH w AS (
+       |  SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+       |  FROM documents),
+       |cnt AS (SELECT term, CAST(count(*) AS BIGINT) AS cnt FROM w GROUP BY 1),
+       |rb AS (
+       |  SELECT term, cnt, r, $h60r % $CmsWidth AS bucket
+       |  FROM cnt CROSS JOIN (SELECT unnest([${(0 until CmsDepth).mkString(", ")}]) AS r)),
+       |counters AS (SELECT r, bucket, CAST(SUM(cnt) AS BIGINT) AS c FROM rb GROUP BY 1, 2),
+       |tracked AS (
+       |  SELECT term, cnt, row_number() OVER (ORDER BY cnt DESC, $h60t ASC) AS rnk
+       |  FROM cnt)
+       |SELECT CAST(t.rnk AS BIGINT) AS rnk, t.term AS token, t.cnt AS exact_cnt,
+       |  MIN(c.c) AS cms_est, MIN(c.c) - t.cnt AS overcount
+       |FROM tracked t JOIN rb b USING (term) JOIN counters c USING (r, bucket)
+       |WHERE t.rnk <= $CmsTrackK
+       |GROUP BY t.rnk, t.term, t.cnt ORDER BY t.rnk""".stripMargin
+  }
 }

@@ -1352,4 +1352,58 @@ object Dedup {
        |JOIN sz sa ON sa.doc_id = doc_a
        |WHERE CAST(inter AS DOUBLE) / sa.n >= $ContainT
        |ORDER BY doc_a, doc_b""".stripMargin
+
+  // ---------------------------------------------------------------- q166
+
+  /** Max edit distance for a q166 name-variant match. */
+  val FuzzyMaxDist: Int = 3
+
+  /** q166: ENTITY-RESOLUTION fuzzy join — blocked edit-distance matching
+    * over the `part` catalog. Every dedup operator above compares TOKEN
+    * SETS (Jaccard/MinHash/SimHash are order- and typo-insensitive); this
+    * is the complementary record-linkage primitive for SHORT STRINGS,
+    * where a one-character typo must still match and token sets are too
+    * coarse ("red widget" vs "rad widget" share no tokens). The classic
+    * two-phase shape (Fellegi–Sunter blocking + distance verify):
+    *
+    *   1. BLOCK: candidate pairs must agree on a cheap deterministic key —
+    *      here (last name token, p_size), the category word plus an exact
+    *      attribute. Spark executes this as an ordinary shuffle equi-join,
+    *      so the pair space is Σ_b C(n_b, 2) over block sizes, never n².
+    *   2. VERIFY: `levenshtein` (a codegen'd built-in both engines share)
+    *      ≤ [[FuzzyMaxDist]] on the full name, pairs oriented k1 < k2.
+    *
+    * Scale: block cardinality is catalog-vocabulary × size-domain, so
+    * blocks stay ~constant-sized as the catalog grows (the sf0.01→sf1
+    * block census: 400 blocks either scale). At billion-row catalogs the
+    * block key gains a second attribute (brand, adjective prefix) exactly
+    * like the df-cap ladder in q158 — the join SHAPE is unchanged. The
+    * residual distance predicate runs inside the join's codegen stage; no
+    * cartesian, no UDF, no window.
+    */
+  def q166FuzzyJoin(s: SparkSession, dir: String): DataFrame = {
+    val p = part(s, dir).select(col("p_partkey"), col("p_name"), col("p_size"),
+      element_at(words(col("p_name")), -1).as("block"))
+    val a = p.select(col("p_partkey").as("k1"), col("p_name").as("n1"),
+      col("block"), col("p_size").as("sz"))
+    val b = p.select(col("p_partkey").as("k2"), col("p_name").as("n2"),
+      col("block"), col("p_size").as("sz"))
+    a.join(b, Seq("block", "sz"))
+      .filter(col("k1") < col("k2"))
+      .withColumn("dist", levenshtein(col("n1"), col("n2")).cast("long"))
+      .filter(col("dist") <= FuzzyMaxDist)
+      .select(col("k1"), col("k2"), col("n1"), col("n2"), col("dist"))
+      .orderBy(col("k1"), col("k2"))
+  }
+
+  val q166Sql: String =
+    s"""WITH p AS (
+       |  SELECT p_partkey AS k, p_name AS n, p_size AS sz,
+       |   list_extract(regexp_split_to_array(trim(p_name), '\\s+'), -1) AS block
+       |  FROM part)
+       |SELECT a.k AS k1, b.k AS k2, a.n AS n1, b.n AS n2,
+       | CAST(levenshtein(a.n, b.n) AS BIGINT) AS dist
+       |FROM p a JOIN p b ON a.block = b.block AND a.sz = b.sz AND a.k < b.k
+       |WHERE levenshtein(a.n, b.n) <= $FuzzyMaxDist
+       |ORDER BY k1, k2""".stripMargin
 }

@@ -771,6 +771,43 @@ class CorpusStatsSpec extends SparkTestBase {
     assert(rows.exists(_.getAs[Boolean]("collided")), "no collisions — vacuous fixture")
   }
 
+  test("q165: estimates match a plain-Scala sketch replay and are one-sided (est >= exact)") {
+    def md5hex(s: String): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+    def h60(s: String): Long = java.lang.Long.parseLong(md5hex(s).take(15), 16)
+    val words = Tables.documents(spark, sf).select(col("text")).collect()
+      .flatMap(_.getString(0).trim.split("\\s+"))
+    val vocab = words.groupBy(identity).map { case (w, g) => w -> g.length.toLong }
+    // the d x w counter table, exactly as the engine builds it
+    val counters = (0 until CorpusStats.CmsDepth).map { r =>
+      val row = new Array[Long](CorpusStats.CmsWidth)
+      vocab.foreach { case (t, c) =>
+        row((h60(t + s":cms$r") % CorpusStats.CmsWidth).toInt) += c
+      }
+      row
+    }
+    def est(t: String): Long = (0 until CorpusStats.CmsDepth).map(r =>
+      counters(r)((h60(t + s":cms$r") % CorpusStats.CmsWidth).toInt)).min
+    val expect = vocab.toSeq.sortBy { case (t, c) => (-c, h60(t)) }
+      .take(CorpusStats.CmsTrackK).zipWithIndex
+      .map { case ((t, c), i) => (i + 1L, t, c, est(t), est(t) - c) }
+    val got = CorpusStats.q165CmsHeavyHitters(spark, sf).collect().map(r =>
+      (r.getAs[Long]("rnk"), r.getAs[String]("token"), r.getAs[Long]("exact_cnt"),
+        r.getAs[Long]("cms_est"), r.getAs[Long]("overcount"))).toSeq
+    assert(got === expect)
+    // Cormode-Muthukrishnan one-sidedness: a counter sums its token's own
+    // count plus non-negative collision mass, in EVERY row, so the min
+    // can never undershoot. This must hold unconditionally.
+    got.foreach { case (_, t, exact, e, over) =>
+      assert(e >= exact, s"sketch undershot on '$t'")
+      assert(over === e - exact)
+    }
+    // conservation: every sketch row carries the full occurrence mass
+    counters.foreach(row => assert(row.sum === words.length.toLong))
+  }
+
   test("q140: rolling 7-day actives match a brute-force window recount") {
     val ud = Tables.events(spark, sf)
       .select(col("user_id"), to_date(col("ts")).as("day")).distinct().collect()

@@ -472,4 +472,49 @@ class DedupSpec extends SparkTestBase {
       assert(got === expected, s"pair set changed at m=$m")
     }
   }
+
+  test("q166: fuzzy join equals a brute-force blocked replay; blocking loss is exactly the off-block pairs") {
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val parts = Tables.part(spark, sf)
+      .select(col("p_partkey"), col("p_name"), col("p_size")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2),
+        r.getString(1).trim.split("\\s+").last))
+    val expect = (for {
+      (k1, n1, s1, b1) <- parts
+      (k2, n2, s2, b2) <- parts
+      if k1 < k2 && b1 == b2 && s1 == s2
+      d = lev(n1, n2) if d <= Dedup.FuzzyMaxDist
+    } yield (k1, k2, n1, n2, d.toLong)).toSet
+    val got = Dedup.q166FuzzyJoin(spark, sf).collect().map(r =>
+      (r.getAs[Long]("k1"), r.getAs[Long]("k2"), r.getAs[String]("n1"),
+        r.getAs[String]("n2"), r.getAs[Long]("dist"))).toSet
+    assert(got === expect)
+    assert(got.nonEmpty, "fixture catalog must contain name-variant pairs")
+    // the DECLARED approximation, stated exactly: the all-pairs close set
+    // partitions into what the operator returns (same block key) and what
+    // blocking separates — nothing else is ever lost, and nothing captured
+    // is outside the close set
+    val allClose = (for {
+      (k1, n1, _, _) <- parts
+      (k2, n2, _, _) <- parts
+      if k1 < k2 && lev(n1, n2) <= Dedup.FuzzyMaxDist
+    } yield (k1, k2)).toSet
+    val gotKeys = got.map(g => (g._1, g._2))
+    val offBlock = (for {
+      (k1, n1, s1, b1) <- parts
+      (k2, n2, s2, b2) <- parts
+      if k1 < k2 && (b1 != b2 || s1 != s2) && lev(n1, n2) <= Dedup.FuzzyMaxDist
+    } yield (k1, k2)).toSet
+    assert(gotKeys.subsetOf(allClose))
+    assert((allClose -- gotKeys) === offBlock,
+      "blocking may only lose pairs that disagree on the block key")
+  }
 }

@@ -516,4 +516,33 @@ class PlanSpec extends SparkTestBase {
     assert(vi >= 0, s"verify intersect missing from the plan:\n$p")
     assert(fi > vi, s"length predicate not below the verify join:\n$p")
   }
+
+  test("q164/q165/q166: retrieval + sketch + fuzzy join keep their scale shapes") {
+    def bnljCount(p: String) = p.split("BroadcastNestedLoopJoin").length - 1
+    def hasEquiJoin(p: String) =
+      p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") || p.contains("BroadcastHashJoin")
+    // q164: both bounded heaps (term selection, per-query top-k) aggregate
+    // map-side via ObjectHashAggregate; the query-term table reaches the
+    // postings through a broadcast hash join; no window ever sorts a
+    // corpus-sized frame; the only nested loop is the bounded 1-row
+    // corpus-stats broadcast (q53's shape).
+    val bm = plan(graft.queries.Retrieval.q164Bm25(spark, sf))
+    assert(bm.contains("ObjectHashAggregate"), s"TopKPairs heap not aggregating:\n$bm")
+    assert(bm.contains("BroadcastHashJoin"), s"query terms not broadcast:\n$bm")
+    assert(!bm.contains("Window"), s"corpus-sized window in the retrieval plan:\n$bm")
+    assert(!bm.contains("CartesianProduct") && bnljCount(bm) <= 1,
+      s"unbounded all-pairs stage in the retrieval plan:\n$bm")
+    // q165: the sketch build is pure hash aggregation (vocabulary → d·w
+    // counters); the probe joins against the BROADCAST counter table.
+    val cms = plan(graft.queries.CorpusStats.q165CmsHeavyHitters(spark, sf))
+    assert(cms.contains("BroadcastHashJoin"), s"counter table not broadcast:\n$cms")
+    assert(!cms.contains("Window") && !cms.contains("CartesianProduct"),
+      s"sketch plan grew a window or cross product:\n$cms")
+    // q166: blocking must plan an ordinary equi-join on (block, size) with
+    // the levenshtein verify as a residual predicate — never a cartesian.
+    val fz = plan(Dedup.q166FuzzyJoin(spark, sf))
+    assert(hasEquiJoin(fz) && !fz.contains("CartesianProduct") && bnljCount(fz) === 0,
+      s"fuzzy join degraded to all-pairs:\n$fz")
+    assert(fz.contains("levenshtein"), s"distance verify missing from the join:\n$fz")
+  }
 }

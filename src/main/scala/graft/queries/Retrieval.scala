@@ -79,7 +79,15 @@ object Retrieval {
   def q164Bm25(s: SparkSession, dir: String): DataFrame = {
     val d = resplit(documents(s, dir).select(col("doc_id"), col("text")))
     val tok = d.select(col("doc_id"), explode(words(col("text"))).as("term"))
+    // The postings frame IS the index: materialize it once (eager local
+    // checkpoint, the repo's memo idiom) so term selection, document
+    // frequencies, document lengths, and the postings probe all read the
+    // materialized aggregate instead of re-scanning + re-tokenizing the
+    // corpus — without this the plan paid FOUR full corpus scans. Doc
+    // length falls out of the index itself: Σ tf over a document is its
+    // token count, so no separate length scan exists at any scale.
     val wc = tok.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
     val dfreq = wc.groupBy(col("term")).agg(count(lit(1)).as("df"))
 
     // Query-term selection: bounded heap over the vocabulary, score =
@@ -95,7 +103,7 @@ object Retrieval {
       dfreq.select(col("term"), col("df"), hash60(col("term")).as("h")), "h")
       .select(col("query_id"), col("term"), col("df"))
 
-    val dl = d.select(col("doc_id"), size(words(col("text"))).cast("long").as("dl"))
+    val dl = wc.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
     val stats = dl.agg(count(lit(1)).as("n_total"),
       (sum(col("dl")).cast("double") / count(lit(1)).cast("double")).as("avgdl"))
 

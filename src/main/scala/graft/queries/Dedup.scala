@@ -1358,52 +1358,73 @@ object Dedup {
   /** Max edit distance for a q166 name-variant match. */
   val FuzzyMaxDist: Int = 3
 
-  /** q166: ENTITY-RESOLUTION fuzzy join — blocked edit-distance matching
-    * over the `part` catalog. Every dedup operator above compares TOKEN
-    * SETS (Jaccard/MinHash/SimHash are order- and typo-insensitive); this
-    * is the complementary record-linkage primitive for SHORT STRINGS,
+  /** q166: ENTITY-RESOLUTION fuzzy linkage — blocked edit-distance
+    * matching over the `part` catalog. Every dedup operator above compares
+    * TOKEN SETS (Jaccard/MinHash/SimHash are order- and typo-insensitive);
+    * this is the complementary record-linkage primitive for SHORT STRINGS,
     * where a one-character typo must still match and token sets are too
     * coarse ("red widget" vs "rad widget" share no tokens). The classic
-    * two-phase shape (Fellegi–Sunter blocking + distance verify):
+    * three-phase shape (exact collapse, then Fellegi–Sunter blocking +
+    * distance verify):
     *
-    *   1. BLOCK: candidate pairs must agree on a cheap deterministic key —
-    *      here (last name token, p_size), the category word plus an exact
-    *      attribute. Spark executes this as an ordinary shuffle equi-join,
-    *      so the pair space is Σ_b C(n_b, 2) over block sizes, never n².
-    *   2. VERIFY: `levenshtein` (a codegen'd built-in both engines share)
-    *      ≤ [[FuzzyMaxDist]] on the full name, pairs oriented k1 < k2.
+    *   1. COLLAPSE: records with the IDENTICAL surface form reduce to one
+    *      (form, members, exemplar) row first — exact duplicates are the
+    *      exact-dedup family's job (q21), and carrying them into a
+    *      pairwise stage would make the OUTPUT quadratic in the group
+    *      sizes (measured: the record-level formulation emitted 23M pairs
+    *      from 200k rows at sf1 because the catalog has 64 surface forms).
+    *      After the collapse every downstream cost is bounded by the
+    *      DISTINCT-FORM vocabulary, which grows ~Heaps-law, not by rows.
+    *   2. BLOCK: candidate form pairs must agree on a cheap deterministic
+    *      key — here (last name token, p_size), the category word plus an
+    *      exact attribute. An ordinary shuffle equi-join: the pair space
+    *      is Σ_b C(forms_b, 2), never records².
+    *   3. VERIFY: `levenshtein` (a codegen'd built-in both engines share)
+    *      ≤ [[FuzzyMaxDist]], pairs oriented n1 < n2 (so dist ≥ 1 by
+    *      construction — exact matches were collapsed, near-misses only).
     *
-    * Scale: block cardinality is catalog-vocabulary × size-domain, so
-    * blocks stay ~constant-sized as the catalog grows (the sf0.01→sf1
-    * block census: 400 blocks either scale). At billion-row catalogs the
-    * block key gains a second attribute (brand, adjective prefix) exactly
-    * like the df-cap ladder in q158 — the join SHAPE is unchanged. The
-    * residual distance predicate runs inside the join's codegen stage; no
-    * cartesian, no UDF, no window.
+    * Each linked pair ships both member counts and exemplar keys, so the
+    * record-level mapping is recoverable by joining the collapse mapping
+    * back — the standard warehouse shape (link surface forms once, apply
+    * to the row stream as a broadcast dictionary). At billion-row
+    * catalogs the block key gains a second attribute (brand, adjective
+    * prefix) exactly like the df-cap ladder in q158 — the join SHAPE is
+    * unchanged. No cartesian, no UDF, no window.
     */
   def q166FuzzyJoin(s: SparkSession, dir: String): DataFrame = {
-    val p = part(s, dir).select(col("p_partkey"), col("p_name"), col("p_size"),
-      element_at(words(col("p_name")), -1).as("block"))
-    val a = p.select(col("p_partkey").as("k1"), col("p_name").as("n1"),
-      col("block"), col("p_size").as("sz"))
-    val b = p.select(col("p_partkey").as("k2"), col("p_name").as("n2"),
-      col("block"), col("p_size").as("sz"))
+    val forms = part(s, dir)
+      .select(col("p_partkey"), col("p_name"), col("p_size"),
+        element_at(words(col("p_name")), -1).as("block"))
+      .groupBy(col("block"), col("p_size").as("sz"), col("p_name"))
+      .agg(count(lit(1)).as("members"), min(col("p_partkey")).as("exemplar"))
+    val a = forms.select(col("block"), col("sz"), col("p_name").as("n1"),
+      col("members").as("m1"), col("exemplar").as("k1"))
+    val b = forms.select(col("block"), col("sz"), col("p_name").as("n2"),
+      col("members").as("m2"), col("exemplar").as("k2"))
     a.join(b, Seq("block", "sz"))
-      .filter(col("k1") < col("k2"))
+      .filter(col("n1") < col("n2"))
       .withColumn("dist", levenshtein(col("n1"), col("n2")).cast("long"))
       .filter(col("dist") <= FuzzyMaxDist)
-      .select(col("k1"), col("k2"), col("n1"), col("n2"), col("dist"))
-      .orderBy(col("k1"), col("k2"))
+      .select(col("sz"), col("n1"), col("n2"), col("m1"), col("m2"),
+        col("k1"), col("k2"), col("dist"))
+      .orderBy(col("sz"), col("n1"), col("n2"))
   }
 
   val q166Sql: String =
     s"""WITH p AS (
-       |  SELECT p_partkey AS k, p_name AS n, p_size AS sz,
+       |  SELECT p_partkey, p_name, p_size,
        |   list_extract(regexp_split_to_array(trim(p_name), '\\s+'), -1) AS block
-       |  FROM part)
-       |SELECT a.k AS k1, b.k AS k2, a.n AS n1, b.n AS n2,
-       | CAST(levenshtein(a.n, b.n) AS BIGINT) AS dist
-       |FROM p a JOIN p b ON a.block = b.block AND a.sz = b.sz AND a.k < b.k
-       |WHERE levenshtein(a.n, b.n) <= $FuzzyMaxDist
-       |ORDER BY k1, k2""".stripMargin
+       |  FROM part),
+       |f AS (
+       |  SELECT block, p_size AS sz, p_name,
+       |   CAST(count(*) AS BIGINT) AS members, MIN(p_partkey) AS exemplar
+       |  FROM p GROUP BY 1, 2, 3)
+       |SELECT a.sz, a.p_name AS n1, b.p_name AS n2,
+       | a.members AS m1, b.members AS m2,
+       | a.exemplar AS k1, b.exemplar AS k2,
+       | CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+       |FROM f a JOIN f b
+       |  ON a.block = b.block AND a.sz = b.sz AND a.p_name < b.p_name
+       |WHERE levenshtein(a.p_name, b.p_name) <= $FuzzyMaxDist
+       |ORDER BY a.sz, n1, n2""".stripMargin
 }

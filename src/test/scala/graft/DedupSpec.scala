@@ -473,7 +473,7 @@ class DedupSpec extends SparkTestBase {
     }
   }
 
-  test("q166: fuzzy join equals a brute-force blocked replay; blocking loss is exactly the off-block pairs") {
+  test("q166: fuzzy linkage equals a brute-force replay over collapsed surface forms") {
     def lev(a: String, b: String): Int = {
       val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
         if (i == 0) j else if (j == 0) i else 0
@@ -487,34 +487,31 @@ class DedupSpec extends SparkTestBase {
       .select(col("p_partkey"), col("p_name"), col("p_size")).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getInt(2),
         r.getString(1).trim.split("\\s+").last))
+    // phase 1 replay: collapse identical (block, size, name) forms
+    val forms = parts.groupBy(p => (p._4, p._3, p._2)).map { case ((b, sz, n), g) =>
+      (b, sz, n, g.length.toLong, g.map(_._1).min)
+    }.toSeq
+    // phases 2+3 replay: block on (category word, size), verify distance
     val expect = (for {
-      (k1, n1, s1, b1) <- parts
-      (k2, n2, s2, b2) <- parts
-      if k1 < k2 && b1 == b2 && s1 == s2
+      (b1, s1, n1, m1, k1) <- forms
+      (b2, s2, n2, m2, k2) <- forms
+      if b1 == b2 && s1 == s2 && n1 < n2
       d = lev(n1, n2) if d <= Dedup.FuzzyMaxDist
-    } yield (k1, k2, n1, n2, d.toLong)).toSet
+    } yield (s1, n1, n2, m1, m2, k1, k2, d.toLong)).toSet
     val got = Dedup.q166FuzzyJoin(spark, sf).collect().map(r =>
-      (r.getAs[Long]("k1"), r.getAs[Long]("k2"), r.getAs[String]("n1"),
-        r.getAs[String]("n2"), r.getAs[Long]("dist"))).toSet
+      (r.getAs[Int]("sz"), r.getAs[String]("n1"), r.getAs[String]("n2"),
+        r.getAs[Long]("m1"), r.getAs[Long]("m2"),
+        r.getAs[Long]("k1"), r.getAs[Long]("k2"), r.getAs[Long]("dist"))).toSet
     assert(got === expect)
     assert(got.nonEmpty, "fixture catalog must contain name-variant pairs")
-    // the DECLARED approximation, stated exactly: the all-pairs close set
-    // partitions into what the operator returns (same block key) and what
-    // blocking separates — nothing else is ever lost, and nothing captured
-    // is outside the close set
-    val allClose = (for {
-      (k1, n1, _, _) <- parts
-      (k2, n2, _, _) <- parts
-      if k1 < k2 && lev(n1, n2) <= Dedup.FuzzyMaxDist
-    } yield (k1, k2)).toSet
-    val gotKeys = got.map(g => (g._1, g._2))
-    val offBlock = (for {
-      (k1, n1, s1, b1) <- parts
-      (k2, n2, s2, b2) <- parts
-      if k1 < k2 && (b1 != b2 || s1 != s2) && lev(n1, n2) <= Dedup.FuzzyMaxDist
-    } yield (k1, k2)).toSet
-    assert(gotKeys.subsetOf(allClose))
-    assert((allClose -- gotKeys) === offBlock,
-      "blocking may only lose pairs that disagree on the block key")
+    // the collapse makes every linked pair a genuine NEAR match (identical
+    // forms were reduced first — they are q21's output, not linkage), and
+    // the output is bounded by the surface-form vocabulary, not by rows
+    got.foreach { case (_, n1, n2, m1, m2, _, _, d) =>
+      assert(d >= 1L && d <= Dedup.FuzzyMaxDist.toLong, s"'$n1'~'$n2' dist $d out of band")
+      assert(m1 >= 1L && m2 >= 1L)
+    }
+    val nForms = forms.length.toLong
+    assert(got.size.toLong <= nForms * (nForms - 1) / 2)
   }
 }

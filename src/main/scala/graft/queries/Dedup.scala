@@ -1427,4 +1427,77 @@ object Dedup {
        |  ON a.block = b.block AND a.sz = b.sz AND a.p_name < b.p_name
        |WHERE levenshtein(a.p_name, b.p_name) <= $FuzzyMaxDist
        |ORDER BY a.sz, n1, n2""".stripMargin
+
+  // ---------------------------------------------------------------- q167
+
+  /** q167: MULTI-PASS blocking for the fuzzy linkage — the standard ER
+    * recall repair for q166's declared loss. A single blocking key can
+    * never see a typo INSIDE the key itself (q166 blocks on the category
+    * noun, so "red bolt" ~ "red rod" — noun distance 3 — is invisible to
+    * it). Production entity resolution therefore runs k INDEPENDENT
+    * blocking passes and unions their candidate sets (Fellegi–Sunter
+    * practice; each pass is cheap, the union's recall is 1−Π miss-rates).
+    * Here: pass A blocks on (noun, size) — q166's key — and pass B on
+    * (adjective, size), so a pair survives as long as EITHER name token
+    * is typo-free. The output ships per-pair provenance flags
+    * (by_noun / by_adj): the blocking-recall audit a pipeline reads to
+    * decide whether another pass is worth its candidates.
+    *
+    * Scale shape: both passes run on the COLLAPSED surface-form table
+    * (q166's phase-1 bound — vocabulary-sized, never rows), each as an
+    * ordinary equi-join; the union aggregates on the pair key to merge
+    * flags. Cost is additive in passes, candidates stay Σ_b C(forms_b,2)
+    * per pass. No cartesian, no window, no UDF.
+    */
+  def q167MultiBlock(s: SparkSession, dir: String): DataFrame = {
+    val ws = words(col("p_name"))
+    val forms = part(s, dir)
+      .select(col("p_partkey"), col("p_name"), col("p_size"),
+        element_at(ws, 1).as("adj"), element_at(ws, -1).as("noun"))
+      .groupBy(col("adj"), col("noun"), col("p_size").as("sz"), col("p_name"))
+      .agg(count(lit(1)).as("members"))
+    def pass(key: String, byNoun: Boolean) = {
+      val a = forms.select(col(key), col("sz"), col("p_name").as("n1"),
+        col("members").as("m1"))
+      val b = forms.select(col(key), col("sz"), col("p_name").as("n2"),
+        col("members").as("m2"))
+      a.join(b, Seq(key, "sz"))
+        .filter(col("n1") < col("n2"))
+        .withColumn("dist", levenshtein(col("n1"), col("n2")).cast("long"))
+        .filter(col("dist") <= FuzzyMaxDist)
+        .select(col("sz"), col("n1"), col("n2"), col("m1"), col("m2"), col("dist"),
+          lit(byNoun).as("by_noun"), lit(!byNoun).as("by_adj"))
+    }
+    pass("noun", byNoun = true).unionByName(pass("adj", byNoun = false))
+      .groupBy(col("sz"), col("n1"), col("n2"))
+      .agg(min(col("m1")).as("m1"), min(col("m2")).as("m2"),
+        min(col("dist")).as("dist"),
+        bool_or(col("by_noun")).as("by_noun"), bool_or(col("by_adj")).as("by_adj"))
+      .orderBy(col("sz"), col("n1"), col("n2"))
+  }
+
+  val q167Sql: String =
+    s"""WITH p AS (
+       |  SELECT p_partkey, p_name, p_size,
+       |   list_extract(regexp_split_to_array(trim(p_name), '\\s+'), 1) AS adj,
+       |   list_extract(regexp_split_to_array(trim(p_name), '\\s+'), -1) AS noun
+       |  FROM part),
+       |f AS (
+       |  SELECT adj, noun, p_size AS sz, p_name, CAST(count(*) AS BIGINT) AS members
+       |  FROM p GROUP BY 1, 2, 3, 4),
+       |cand AS (
+       |  SELECT a.sz, a.p_name AS n1, b.p_name AS n2, a.members AS m1, b.members AS m2,
+       |   CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist,
+       |   TRUE AS by_noun, FALSE AS by_adj
+       |  FROM f a JOIN f b ON a.noun = b.noun AND a.sz = b.sz AND a.p_name < b.p_name
+       |  WHERE levenshtein(a.p_name, b.p_name) <= $FuzzyMaxDist
+       |  UNION ALL
+       |  SELECT a.sz, a.p_name, b.p_name, a.members, b.members,
+       |   CAST(levenshtein(a.p_name, b.p_name) AS BIGINT),
+       |   FALSE, TRUE
+       |  FROM f a JOIN f b ON a.adj = b.adj AND a.sz = b.sz AND a.p_name < b.p_name
+       |  WHERE levenshtein(a.p_name, b.p_name) <= $FuzzyMaxDist)
+       |SELECT sz, n1, n2, MIN(m1) AS m1, MIN(m2) AS m2, MIN(dist) AS dist,
+       | bool_or(by_noun) AS by_noun, bool_or(by_adj) AS by_adj
+       |FROM cand GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
 }

@@ -514,4 +514,50 @@ class DedupSpec extends SparkTestBase {
     val nForms = forms.length.toLong
     assert(got.size.toLong <= nForms * (nForms - 1) / 2)
   }
+
+  test("q167: multi-pass blocking replays exactly, contains q166, and catches a noun-typo pair q166 loses") {
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val forms = Tables.part(spark, sf)
+      .select(col("p_partkey"), col("p_name"), col("p_size")).collect()
+      .map(r => (r.getString(1), r.getInt(2)))
+      .groupBy(identity).map { case ((n, sz), g) =>
+        val toks = n.trim.split("\\s+")
+        (toks.head, toks.last, sz, n, g.length.toLong)
+      }.toSeq
+    def passPairs(key: ((String, String, Int, String, Long)) => (String, Int)) =
+      (for {
+        x @ (_, _, s1, n1, m1) <- forms
+        y @ (_, _, s2, n2, m2) <- forms
+        if key(x) == key(y) && n1 < n2
+        d = lev(n1, n2) if d <= Dedup.FuzzyMaxDist
+      } yield ((s1, n1, n2), (m1, m2, d.toLong))).toMap
+    val byNoun = passPairs { case (_, noun, sz, _, _) => (noun, sz) }
+    val byAdj = passPairs { case (adj, _, sz, _, _) => (adj, sz) }
+    val expect = (byNoun.keySet ++ byAdj.keySet).map { k =>
+      val (m1, m2, d) = byNoun.getOrElse(k, byAdj(k))
+      (k._1, k._2, k._3, m1, m2, d, byNoun.contains(k), byAdj.contains(k))
+    }
+    val got = Dedup.q167MultiBlock(spark, sf).collect().map(r =>
+      (r.getAs[Int]("sz"), r.getAs[String]("n1"), r.getAs[String]("n2"),
+        r.getAs[Long]("m1"), r.getAs[Long]("m2"), r.getAs[Long]("dist"),
+        r.getAs[Boolean]("by_noun"), r.getAs[Boolean]("by_adj"))).toSet
+    assert(got === expect)
+    // the union can only ADD to the single-pass q166 (pass A ≡ q166's key)
+    val q166Keys = Dedup.q166FuzzyJoin(spark, sf).collect()
+      .map(r => (r.getAs[Int]("sz"), r.getAs[String]("n1"), r.getAs[String]("n2"))).toSet
+    val gotKeys = got.map(g => (g._1, g._2, g._3))
+    assert(q166Keys.subsetOf(gotKeys), "multi-pass must contain the single-pass result")
+    // the reason the pass exists: a pair whose NOUN carries the typo is
+    // invisible to q166's noun block but caught by the adjective block
+    assert(got.exists(g => g._8 && !g._7),
+      "fixture must contain an adjective-block-only pair (noun-typo recall gain)")
+  }
 }

@@ -544,5 +544,11 @@ class PlanSpec extends SparkTestBase {
     assert(hasEquiJoin(fz) && !fz.contains("CartesianProduct") && bnljCount(fz) === 0,
       s"fuzzy join degraded to all-pairs:\n$fz")
     assert(fz.contains("levenshtein"), s"distance verify missing from the join:\n$fz")
+    // q167: both blocking passes stay equi-joins over the collapsed form
+    // table; the flag merge is an ordinary hash aggregate.
+    val mb = plan(Dedup.q167MultiBlock(spark, sf))
+    assert(hasEquiJoin(mb) && !mb.contains("CartesianProduct") && bnljCount(mb) === 0,
+      s"multi-pass blocking degraded to all-pairs:\n$mb")
+    assert(!mb.contains("Window"), s"flag merge grew a window:\n$mb")
   }
 }

@@ -1017,4 +1017,119 @@ object CorpusStats {
        |WHERE t.rnk <= $CmsTrackK
        |GROUP BY t.rnk, t.term, t.cnt ORDER BY t.rnk""".stripMargin
   }
+
+  // ---------------------------------------------------------------- q169
+
+  /** q169: DISTRIBUTED count-min sketches — one sketch PER SOURCE, merged
+    * by counter addition, audited against exact counts. This is q165's
+    * mergeability claim turned into a measured operator: each source
+    * builds its own d×w sketch independently (the shape of a sketch per
+    * Kafka partition / per ingest site / per day), the merge is a single
+    * `sum` over the (r, bucket) keyspace — counters are linear, so
+    * merge(sketches) ≡ sketch(union) EXACTLY, not approximately — and the
+    * report shows, for every tracked heavy hitter × every source:
+    * the source-local exact count (0 where absent), the source-local
+    * sketch estimate, and the merged estimate. Absent tokens expose the
+    * sketch's false-positive mass (a source's sketch can answer > 0 for
+    * a token the source never saw — collision mass only), which is the
+    * number an operator reads before trusting per-source sketch
+    * attribution. The oracle rebuilds every per-source sketch and the
+    * merge from the same md5 hashes — estimates hash-compared, not
+    * bound-checked.
+    *
+    * Scale shape: one (source, term) hash aggregate over the corpus
+    * (map-side combined), sketches aggregate that vocabulary frame to
+    * sources·d·w rows, the merge to d·w; tracked×sources is a bounded
+    * grid (k·sources) probing BROADCAST counter tables. The merge step
+    * is the whole point at 1000 executors: sketches travel as 768-row
+    * frames, never the vocabulary.
+    */
+  def q169CmsMerge(s: SparkSession, dir: String): DataFrame = {
+    def bucketAt(r: Int): Column =
+      hash60(concat(col("term"), lit(s":cms$r"))) % CmsWidth
+    val rowBuckets = array((0 until CmsDepth).map(r =>
+      struct(lit(r).as("r"), bucketAt(r).as("bucket"))): _*)
+
+    val cntSrc = documents(s, dir)
+      .select(col("source"), explode(words(col("text"))).as("term"))
+      .groupBy(col("source"), col("term")).agg(count(lit(1)).as("cnt"))
+    val countersSrc = cntSrc
+      .select(col("source"), col("cnt"), explode(rowBuckets).as("rb"))
+      .groupBy(col("source"), col("rb.r").as("r"), col("rb.bucket").as("bucket"))
+      .agg(sum(col("cnt")).as("c"))
+    // THE merge: counter addition over (r, bucket) — linearity makes it exact
+    val countersMerged = countersSrc
+      .groupBy(col("r"), col("bucket")).agg(sum(col("c")).as("c"))
+
+    val cnt = cntSrc.groupBy(col("term")).agg(sum(col("cnt")).as("cnt"))
+    val tracked = cnt
+      .agg(topKPairs(col("cnt").cast("double"), hash60(col("term")), CmsTrackK)
+        .as("top"))
+      .select(posexplode(col("top")).as(Seq("pos", "t")))
+      .select((col("pos") + 1).cast("long").as("rnk"), col("t.id").as("h"))
+      .join(cnt.select(col("term"), hash60(col("term")).as("h")), "h")
+      .select(col("rnk"), col("term"))
+
+    val grid = tracked.crossJoin(broadcast(cntSrc.select(col("source")).distinct()))
+    val probes = grid
+      .join(cntSrc.withColumnRenamed("cnt", "src_exact"), Seq("source", "term"), "left")
+      .na.fill(0L, Seq("src_exact"))
+      .select(col("rnk"), col("term"), col("source"), col("src_exact"),
+        explode(rowBuckets).as("rb"))
+      .select(col("rnk"), col("term"), col("source"), col("src_exact"),
+        col("rb.r").as("r"), col("rb.bucket").as("bucket"))
+    // LEFT join + 0-fill for the source sketch: a bucket the source never
+    // populated has counter 0 — an inner join (or a null-skipping MIN)
+    // would silently drop it and OVERSTATE the source estimate.
+    probes
+      .join(broadcast(countersSrc.withColumnRenamed("c", "c_src")),
+        Seq("source", "r", "bucket"), "left")
+      .na.fill(0L, Seq("c_src"))
+      .join(broadcast(countersMerged.withColumnRenamed("c", "c_all")),
+        Seq("r", "bucket"))
+      .groupBy(col("rnk"), col("term"), col("source"), col("src_exact"))
+      .agg(min(col("c_src")).as("src_est"), min(col("c_all")).as("merged_est"))
+      .select(col("rnk"), col("term").as("token"), col("source"),
+        col("src_exact"), col("src_est"), col("merged_est"))
+      .orderBy(col("rnk"), col("source"))
+  }
+
+  val q169Sql: String = {
+    val h60t = "CAST(concat('0x', substr(md5(term), 1, 15)) AS BIGINT)"
+    val h60r = "CAST(concat('0x', substr(md5(concat(term, ':cms', CAST(r AS VARCHAR))), 1, 15)) AS BIGINT)"
+    s"""WITH w AS (
+       |  SELECT source, unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+       |  FROM documents),
+       |cnt_src AS (SELECT source, term, CAST(count(*) AS BIGINT) AS cnt FROM w GROUP BY 1, 2),
+       |rb AS (
+       |  SELECT source, term, cnt, r, $h60r % $CmsWidth AS bucket
+       |  FROM cnt_src CROSS JOIN (SELECT unnest([${(0 until CmsDepth).mkString(", ")}]) AS r)),
+       |counters_src AS (
+       |  SELECT source, r, bucket, CAST(SUM(cnt) AS BIGINT) AS c FROM rb GROUP BY 1, 2, 3),
+       |counters_all AS (
+       |  SELECT r, bucket, CAST(SUM(c) AS BIGINT) AS c FROM counters_src GROUP BY 1, 2),
+       |cnt AS (SELECT term, CAST(SUM(cnt) AS BIGINT) AS cnt FROM cnt_src GROUP BY 1),
+       |tracked AS (
+       |  SELECT term, row_number() OVER (ORDER BY cnt DESC, $h60t ASC) AS rnk
+       |  FROM cnt),
+       |grid AS (
+       |  SELECT t.rnk, t.term, s.source
+       |  FROM tracked t CROSS JOIN (SELECT DISTINCT source FROM cnt_src) s
+       |  WHERE t.rnk <= $CmsTrackK),
+       |pr AS (
+       |  SELECT g.rnk, g.term, g.source,
+       |   COALESCE(c.cnt, 0) AS src_exact, b.r,
+       |   CAST(concat('0x', substr(md5(concat(g.term, ':cms', CAST(b.r AS VARCHAR))), 1, 15)) AS BIGINT)
+       |     % $CmsWidth AS bucket
+       |  FROM grid g
+       |  LEFT JOIN cnt_src c ON c.source = g.source AND c.term = g.term
+       |  CROSS JOIN (SELECT unnest([${(0 until CmsDepth).mkString(", ")}]) AS r) b)
+       |SELECT CAST(p.rnk AS BIGINT) AS rnk, p.term AS token, p.source,
+       | p.src_exact, MIN(COALESCE(cs.c, 0)) AS src_est, MIN(ca.c) AS merged_est
+       |FROM pr p
+       |LEFT JOIN counters_src cs ON cs.source = p.source AND cs.r = p.r AND cs.bucket = p.bucket
+       |JOIN counters_all ca ON ca.r = p.r AND ca.bucket = p.bucket
+       |GROUP BY p.rnk, p.term, p.source, p.src_exact
+       |ORDER BY p.rnk, p.source""".stripMargin
+  }
 }

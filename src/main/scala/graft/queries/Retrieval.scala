@@ -89,7 +89,22 @@ object Retrieval {
     val wc = tok.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
       .localCheckpoint()
     val dfreq = wc.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val dl = wc.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_total"),
+      (sum(col("dl")).cast("double") / count(lit(1)).cast("double")).as("avgdl"))
+    bm25Rank(wc, dfreq, dl, stats)
+  }
 
+  /** The ranking core shared by q164 (batch index) and q168 (incremental
+    * index): given the four index components — postings `(doc_id, term,
+    * tf)`, vocabulary `(term, df)`, lengths `(doc_id, dl)`, corpus stats
+    * `(n_total, avgdl)` 1-row — select the query workload and rank. The
+    * components are pure mergeable aggregates, which is exactly what makes
+    * the incremental path of q168 possible: HOW they were produced (one
+    * batch pass or a base+delta fold) cannot affect the ranking.
+    */
+  private def bm25Rank(wc: DataFrame, dfreq: DataFrame, dl: DataFrame,
+      stats: DataFrame): DataFrame = {
     // Query-term selection: bounded heap over the vocabulary, score =
     // -df (so the heap's score-DESC order is df-ASC), id = hash60(term).
     val qtop = dfreq
@@ -102,10 +117,6 @@ object Retrieval {
     val qterms = qtop.join(
       dfreq.select(col("term"), col("df"), hash60(col("term")).as("h")), "h")
       .select(col("query_id"), col("term"), col("df"))
-
-    val dl = wc.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
-    val stats = dl.agg(count(lit(1)).as("n_total"),
-      (sum(col("dl")).cast("double") / count(lit(1)).cast("double")).as("avgdl"))
 
     // Postings for the query terms only: broadcast the 16-row term table
     // into the per-document tf aggregate, then attach doc length.
@@ -168,4 +179,61 @@ object Retrieval {
        |SELECT query_id, CAST(rnk AS BIGINT) AS rnk, doc_id, score FROM r
        |WHERE rnk <= $BmTopK ORDER BY query_id, rnk""".stripMargin
   }
+
+  // ---------------------------------------------------------------- q168
+
+  /** q168: INCREMENTAL index maintenance for the BM25 retrieval — fold a
+    * corpus increment into the stored index without rescanning the base,
+    * then prove the fold changes nothing: the oracle is q164's BATCH
+    * recompute over the full corpus, so the hash compare IS the
+    * fold ≡ batch theorem (the q120/q121/q124 incremental-family
+    * contract). The increment is the q124 convention (`doc_id % 10 = 3`,
+    * a fresh crawl batch); the base postings are eagerly checkpointed —
+    * the materialization boundary standing in for the stored index.
+    *
+    * Why the fold is exact (and cheap): every index component is a
+    * MERGEABLE aggregate over doc-disjoint sides —
+    *   - postings: base ∪ delta (doc-keyed, disjoint — no merge logic),
+    *   - document frequencies: full-outer on term, df = df_b + df_d,
+    *   - lengths: union; corpus stats: n = n_b + n_d and
+    *     avgdl = (Σdl_b + Σdl_d)/(n_b + n_d) — LONG addition of partials,
+    *     so the double division is bit-identical to the batch form.
+    * Per-increment cost is O(delta tokens + vocabulary merge); the base
+    * is touched only through its (vocabulary-sized and doc-sized)
+    * aggregate components, never re-tokenized. At 100 TB this is the
+    * difference between an index update and an index rebuild.
+    */
+  def q168Bm25Increment(s: SparkSession, dir: String): DataFrame = {
+    val isDelta = col("doc_id") % 10 === 3
+    def components(docs: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+      val tok = docs.select(col("doc_id"), explode(words(col("text"))).as("term"))
+      val wc = tok.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      val dfq = wc.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val dl = wc.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+      (wc, dfq, dl)
+    }
+    val corpus = resplit(documents(s, dir).select(col("doc_id"), col("text")))
+    // the stored index (checkpoint = materialization boundary)
+    val (wcB0, dfB, dlB) = components(corpus.filter(!isDelta))
+    val wcB = wcB0.localCheckpoint()
+    val (wcD, dfD, dlD) = components(corpus.filter(isDelta))
+
+    val wc = wcB.unionByName(wcD)
+    val dfreq = dfB.withColumnRenamed("df", "df_b")
+      .join(dfD.withColumnRenamed("df", "df_d"), Seq("term"), "full_outer")
+      .select(col("term"),
+        (coalesce(col("df_b"), lit(0L)) + coalesce(col("df_d"), lit(0L))).as("df"))
+    val dl = dlB.unionByName(dlD)
+    def partialStats(d: DataFrame, n: String, sdl: String) =
+      d.agg(count(lit(1)).as(n), sum(col("dl")).as(sdl))
+    val stats = partialStats(dlB, "n_b", "s_b")
+      .join(broadcast(partialStats(dlD, "n_d", "s_d")))
+      .select((col("n_b") + col("n_d")).as("n_total"),
+        ((col("s_b") + col("s_d")).cast("double") /
+          (col("n_b") + col("n_d")).cast("double")).as("avgdl"))
+    bm25Rank(wc, dfreq, dl, stats)
+  }
+
+  /** q168's oracle IS the batch recompute: fold ≡ batch, hash-proven. */
+  val q168Sql: String = q164Sql
 }

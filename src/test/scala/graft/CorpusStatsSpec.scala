@@ -808,6 +808,33 @@ class CorpusStatsSpec extends SparkTestBase {
     counters.foreach(row => assert(row.sum === words.length.toLong))
   }
 
+  test("q169: per-source sketches are one-sided, conserve mass, and merge EXACTLY to the global sketch") {
+    val global = CorpusStats.q165CmsHeavyHitters(spark, sf).collect()
+      .map(r => r.getAs[String]("token") ->
+        (r.getAs[Long]("exact_cnt"), r.getAs[Long]("cms_est"))).toMap
+    val rows = CorpusStats.q169CmsMerge(spark, sf).collect().map(r =>
+      (r.getAs[Long]("rnk"), r.getAs[String]("token"), r.getAs[String]("source"),
+        r.getAs[Long]("src_exact"), r.getAs[Long]("src_est"), r.getAs[Long]("merged_est")))
+    assert(rows.nonEmpty)
+    // one-sidedness holds per SOURCE sketch too (same theorem, local counters)
+    rows.foreach { case (_, t, src, exact, est, _) =>
+      assert(est >= exact, s"source sketch undershot on ('$t', $src)")
+    }
+    rows.groupBy(_._2).foreach { case (t, g) =>
+      // conservation: source-local exact counts partition the global count
+      assert(g.map(_._4).sum === global(t)._1, s"source exacts don't sum for '$t'")
+      // the MERGEABILITY theorem, measured: summed counters ≡ the global
+      // sketch, so the merged estimate equals q165's for every token
+      g.foreach { case (_, _, src, _, _, merged) =>
+        assert(merged === global(t)._2, s"merge diverged from global on ('$t', $src)")
+      }
+    }
+    // grid completeness: every tracked token reports against EVERY source
+    // (absent combos included — that's where false-positive mass shows)
+    val nSources = Tables.documents(spark, sf).select(col("source")).distinct().count()
+    assert(rows.length.toLong === CorpusStats.CmsTrackK * nSources)
+  }
+
   test("q140: rolling 7-day actives match a brute-force window recount") {
     val ud = Tables.events(spark, sf)
       .select(col("user_id"), to_date(col("ts")).as("day")).distinct().collect()

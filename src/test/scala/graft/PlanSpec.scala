@@ -550,5 +550,20 @@ class PlanSpec extends SparkTestBase {
     assert(hasEquiJoin(mb) && !mb.contains("CartesianProduct") && bnljCount(mb) === 0,
       s"multi-pass blocking degraded to all-pairs:\n$mb")
     assert(!mb.contains("Window"), s"flag merge grew a window:\n$mb")
+    // q168: the fold keeps q164's shapes; its only nested loops are the
+    // two bounded 1-row stats broadcasts (partial merge + rank attach),
+    // and the base side enters through the checkpoint (no re-tokenize).
+    val inc = plan(graft.queries.Retrieval.q168Bm25Increment(spark, sf))
+    assert(inc.contains("ObjectHashAggregate") && !inc.contains("Window"),
+      s"incremental index lost the heap/window contract:\n$inc")
+    assert(!inc.contains("CartesianProduct") && bnljCount(inc) <= 2,
+      s"unbounded all-pairs stage in the incremental plan:\n$inc")
+    // q169: the per-source and merged counter tables reach the probe grid
+    // as broadcasts; the grid itself is the bounded tracked×sources cross
+    // (one nested loop over an aggregate-bounded side).
+    val cm = plan(graft.queries.CorpusStats.q169CmsMerge(spark, sf))
+    assert(cm.contains("BroadcastHashJoin") && !cm.contains("Window")
+      && !cm.contains("CartesianProduct") && bnljCount(cm) <= 1,
+      s"sketch-merge plan lost its shapes:\n$cm")
   }
 }

@@ -76,4 +76,15 @@ class RetrievalSpec extends SparkTestBase {
       assert(g.length <= BmTopK)
     }
   }
+
+  test("q168: the incremental fold serves rankings identical to the batch index") {
+    val batch = Retrieval.q164Bm25(spark, sf).collect().map(_.toSeq).toSeq
+    val folded = Retrieval.q168Bm25Increment(spark, sf).collect().map(_.toSeq).toSeq
+    assert(folded === batch)
+    // the equivalence is only a theorem if the increment is non-trivial:
+    // both sides of the fold must carry documents
+    val docs = Tables.documents(spark, sf).select(col("doc_id")).collect().map(_.getLong(0))
+    assert(docs.exists(_ % 10 == 3) && docs.exists(_ % 10 != 3),
+      "fixture must split into a non-empty base and a non-empty delta")
+  }
 }

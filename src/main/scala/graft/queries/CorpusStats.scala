@@ -944,8 +944,8 @@ object CorpusStats {
     * estimate for a token is the MIN over its d counters — always ≥ the
     * true count (one-sided error, pinned in spec), within εN with
     * probability 1−δ. The report tracks the [[CmsTrackK]] highest exact
-    * occurrence counts (total order: cnt DESC, hash60(term) ASC via the
-    * TopKPairs heap) and emits exact count, sketch estimate, and the
+    * occurrence counts (total order: cnt DESC, term ASC — the string is
+    * the tiebreak, no hash in the selection path) and emits exact count, sketch estimate, and the
     * overcount — the operator a pipeline uses to VALIDATE a sketch
     * deployment before dropping the exact vocabulary aggregate.
     *
@@ -979,12 +979,17 @@ object CorpusStats {
       .groupBy(col("rb.r").as("r"), col("rb.bucket").as("bucket"))
       .agg(sum(col("cnt")).as("c"))
 
+    // Tracked-set selection carries the term STRING through an
+    // orderBy.limit (TakeOrderedAndProject — a bounded distributed heap
+    // over the vocabulary), total order (cnt DESC, term ASC). No hash id
+    // and no join-back: the previous hash60 heap carried a ~|V|²/2⁶¹
+    // md5-prefix collision window on the join-back (r13 advice #3).
     val tracked = cnt
-      .agg(topKPairs(col("cnt").cast("double"), hash60(col("term")), CmsTrackK)
-        .as("top"))
-      .select(posexplode(col("top")).as(Seq("pos", "t")))
-      .select((col("pos") + 1).cast("long").as("rnk"), col("t.id").as("h"))
-      .join(cnt.select(col("term"), col("cnt"), hash60(col("term")).as("h")), "h")
+      .orderBy(col("cnt").desc, col("term").asc).limit(CmsTrackK)
+      .agg(sort_array(collect_list(struct((-col("cnt")).as("nc"), col("term")))).as("sel"))
+      .select(posexplode(col("sel")).as(Seq("pos", "t")))
+      .select((col("pos") + 1).cast("long").as("rnk"), col("t.term").as("term"),
+        (-col("t.nc")).as("cnt"))
 
     tracked
       .select(col("rnk"), col("term"), col("cnt"), explode(rowBuckets).as("rb"))
@@ -998,7 +1003,6 @@ object CorpusStats {
   }
 
   val q165Sql: String = {
-    val h60t = "CAST(concat('0x', substr(md5(term), 1, 15)) AS BIGINT)"
     val h60r = "CAST(concat('0x', substr(md5(concat(term, ':cms', CAST(r AS VARCHAR))), 1, 15)) AS BIGINT)"
     s"""WITH w AS (
        |  SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
@@ -1009,7 +1013,7 @@ object CorpusStats {
        |  FROM cnt CROSS JOIN (SELECT unnest([${(0 until CmsDepth).mkString(", ")}]) AS r)),
        |counters AS (SELECT r, bucket, CAST(SUM(cnt) AS BIGINT) AS c FROM rb GROUP BY 1, 2),
        |tracked AS (
-       |  SELECT term, cnt, row_number() OVER (ORDER BY cnt DESC, $h60t ASC) AS rnk
+       |  SELECT term, cnt, row_number() OVER (ORDER BY cnt DESC, term ASC) AS rnk
        |  FROM cnt)
        |SELECT CAST(t.rnk AS BIGINT) AS rnk, t.term AS token, t.cnt AS exact_cnt,
        |  MIN(c.c) AS cms_est, MIN(c.c) - t.cnt AS overcount
@@ -1062,13 +1066,12 @@ object CorpusStats {
       .groupBy(col("r"), col("bucket")).agg(sum(col("c")).as("c"))
 
     val cnt = cntSrc.groupBy(col("term")).agg(sum(col("cnt")).as("cnt"))
+    // string-carrying tracked-set selection — same rationale as q165's
     val tracked = cnt
-      .agg(topKPairs(col("cnt").cast("double"), hash60(col("term")), CmsTrackK)
-        .as("top"))
-      .select(posexplode(col("top")).as(Seq("pos", "t")))
-      .select((col("pos") + 1).cast("long").as("rnk"), col("t.id").as("h"))
-      .join(cnt.select(col("term"), hash60(col("term")).as("h")), "h")
-      .select(col("rnk"), col("term"))
+      .orderBy(col("cnt").desc, col("term").asc).limit(CmsTrackK)
+      .agg(sort_array(collect_list(struct((-col("cnt")).as("nc"), col("term")))).as("sel"))
+      .select(posexplode(col("sel")).as(Seq("pos", "t")))
+      .select((col("pos") + 1).cast("long").as("rnk"), col("t.term").as("term"))
 
     val grid = tracked.crossJoin(broadcast(cntSrc.select(col("source")).distinct()))
     val probes = grid
@@ -1095,7 +1098,6 @@ object CorpusStats {
   }
 
   val q169Sql: String = {
-    val h60t = "CAST(concat('0x', substr(md5(term), 1, 15)) AS BIGINT)"
     val h60r = "CAST(concat('0x', substr(md5(concat(term, ':cms', CAST(r AS VARCHAR))), 1, 15)) AS BIGINT)"
     s"""WITH w AS (
        |  SELECT source, unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
@@ -1110,7 +1112,7 @@ object CorpusStats {
        |  SELECT r, bucket, CAST(SUM(c) AS BIGINT) AS c FROM counters_src GROUP BY 1, 2),
        |cnt AS (SELECT term, CAST(SUM(cnt) AS BIGINT) AS cnt FROM cnt_src GROUP BY 1),
        |tracked AS (
-       |  SELECT term, row_number() OVER (ORDER BY cnt DESC, $h60t ASC) AS rnk
+       |  SELECT term, row_number() OVER (ORDER BY cnt DESC, term ASC) AS rnk
        |  FROM cnt),
        |grid AS (
        |  SELECT t.rnk, t.term, s.source

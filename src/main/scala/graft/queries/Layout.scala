@@ -135,20 +135,30 @@ object Layout {
     * spillable, never a scale hazard.
     */
   private def writeBucketed(s: SparkSession, dir: String,
-      table: String, key: String): DataFrame = {
-    val name = s"graft_${table}_b_${sfTag(dir)}"
-    val path = s"$layoutRoot/${sfTag(dir)}/${table}_b"
-    // Reuse-if-exists, keyed on the JVM-shared external catalog: memos are
-    // per (session, dir), but `newSession()` clones (PlanSpec's AQE-off
-    // plan probes) share the catalog AND the files — a clone REBUILD here
-    // would delete the bucket files out from under every other session's
-    // already-resolved frames. The corpus-snapshot contract still holds
-    // (sf dirs are immutable for the JVM's lifetime); a caller that truly
-    // rewrites a dir must call [[dropLayouts]] along with
-    // [[Dedup.clearMemos]].
+      table: String, key: String): DataFrame =
+    materializeBucketed(s, dir, table, key)(Tables.table(s, dir, table))
+
+  /** Write an arbitrary derived frame bucketed by `key` as an external
+    * parquet table under the layout root and return it as read through
+    * the catalog (bucket metadata attached) — the general form of the
+    * raw-table writer above, shared with [[graft.queries.Retrieval]]'s
+    * durable postings index. Same reuse/safety contract:
+    * reuse-if-exists, keyed on the JVM-shared external catalog — memos
+    * are per (session, dir), but `newSession()` clones (PlanSpec's
+    * AQE-off plan probes) share the catalog AND the files, so a clone
+    * REBUILD here would delete the bucket files out from under every
+    * other session's already-resolved frames. The corpus-snapshot
+    * contract still holds (sf dirs are immutable for the JVM's
+    * lifetime); a caller that truly rewrites a dir must call
+    * [[dropLayouts]] along with [[Dedup.clearMemos]].
+    */
+  private[graft] def materializeBucketed(s: SparkSession, dir: String,
+      tag: String, key: String)(build: => DataFrame): DataFrame = {
+    val name = s"graft_${tag}_b_${sfTag(dir)}"
+    val path = s"$layoutRoot/${sfTag(dir)}/${tag}_b"
     if (!s.catalog.tableExists(name)) {
       freshPath(s, path)
-      Tables.table(s, dir, table)
+      build
         .repartition(BucketCount, col(key))
         .write.format("parquet")
         .bucketBy(BucketCount, key)

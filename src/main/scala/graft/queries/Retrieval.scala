@@ -1,16 +1,19 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables._
+import graft.functions.DotFold.dotFold
 import graft.functions.TextFns._
 import graft.functions.TopKPairs.topKPairs
 
 /** Full-text retrieval over the document corpus: BM25-scored top-k search
   * (the lexical side of every RAG / training-data-inspection stack, and
   * the classic complement of the embedding ANN family in
-  * [[graft.queries.Similarity]]).
+  * [[graft.queries.Similarity]]), plus the fusion operator that combines
+  * the two rankings (q170).
   *
   * Scale design — the whole operator is inverted-index shaped:
   *   - The only frames that ever shuffle are keyed by VOCABULARY (term →
@@ -20,10 +23,12 @@ import graft.functions.TopKPairs.topKPairs
   *     per-document term-frequency aggregate by a BROADCAST join with the
   *     (tiny) query-term table, so the index side is one hash-aggregate
   *     pass over the corpus regardless of query count.
-  *   - Global "pick the query terms" and per-query "top-k documents" both
-  *     run through [[graft.functions.TopKPairs]] — a bounded heap that
-  *     partial-aggregates map-side — so no unpartitioned window ever sorts
-  *     a corpus-sized frame (the suite-wide PlanSpec guard applies here
+  *   - Global "pick the query terms" runs through `orderBy(...).limit(k)`
+  *     — Spark plans TakeOrderedAndProject, a bounded per-partition heap,
+  *     so the vocabulary frame is never globally sorted; the per-query
+  *     "top-k documents" heap is [[graft.functions.TopKPairs]], which
+  *     partial-aggregates map-side. No unpartitioned window ever sorts a
+  *     corpus-sized frame (the suite-wide PlanSpec guard applies here
   *     like everywhere else).
   *   - At 1000 executors the per-query score aggregation shuffles ≤
   *     (matched docs) rows keyed by (query_id, doc_id), and the final heap
@@ -34,7 +39,12 @@ import graft.functions.TopKPairs.topKPairs
   * exact integer arithmetic in both engines (no float associativity in
   * any cross-row fold); idf is rounded to 6dp before the product (q53's
   * trick) so a last-ulp `ln` difference can never flip a ranking. All
-  * ranking orders are total (score DESC, doc_id ASC; df ASC, hash60 ASC).
+  * ranking orders are total: (score DESC, doc_id ASC) for documents and
+  * (df ASC, term ASC) for query-term selection — the term string itself
+  * is the tiebreak, so there is NO hash anywhere in the selection path
+  * (r13 advice: the previous hash60 heap id carried a ~|V|²/2⁶¹
+  * md5-prefix collision window on the join-back; selecting on the string
+  * removes the assumption instead of documenting it).
   */
 object Retrieval {
 
@@ -56,71 +66,58 @@ object Retrieval {
   /** Minimum token length for a term to be query-eligible. */
   val MinTermLen = 4
 
-  // ---------------------------------------------------------------- q164
+  // ------------------------------------------------------------ shared core
 
-  /** q164: BM25 top-k retrieval. The query workload is derived from the
-    * corpus itself so both engines construct it identically: the
-    * [[QueryTermCount]] RAREST tokens of length ≥ [[MinTermLen]]
-    * (rarest = most discriminative under idf; total order df ASC then
-    * hash60(term) ASC), grouped [[TermsPerQuery]]-at-a-time into
-    * query_ids. Each query then scores every document matching ≥ 1 of its
-    * terms (disjunctive retrieval, the standard BM25 form) and keeps the
-    * [[BmTopK]] best:
+  /** Postings `(doc_id, term, tf)` of a `(doc_id, text)` frame — the one
+    * corpus-sized tokenize + aggregate every retrieval path shares. Doc
+    * length falls out of the postings themselves: Σ tf over a document is
+    * its token count, so no separate length scan exists at any scale.
+    */
+  private def postings(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(words(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+
+  /** Corpus stats `(n_total, avgdl)` (1 row) from a lengths frame. */
+  private def corpusStats(dl: DataFrame): DataFrame =
+    dl.agg(count(lit(1)).as("n_total"),
+      (sum(col("dl")).cast("double") / count(lit(1)).cast("double")).as("avgdl"))
+
+  /** Synthetic query workload from the vocabulary: the [[QueryTermCount]]
+    * RAREST terms of length ≥ [[MinTermLen]] (rarest = most discriminative
+    * under idf; total order df ASC, term ASC), grouped [[TermsPerQuery]]
+    * at a time into query_ids. `orderBy.limit` plans
+    * TakeOrderedAndProject — a bounded distributed heap over the
+    * vocabulary, carrying the term STRING through selection (no hash id,
+    * no join-back); the 16 survivors collapse to one row whose
+    * `sort_array` restores the global (df, term) order for positional
+    * query grouping.
+    */
+  private def selectQueryTerms(dfreq: DataFrame): DataFrame =
+    dfreq.filter(length(col("term")) >= MinTermLen)
+      .orderBy(col("df").asc, col("term").asc)
+      .limit(QueryTermCount)
+      .agg(sort_array(collect_list(struct(col("df"), col("term")))).as("sel"))
+      .select(posexplode(col("sel")).as(Seq("pos", "t")))
+      .select((floor(col("pos") / lit(TermsPerQuery)) + 1).cast("long").as("query_id"),
+        col("t.term").as("term"), col("t.df").as("df"))
+
+  /** Per-(query, document) BM25 scores from the four index components —
+    * postings `(doc_id, term, tf)`, lengths `(doc_id, dl)`, corpus stats
+    * `(n_total, avgdl)` (1 row), and a query-term table `(query_id, term,
+    * df)`:
     *
     *   score(q,d) = Σ_{t ∈ q ∩ d} idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·|d|/avgdl))
     *   idf(t)     = ln(1 + (N − df + ½)/(df + ½))      (Lucene's variant)
     *
-    * Term selection uses TopKPairs over the vocabulary frame with
-    * hash60(term) as the heap id (the heap carries longs, and the hash is
-    * also the deterministic tiebreak + join-back key); the per-query
-    * result heap is TopKPairs keyed by query_id. See the object Scaladoc
-    * for why no corpus-sized frame ever crosses an exchange un-aggregated.
+    * The components are pure mergeable aggregates, which is exactly what
+    * makes the incremental path of q168 possible: HOW they were produced
+    * (one batch pass, or a stored-index + delta fold) cannot affect the
+    * scores. Returns `(query_id, doc_id, score_dec)` with the score an
+    * exact DECIMAL(18,6) sum of 6dp-rounded per-term contributions.
     */
-  def q164Bm25(s: SparkSession, dir: String): DataFrame = {
-    val d = resplit(documents(s, dir).select(col("doc_id"), col("text")))
-    val tok = d.select(col("doc_id"), explode(words(col("text"))).as("term"))
-    // The postings frame IS the index: materialize it once (eager local
-    // checkpoint, the repo's memo idiom) so term selection, document
-    // frequencies, document lengths, and the postings probe all read the
-    // materialized aggregate instead of re-scanning + re-tokenizing the
-    // corpus — without this the plan paid FOUR full corpus scans. Doc
-    // length falls out of the index itself: Σ tf over a document is its
-    // token count, so no separate length scan exists at any scale.
-    val wc = tok.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-      .localCheckpoint()
-    val dfreq = wc.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val dl = wc.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
-    val stats = dl.agg(count(lit(1)).as("n_total"),
-      (sum(col("dl")).cast("double") / count(lit(1)).cast("double")).as("avgdl"))
-    bm25Rank(wc, dfreq, dl, stats)
-  }
-
-  /** The ranking core shared by q164 (batch index) and q168 (incremental
-    * index): given the four index components — postings `(doc_id, term,
-    * tf)`, vocabulary `(term, df)`, lengths `(doc_id, dl)`, corpus stats
-    * `(n_total, avgdl)` 1-row — select the query workload and rank. The
-    * components are pure mergeable aggregates, which is exactly what makes
-    * the incremental path of q168 possible: HOW they were produced (one
-    * batch pass or a base+delta fold) cannot affect the ranking.
-    */
-  private def bm25Rank(wc: DataFrame, dfreq: DataFrame, dl: DataFrame,
-      stats: DataFrame): DataFrame = {
-    // Query-term selection: bounded heap over the vocabulary, score =
-    // -df (so the heap's score-DESC order is df-ASC), id = hash60(term).
-    val qtop = dfreq
-      .filter(length(col("term")) >= MinTermLen)
-      .agg(topKPairs((-col("df")).cast("double"), hash60(col("term")),
-        QueryTermCount).as("top"))
-      .select(posexplode(col("top")).as(Seq("pos", "t")))
-      .select((floor(col("pos") / lit(TermsPerQuery)) + 1).cast("long").as("query_id"),
-        col("t.id").as("h"))
-    val qterms = qtop.join(
-      dfreq.select(col("term"), col("df"), hash60(col("term")).as("h")), "h")
-      .select(col("query_id"), col("term"), col("df"))
-
-    // Postings for the query terms only: broadcast the 16-row term table
-    // into the per-document tf aggregate, then attach doc length.
-    val scored = wc.join(broadcast(qterms), "term")
+  private def bm25PerDoc(wc: DataFrame, dl: DataFrame, stats: DataFrame,
+      qterms: DataFrame): DataFrame =
+    wc.join(broadcast(qterms), "term")
       .join(dl, "doc_id")
       .join(broadcast(stats))
       .withColumn("idf", round(log(lit(1.0) +
@@ -131,26 +128,50 @@ object Retrieval {
           (col("tf").cast("double") + lit(BmK1) * (lit(1.0 - BmB) +
             lit(BmB) * (col("dl").cast("double") / col("avgdl")))), 6)
         .cast("decimal(18,6)"))
-
-    scored.groupBy(col("query_id"), col("doc_id"))
+      .groupBy(col("query_id"), col("doc_id"))
       .agg(sum(col("s_term")).as("score_dec"))
-      .groupBy(col("query_id"))
-      .agg(topKPairs(col("score_dec").cast("double"), col("doc_id"), BmTopK).as("top"))
+
+  /** Per-query top-k over a `(query_id, doc_id, score_dec)` frame via the
+    * bounded [[graft.functions.TopKPairs]] heap (total order: score DESC,
+    * doc_id ASC). */
+  private def rankTop(perDoc: DataFrame, k: Int): DataFrame =
+    perDoc.groupBy(col("query_id"))
+      .agg(topKPairs(col("score_dec").cast("double"), col("doc_id"), k).as("top"))
       .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "t")))
       .select(col("query_id"), (col("pos") + 1).cast("long").as("rnk"),
         col("t.id").as("doc_id"), col("t.score").as("score"))
       .orderBy(col("query_id"), col("rnk"))
+
+  // ---------------------------------------------------------------- q164
+
+  /** q164: BM25 top-k retrieval. The query workload is derived from the
+    * corpus itself so both engines construct it identically
+    * ([[selectQueryTerms]]); each query scores every document matching
+    * ≥ 1 of its terms (disjunctive retrieval, the standard BM25 form) and
+    * keeps the [[BmTopK]] best. See the object Scaladoc for why no
+    * corpus-sized frame ever crosses an exchange un-aggregated.
+    */
+  def q164Bm25(s: SparkSession, dir: String): DataFrame = {
+    val d = resplit(documents(s, dir).select(col("doc_id"), col("text")))
+    // The postings frame IS the index: materialize it once (eager local
+    // checkpoint, the repo's memo idiom) so term selection, document
+    // frequencies, document lengths, and the postings probe all read the
+    // materialized aggregate instead of re-scanning + re-tokenizing the
+    // corpus — without this the plan paid FOUR full corpus scans.
+    val wc = postings(d).localCheckpoint()
+    val dfreq = wc.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val dl = wc.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    rankTop(bm25PerDoc(wc, dl, corpusStats(dl), selectQueryTerms(dfreq)), BmTopK)
   }
 
-  val q164Sql: String = {
-    val h60 = "CAST(concat('0x', substr(md5(term), 1, 15)) AS BIGINT)"
+  val q164Sql: String =
     s"""WITH d AS (
        |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ww FROM documents),
        |tok AS (SELECT doc_id, unnest(ww) AS term FROM d),
        |wc AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2),
-       |dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df, $h60 AS h FROM wc GROUP BY term),
+       |dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM wc GROUP BY term),
        |qsel AS (
-       |  SELECT term, df, row_number() OVER (ORDER BY df ASC, h ASC) AS rn
+       |  SELECT term, df, row_number() OVER (ORDER BY df ASC, term ASC) AS rn
        |  FROM dfreq WHERE length(term) >= $MinTermLen),
        |qterms AS (
        |  SELECT CAST(floor(CAST(rn - 1 AS DOUBLE) / $TermsPerQuery) AS BIGINT) + 1 AS query_id,
@@ -178,9 +199,27 @@ object Retrieval {
        |  FROM perdoc)
        |SELECT query_id, CAST(rnk AS BIGINT) AS rnk, doc_id, score FROM r
        |WHERE rnk <= $BmTopK ORDER BY query_id, rnk""".stripMargin
-  }
 
   // ---------------------------------------------------------------- q168
+
+  /** The corpus increment (q124's convention: a fresh crawl batch). */
+  private val isDeltaDoc = col("doc_id") % 10 === 3
+
+  private val bm25BaseMemo = Dedup.registerMemo("bm25_base_index")
+
+  /** The STORED base index: base-corpus postings written ONCE as a
+    * bucketed-by-term external parquet table (q102's layout pattern,
+    * shared writer [[graft.queries.Layout.materializeBucketed]]) and read
+    * back through the catalog. Durable-index semantics, not a
+    * session-lifetime checkpoint (r13 verdict #3): a production increment
+    * folds against the index ON DISK, and the bucket metadata makes the
+    * vocabulary derivation below exchange-free.
+    */
+  private[graft] def storedBasePostings(s: SparkSession, dir: String): DataFrame =
+    Dedup.memoized(bm25BaseMemo, s, dir)(
+      Layout.materializeBucketed(s, dir, "bm25_postings", "term")(
+        postings(resplit(documents(s, dir).select(col("doc_id"), col("text")))
+          .filter(!isDeltaDoc))))
 
   /** q168: INCREMENTAL index maintenance for the BM25 retrieval — fold a
     * corpus increment into the stored index without rescanning the base,
@@ -188,35 +227,43 @@ object Retrieval {
     * recompute over the full corpus, so the hash compare IS the
     * fold ≡ batch theorem (the q120/q121/q124 incremental-family
     * contract). The increment is the q124 convention (`doc_id % 10 = 3`,
-    * a fresh crawl batch); the base postings are eagerly checkpointed —
-    * the materialization boundary standing in for the stored index.
+    * a fresh crawl batch); the base postings are a DURABLE bucketed
+    * parquet table ([[storedBasePostings]]).
     *
     * Why the fold is exact (and cheap): every index component is a
     * MERGEABLE aggregate over doc-disjoint sides —
-    *   - postings: base ∪ delta (doc-keyed, disjoint — no merge logic),
+    *   - postings: stored ∪ delta (doc-keyed, disjoint — no merge logic),
     *   - document frequencies: full-outer on term, df = df_b + df_d,
     *   - lengths: union; corpus stats: n = n_b + n_d and
     *     avgdl = (Σdl_b + Σdl_d)/(n_b + n_d) — LONG addition of partials,
     *     so the double division is bit-identical to the batch form.
-    * Per-increment cost is O(delta tokens + vocabulary merge); the base
-    * is touched only through its (vocabulary-sized and doc-sized)
-    * aggregate components, never re-tokenized. At 100 TB this is the
-    * difference between an index update and an index rebuild.
+    * EVERY base-side component (df, dl, stats) is derived from the
+    * read-back stored postings — the base corpus is never re-read and
+    * never re-tokenized (r13 advice #1: previously df/dl hung off the
+    * pre-materialization lineage, silently re-paying the tokenize), and
+    * PlanSpec pins the base-side scans to the bucketed table. The
+    * bucketed-by-term layout additionally makes the df derivation
+    * shuffle-FREE (the groupBy(term) reads the scan's bucket
+    * partitioning — q102's zero-exchange property, also pinned).
+    * Degenerate corpora fold gracefully: an empty delta (or base)
+    * contributes (0, 0) to the stats partials via `coalesce`, so the
+    * fold degenerates to the batch result instead of nulling out avgdl
+    * (r13 advice #2). Per-increment cost is O(delta tokens + vocabulary
+    * merge). At 100 TB this is the difference between an index update
+    * and an index rebuild.
     */
   def q168Bm25Increment(s: SparkSession, dir: String): DataFrame = {
-    val isDelta = col("doc_id") % 10 === 3
-    def components(docs: DataFrame): (DataFrame, DataFrame, DataFrame) = {
-      val tok = docs.select(col("doc_id"), explode(words(col("text"))).as("term"))
-      val wc = tok.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-      val dfq = wc.groupBy(col("term")).agg(count(lit(1)).as("df"))
-      val dl = wc.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
-      (wc, dfq, dl)
-    }
-    val corpus = resplit(documents(s, dir).select(col("doc_id"), col("text")))
-    // the stored index (checkpoint = materialization boundary)
-    val (wcB0, dfB, dlB) = components(corpus.filter(!isDelta))
-    val wcB = wcB0.localCheckpoint()
-    val (wcD, dfD, dlD) = components(corpus.filter(isDelta))
+    // the stored index, and every base-side component derived FROM it
+    val wcB = storedBasePostings(s, dir)
+    val dfB = wcB.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val dlB = wcB.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    // the increment, tokenized fresh EXACTLY ONCE (the only corpus text
+    // the fold ever touches — the checkpoint fans the one delta pass out
+    // to its three consumers: union, df_d, dl_d)
+    val wcD = postings(resplit(documents(s, dir).select(col("doc_id"), col("text"))
+      .filter(isDeltaDoc))).localCheckpoint()
+    val dfD = wcD.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val dlD = wcD.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
 
     val wc = wcB.unionByName(wcD)
     val dfreq = dfB.withColumnRenamed("df", "df_b")
@@ -225,15 +272,228 @@ object Retrieval {
         (coalesce(col("df_b"), lit(0L)) + coalesce(col("df_d"), lit(0L))).as("df"))
     val dl = dlB.unionByName(dlD)
     def partialStats(d: DataFrame, n: String, sdl: String) =
-      d.agg(count(lit(1)).as(n), sum(col("dl")).as(sdl))
+      d.agg(count(lit(1)).as(n), coalesce(sum(col("dl")), lit(0L)).as(sdl))
     val stats = partialStats(dlB, "n_b", "s_b")
       .join(broadcast(partialStats(dlD, "n_d", "s_d")))
       .select((col("n_b") + col("n_d")).as("n_total"),
         ((col("s_b") + col("s_d")).cast("double") /
           (col("n_b") + col("n_d")).cast("double")).as("avgdl"))
-    bm25Rank(wc, dfreq, dl, stats)
+    rankTop(bm25PerDoc(wc, dl, stats, selectQueryTerms(dfreq)), BmTopK)
   }
 
   /** q168's oracle IS the batch recompute: fold ≡ batch, hash-proven. */
   val q168Sql: String = q164Sql
+
+  // ---------------------------------------------------------------- q170
+
+  /** Reciprocal-rank-fusion constant (Cormack, Clarke & Buettcher,
+    * SIGIR'09: k = 60 dominates each fused ranker and most learned
+    * fusions on TREC runs — the de-facto production default). */
+  val RrfK = 60
+
+  /** External query workload size for the registered q170 (the PqQueries
+    * convention: the smallest vec_ids, which at every sf are document ids
+    * with BOTH a text and an embedding). */
+  val HybridQueries = 8
+
+  /** Query terms extracted per query document (its globally-rarest
+    * eligible tokens — the more-like-this convention, bounding lexical
+    * probe cost per query at any corpus size). */
+  val HybridQueryTerms = 8
+
+  /** Rank depth taken from each ranker before fusion. */
+  val HybridDepth = 20
+
+  /** Fused documents returned per query. */
+  val HybridTopK = 10
+
+  /** The RRF fusion core — RANKER-AGNOSTIC: takes any two `(query_id,
+    * doc_id, rnk)` rankings over the same query workload and fuses them
+    * by reciprocal rank:
+    *
+    *   rrf(d) = Σ_{rankers r ∋ d} 1/([[RrfK]] + rank_r(d))
+    *
+    * Each contribution is rounded to 6dp and summed as DECIMAL(18,6) —
+    * integer-rank arithmetic, so the fused score is exact in both
+    * engines. Output carries the per-ranker ranks (0 = absent from that
+    * ranker's top-[[HybridDepth]]). The final per-query re-rank is a
+    * PARTITIONED window over ≤ 2·depth rows per query — bounded by
+    * construction, never corpus-sized.
+    */
+  private[graft] def fuseRrf(lex: DataFrame, sem: DataFrame): DataFrame = {
+    val u = lex.select(col("query_id"), col("doc_id"), col("rnk"), lit("lex").as("src"))
+      .unionByName(sem.select(col("query_id"), col("doc_id"), col("rnk"), lit("sem").as("src")))
+    val fused = u.groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(round(lit(1.0) / (lit(RrfK.toDouble) + col("rnk").cast("double")), 6)
+          .cast("decimal(18,6)")).as("rrf_dec"),
+        coalesce(max(when(col("src") === "lex", col("rnk"))), lit(0L)).as("lex_rnk"),
+        coalesce(max(when(col("src") === "sem", col("rnk"))), lit(0L)).as("sem_rnk"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf_dec").desc, col("doc_id").asc)
+    fused.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= HybridTopK)
+      .select(col("query_id"), col("rnk"), col("doc_id"),
+        col("rrf_dec").cast("double").as("rrf_score"),
+        col("lex_rnk"), col("sem_rnk"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  /** The two rankings q170 fuses, for an ARBITRARY query-id workload
+    * (`queryIds`: one `query_id` column of document ids — an input
+    * table, not a baked-in synthesis; the registered q170 instantiates
+    * it from the embeddings table, a caller with an external query
+    * parquet passes that instead).
+    *
+    *   - LEXICAL: per query, the [[HybridQueryTerms]] globally-rarest
+    *     eligible tokens OF THE QUERY DOCUMENT (more-like-this; total
+    *     order df ASC, term ASC) probe the BM25 index — exactly q164's
+    *     scoring core, self-match excluded, top-[[HybridDepth]] kept.
+    *   - SEMANTIC: exact cosine of the query document's embedding
+    *     against the corpus, self excluded, top-[[HybridDepth]] kept.
+    *     Exact scan keeps the fused ranking hash-provable; the 100 TB
+    *     deployment swaps this leg for q163's IVFADC probe — the fusion
+    *     core is ranker-agnostic, which is the point.
+    *
+    * Scale shape: the query-term table is (queries × [[HybridQueryTerms]])
+    * rows and broadcasts into the postings aggregate like q164's; the
+    * semantic leg broadcasts (queries × dims) vectors and scans the
+    * embedding table ONCE for all queries (per-row cost: |Q| dot
+    * products, linear not quadratic); both heaps are bounded. The
+    * query-vector frame's plan root is an AGGREGATE on query_id (one
+    * vector per query by construction), so the PlanSpec boundedness
+    * guard proves the broadcast build side bounded mechanically.
+    */
+  private[graft] def hybridParts(s: SparkSession, dir: String,
+      queryIds: DataFrame): (DataFrame, DataFrame) = {
+    // lexical leg — q164's index components
+    val wc = postings(resplit(documents(s, dir).select(col("doc_id"), col("text"))))
+      .localCheckpoint()
+    val dfreq = wc.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val dl = wc.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val wTerm = Window.partitionBy(col("query_id"))
+      .orderBy(col("df").asc, col("term").asc)
+    val qterms = wc.join(broadcast(queryIds), col("doc_id") === col("query_id"))
+      .filter(length(col("term")) >= MinTermLen)
+      .select(col("query_id"), col("term"))
+      .join(dfreq, "term")
+      .withColumn("trn", row_number().over(wTerm))
+      .filter(col("trn") <= HybridQueryTerms)
+      .select(col("query_id"), col("term"), col("df"))
+    val lex = rankTop(
+      bm25PerDoc(wc, dl, corpusStats(dl), qterms)
+        .filter(col("doc_id") =!= col("query_id")),
+      HybridDepth)
+    // semantic leg — exact cosine, one corpus scan for all queries
+    val e = Similarity.vecs(s, dir)
+    val qv = e.join(broadcast(queryIds), col("vec_id") === col("query_id"))
+      .groupBy(col("query_id"))
+      .agg(first(col("v")).as("qv"), first(col("norm")).as("qn"))
+    val sem = e.join(broadcast(qv), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(dotFold(col("v"), col("qv")) / (col("norm") * col("qn")), 6).as("sim"))
+      .groupBy(col("query_id"))
+      .agg(topKPairs(col("sim"), col("vec_id"), HybridDepth).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("query_id"), col("t.id").as("doc_id"),
+        (col("pos") + 1).cast("long").as("rnk"))
+    (lex.select(col("query_id"), col("doc_id"), col("rnk")), sem)
+  }
+
+  /** q170: HYBRID lexical ⊕ semantic retrieval via reciprocal-rank fusion
+    * — the canonical RAG-stack operator combining the BM25 (q164) and
+    * embedding-ANN ([[graft.queries.Similarity]]) families (r13 verdict
+    * #1). For each query document, its rarest terms probe the lexical
+    * index and its embedding ranks the corpus semantically; [[fuseRrf]]
+    * merges the two top-[[HybridDepth]] lists. Output: `(query_id, rnk,
+    * doc_id, rrf_score, lex_rnk, sem_rnk)` — the per-ranker ranks expose
+    * WHY a document fused where it did (0 = absent from that leg), which
+    * is the number an operator reads when tuning fusion depth.
+    *
+    * The registered workload: the [[HybridQueries]] smallest vec_ids of
+    * the embeddings table (the q109/q163 query convention) — ids that
+    * carry both a text and an embedding at every sf. [[q170Sql]] builds
+    * the identical workload, term selection, and fused arithmetic.
+    */
+  def q170HybridRrf(s: SparkSession, dir: String): DataFrame = {
+    val queryIds = embeddings(s, dir).select(col("vec_id").as("query_id"))
+      .orderBy(col("query_id")).limit(HybridQueries)
+    val (lex, sem) = hybridParts(s, dir, queryIds)
+    fuseRrf(lex, sem)
+  }
+
+  val q170Sql: String = {
+    def fold(a: String, b: String): String =
+      s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |     list_transform(range(1, ${Similarity.AnnDims + 1}), i -> $a[i] * $b[i])), (x, y) -> x + y)""".stripMargin
+    s"""WITH d AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ww FROM documents),
+       |tok AS (SELECT doc_id, unnest(ww) AS term FROM d),
+       |wc AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2),
+       |dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM wc GROUP BY term),
+       |dl AS (SELECT doc_id, CAST(len(ww) AS BIGINT) AS dl FROM d),
+       |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_total,
+       |                 CAST(SUM(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl FROM dl),
+       |q AS (SELECT vec_id AS query_id FROM embeddings ORDER BY vec_id LIMIT $HybridQueries),
+       |qt0 AS (
+       |  SELECT q.query_id, w.term, f.df,
+       |   row_number() OVER (PARTITION BY q.query_id
+       |     ORDER BY f.df ASC, w.term ASC) AS trn
+       |  FROM q JOIN wc w ON w.doc_id = q.query_id JOIN dfreq f USING (term)
+       |  WHERE length(w.term) >= $MinTermLen),
+       |qterms AS (SELECT query_id, term, df FROM qt0 WHERE trn <= $HybridQueryTerms),
+       |scored AS (
+       |  SELECT t.query_id, w.doc_id,
+       |   CAST(ROUND(
+       |     (ROUND(ln(1.0 + (CAST(s.n_total AS DOUBLE) - CAST(t.df AS DOUBLE) + 0.5)
+       |                     / (CAST(t.df AS DOUBLE) + 0.5)), 6)
+       |      * (CAST(w.tf AS DOUBLE) * ${BmK1 + 1.0}))
+       |     / (CAST(w.tf AS DOUBLE) + $BmK1 * (${1.0 - BmB}
+       |        + $BmB * (CAST(l.dl AS DOUBLE) / s.avgdl))), 6) AS DECIMAL(18,6)) AS s_term
+       |  FROM wc w JOIN qterms t USING (term) JOIN dl l ON w.doc_id = l.doc_id
+       |  CROSS JOIN stats s
+       |  WHERE w.doc_id <> t.query_id),
+       |perdoc AS (
+       |  SELECT query_id, doc_id, SUM(s_term) AS score_dec FROM scored GROUP BY 1, 2),
+       |lex AS (
+       |  SELECT query_id, doc_id,
+       |   row_number() OVER (PARTITION BY query_id
+       |     ORDER BY CAST(score_dec AS DOUBLE) DESC, doc_id) AS rnk
+       |  FROM perdoc),
+       |e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |n AS (
+       |  SELECT vec_id, v,
+       |   sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |     list_transform(v, x -> x * x)), (a, b) -> a + b)) AS norm
+       |  FROM e),
+       |sem0 AS (
+       |  SELECT q.query_id, b.vec_id AS doc_id,
+       |   ROUND(${fold("a.v", "b.v")} / (a.norm * b.norm), 6) AS sim
+       |  FROM q JOIN n a ON a.vec_id = q.query_id
+       |  JOIN n b ON b.vec_id <> q.query_id),
+       |sem AS (
+       |  SELECT query_id, doc_id,
+       |   row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, doc_id) AS rnk
+       |  FROM sem0),
+       |u AS (
+       |  SELECT query_id, doc_id, rnk, 'lex' AS src FROM lex WHERE rnk <= $HybridDepth
+       |  UNION ALL
+       |  SELECT query_id, doc_id, rnk, 'sem' AS src FROM sem WHERE rnk <= $HybridDepth),
+       |fused AS (
+       |  SELECT query_id, doc_id,
+       |   SUM(CAST(ROUND(1.0 / ($RrfK + rnk), 6) AS DECIMAL(18,6))) AS rrf_dec,
+       |   COALESCE(MAX(CASE WHEN src = 'lex' THEN rnk END), 0) AS lex_rnk,
+       |   COALESCE(MAX(CASE WHEN src = 'sem' THEN rnk END), 0) AS sem_rnk
+       |  FROM u GROUP BY 1, 2),
+       |r AS (
+       |  SELECT query_id, doc_id, rrf_dec, lex_rnk, sem_rnk,
+       |   row_number() OVER (PARTITION BY query_id
+       |     ORDER BY rrf_dec DESC, doc_id) AS rnk
+       |  FROM fused)
+       |SELECT query_id, CAST(rnk AS BIGINT) AS rnk, doc_id,
+       | CAST(rrf_dec AS DOUBLE) AS rrf_score,
+       | CAST(lex_rnk AS BIGINT) AS lex_rnk, CAST(sem_rnk AS BIGINT) AS sem_rnk
+       |FROM r WHERE rnk <= $HybridTopK ORDER BY query_id, rnk""".stripMargin
+  }
 }

@@ -208,6 +208,15 @@ class PlanSpec extends SparkTestBase {
     val nd = plan(graft.queries.Similarity.nearDupBandedAt(spark, sf, 3))
     assert(!nd.contains("CartesianProduct") && bnljCount(nd) === 0 && hasEquiJoin(nd),
       s"near-dup LSH candidate join degraded to all-pairs:\n$nd")
+    // q67's brute mode (the registered plan below the ~4.19M crossover):
+    // the block-decomposed exact scan must be a SHUFFLED equi-join on the
+    // block-pair key — zero broadcasts of the vector table, zero nested
+    // loops (r13 "What's wrong" #1: the previous theta-join form planned
+    // an IdentityBroadcast of the ENTIRE corpus as the build side).
+    val br = plan(graft.queries.Similarity.q67NearDupLsh(spark, sf))
+    assert(br.contains("SortMergeJoin") && bnljCount(br) === 0
+      && !br.contains("CartesianProduct") && !br.contains("BroadcastExchange"),
+      s"blocked brute scan degraded to a broadcast/all-pairs plan:\n$br")
     // q161: the production-threshold sweep executes the banded core at
     // every scale — equi-joins only, and the dup-injection union must
     // not smuggle in any pair scan
@@ -297,10 +306,9 @@ class PlanSpec extends SparkTestBase {
       "q25_cosine_topk",       // brute-force cosine baseline (recall yardstick)
       "q32_cross_join",        // the cross-join operator itself
       "q40_embedding_neardup", // brute-force near-dup baseline (recall yardstick)
-      "q67_neardup_lsh",       // measured fallback: IS the brute plan below the
-                               // ~4.19M-vector crossover (r13); the banded mode
-                               // above it is equi-join-only, pinned via
-                               // nearDupBandedAt in the ANN-joins test
+      // q67 is NOT declared (r14): its brute mode now plans the blocked
+      // equi-join (bruteNearDupBlocked) — this guard proves mechanically
+      // that no mode of q67 broadcasts an unbounded side
       "q66_semantic_decontam") // eval side is the broadcast: tiny by
                                // construction of the hold-out split, but a
                                // FILTER, not an aggregate/limit, so the
@@ -552,12 +560,31 @@ class PlanSpec extends SparkTestBase {
     assert(!mb.contains("Window"), s"flag merge grew a window:\n$mb")
     // q168: the fold keeps q164's shapes; its only nested loops are the
     // two bounded 1-row stats broadcasts (partial merge + rank attach),
-    // and the base side enters through the checkpoint (no re-tokenize).
+    // and EVERY base-side component reads the DURABLE bucketed postings
+    // table — the base corpus is never re-read or re-tokenized (r13
+    // advice #1 / verdict #3: the stored index is a real table now).
     val inc = plan(graft.queries.Retrieval.q168Bm25Increment(spark, sf))
     assert(inc.contains("ObjectHashAggregate") && !inc.contains("Window"),
       s"incremental index lost the heap/window contract:\n$inc")
     assert(!inc.contains("CartesianProduct") && bnljCount(inc) <= 2,
       s"unbounded all-pairs stage in the incremental plan:\n$inc")
+    assert(inc.contains("graft_bm25_postings_b_"),
+      s"base index not read from the durable bucketed table:\n$inc")
+    assert(!inc.contains("documents.parquet]") ||
+      inc.indexOf("documents.parquet]") === inc.lastIndexOf("documents.parquet]"),
+      s"base corpus re-scanned: more than one documents scan in the fold:\n$inc")
+    // the bucketed layout's payoff: deriving the vocabulary (groupBy term)
+    // from the read-back index plans ZERO exchange — the scan's bucket
+    // partitioning satisfies the aggregate's distribution (q102's
+    // property, on the retrieval index).
+    val noAqe = spark.newSession()
+    noAqe.conf.set("spark.sql.adaptive.enabled", "false")
+    val dfq = graft.queries.Retrieval.storedBasePostings(noAqe, sf)
+      .groupBy("term").agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("df"))
+    val dfp = dfq.queryExecution.executedPlan.toString
+    assert(!dfp.contains("Exchange"),
+      s"bucketed postings scan did not satisfy the term aggregate's distribution:\n$dfp")
     // q169: the per-source and merged counter tables reach the probe grid
     // as broadcasts; the grid itself is the bounded tracked×sources cross
     // (one nested loop over an aggregate-bounded side).

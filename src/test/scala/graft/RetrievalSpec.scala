@@ -7,19 +7,14 @@ import org.apache.spark.sql.functions._
 import graft.queries.Retrieval
 import graft.queries.Retrieval._
 
-/** Invariants of the BM25 retrieval operator beyond the DuckDB oracle:
-  * a FULL independent replay (tokenize → select query terms → score →
-  * rank, in plain Scala with the same rounding discipline), plus ranking
-  * structure.
+/** Invariants of the BM25 retrieval + fusion operators beyond the DuckDB
+  * oracle: a FULL independent replay (tokenize → select query terms →
+  * score → rank, in plain Scala with the same rounding discipline),
+  * ranking structure, degenerate-increment behavior of the fold, and
+  * fusion ≡ hand-computed RRF.
   */
 class RetrievalSpec extends SparkTestBase {
 
-  private def md5hex(s: String): String = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
-  }
-  private def hash60(s: String): Long =
-    java.lang.Long.parseLong(md5hex(s).take(15), 16)
   private def round6(x: Double): Double =
     BigDecimal(x).setScale(6, RoundingMode.HALF_UP).toDouble
 
@@ -33,8 +28,9 @@ class RetrievalSpec extends SparkTestBase {
     val tf = docs.flatMap { case (id, ws) => ws.map(w => (id, w)) }
       .groupBy(identity).map { case (k, g) => k -> g.length.toLong }
     val df = tf.keys.groupBy(_._2).map { case (t, g) => t -> g.size.toLong }
+    // total order (df ASC, term ASC) — the term string IS the tiebreak
     val qterms = df.toSeq.filter(_._1.length >= MinTermLen)
-      .sortBy { case (t, c) => (c, hash60(t)) }
+      .sortBy { case (t, c) => (c, t) }
       .take(QueryTermCount).zipWithIndex
       .map { case ((t, c), i) => (i / TermsPerQuery + 1L, t, c) }
     val perDoc = qterms.flatMap { case (qid, t, tdf) =>
@@ -86,5 +82,104 @@ class RetrievalSpec extends SparkTestBase {
     val docs = Tables.documents(spark, sf).select(col("doc_id")).collect().map(_.getLong(0))
     assert(docs.exists(_ % 10 == 3) && docs.exists(_ % 10 != 3),
       "fixture must split into a non-empty base and a non-empty delta")
+  }
+
+  /** Copy the fixture's documents filtered by `keep` into a fresh dir, so
+    * q164/q168 can run over a degenerate corpus geometry. */
+  private def corpusWhere(tag: String, keep: org.apache.spark.sql.Column): String = {
+    val dir = java.nio.file.Files.createTempDirectory(s"graft_ret_$tag").toString
+    Tables.documents(spark, sf).filter(keep)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("q168: an EMPTY delta degenerates to the batch result, not an empty frame") {
+    // r13 advice #2: with no doc_id % 10 == 3 rows, the delta-side sum(dl)
+    // is null — un-coalesced, avgdl nulls out and the fold silently
+    // returns empty instead of the batch ranking.
+    val dir = corpusWhere("nodelta", col("doc_id") % 10 =!= 3)
+    val batch = Retrieval.q164Bm25(spark, dir).collect().map(_.toSeq).toSeq
+    val folded = Retrieval.q168Bm25Increment(spark, dir).collect().map(_.toSeq).toSeq
+    assert(batch.nonEmpty, "degenerate-corpus fixture must still rank documents")
+    assert(folded === batch)
+  }
+
+  test("q168: an EMPTY base (all-delta corpus) also folds to the batch result") {
+    val dir = corpusWhere("nobase", col("doc_id") % 10 === 3)
+    val batch = Retrieval.q164Bm25(spark, dir).collect().map(_.toSeq).toSeq
+    val folded = Retrieval.q168Bm25Increment(spark, dir).collect().map(_.toSeq).toSeq
+    assert(batch.nonEmpty, "degenerate-corpus fixture must still rank documents")
+    assert(folded === batch)
+  }
+
+  // ---------------------------------------------------------------- q170
+
+  test("fuseRrf: fusion equals hand-computed reciprocal-rank arithmetic on a known fixture") {
+    import spark.implicits._
+    // query 1: doc 10 is rank 1 lexically and rank 2 semantically; doc 20
+    // only lexical (rank 2); doc 30 only semantic (rank 1).
+    val lex = Seq((1L, 10L, 1L), (1L, 20L, 2L)).toDF("query_id", "doc_id", "rnk")
+    val sem = Seq((1L, 30L, 1L), (1L, 10L, 2L)).toDF("query_id", "doc_id", "rnk")
+    def c(r: Long): BigDecimal =
+      BigDecimal(1.0 / (RrfK + r)).setScale(6, RoundingMode.HALF_UP)
+    val expected = Seq(
+      // doc 10: both lists — 1/61 + 1/62 beats any single-list doc
+      (1L, 1L, 10L, (c(1) + c(2)).toDouble, 1L, 2L),
+      // docs 30 and 20 tie-break on score first: rank-1 single beats rank-2 single
+      (1L, 2L, 30L, c(1).toDouble, 0L, 1L),
+      (1L, 3L, 20L, c(2).toDouble, 2L, 0L))
+    val got = Retrieval.fuseRrf(lex, sem).collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got === expected)
+  }
+
+  test("q170: registered fusion equals a plain-Scala RRF replay of its own rank lists") {
+    val queryIds = Tables.embeddings(spark, sf).select(col("vec_id").as("query_id"))
+      .orderBy(col("query_id")).limit(HybridQueries)
+    val (lexDf, semDf) = Retrieval.hybridParts(spark, sf, queryIds)
+    def ranks(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Long)] =
+      df.collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("rnk"))).toSeq
+    val lex = ranks(lexDf); val sem = ranks(semDf)
+    def contrib(r: Long): BigDecimal =
+      BigDecimal(1.0 / (RrfK + r)).setScale(6, RoundingMode.HALF_UP)
+    val byDoc = (lex.map { case (q, d, r) => ((q, d), ("lex", r)) } ++
+      sem.map { case (q, d, r) => ((q, d), ("sem", r)) }).groupBy(_._1)
+    val expected = byDoc.toSeq.map { case ((q, d), g) =>
+      val m = g.map(_._2).toMap
+      (q, d, g.map(x => contrib(x._2._2)).sum,
+        m.getOrElse("lex", 0L), m.getOrElse("sem", 0L))
+    }.groupBy(_._1).toSeq.flatMap { case (q, g) =>
+      g.sortBy { case (_, d, s, _, _) => (-s, d) }.take(HybridTopK).zipWithIndex
+        .map { case ((_, d, s, lr, sr), i) => (q, i + 1L, d, s.toDouble, lr, sr) }
+    }.sortBy(r => (r._1, r._2))
+    val got = Retrieval.q170HybridRrf(spark, sf).collect().map(r =>
+      (r.getAs[Long]("query_id"), r.getAs[Long]("rnk"), r.getAs[Long]("doc_id"),
+        r.getAs[Double]("rrf_score"), r.getAs[Long]("lex_rnk"),
+        r.getAs[Long]("sem_rnk"))).toSeq
+    assert(got === expected)
+  }
+
+  test("q170: structure — the workload is the smallest vec_ids; ranks contiguous; both legs contribute") {
+    val rows = Retrieval.q170HybridRrf(spark, sf).collect()
+    val expectQ = Tables.embeddings(spark, sf).select(col("vec_id"))
+      .orderBy(col("vec_id")).limit(HybridQueries).collect().map(_.getLong(0)).toSet
+    val byQ = rows.groupBy(_.getAs[Long]("query_id"))
+    assert(byQ.keySet === expectQ, "every query must fuse a non-empty result on the fixture")
+    byQ.foreach { case (q, g) =>
+      val ranks = g.map(_.getAs[Long]("rnk")).sorted.toSeq
+      assert(ranks === (1L to g.length.toLong), s"query $q: fused ranks must be contiguous")
+      assert(g.length <= HybridTopK)
+      g.foreach { r =>
+        assert(r.getAs[Long]("lex_rnk") > 0 || r.getAs[Long]("sem_rnk") > 0,
+          s"query $q: a fused doc must come from at least one leg")
+        assert(r.getAs[Long]("doc_id") !== q, s"query $q: self-match must be excluded")
+      }
+    }
+    // the fusion is genuinely hybrid on the fixture: some fused doc is
+    // lexical-only and some is semantic-only somewhere in the report
+    assert(rows.exists(r => r.getAs[Long]("lex_rnk") > 0 && r.getAs[Long]("sem_rnk") === 0L))
+    assert(rows.exists(r => r.getAs[Long]("sem_rnk") > 0 && r.getAs[Long]("lex_rnk") === 0L))
   }
 }

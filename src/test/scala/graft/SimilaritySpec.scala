@@ -12,17 +12,24 @@ class SimilaritySpec extends SparkTestBase {
   test("q67 fallback: below the measured crossover the registered query runs the brute plan") {
     // the r13 contract: at the calibrated 0.45 threshold the banded path
     // is measured SLOWER than brute below ~4.19M vectors (ratio bar in
-    // Similarity.NdLshMaxRatio), so q67 must select the exact brute plan
-    // here — same output as q40 by construction, BNLJ pair-scan shape
+    // Similarity.NdLshMaxRatio), so q67 must select an exact brute plan
+    // here. r14: the brute plan is the EXECUTABLE block-decomposed form —
+    // a shuffled SortMergeJoin on the block-pair key with no full-corpus
+    // broadcast (r13 verdict #2) — and its output must be ROW-IDENTICAL
+    // to the q40 theta-join yardstick.
     val n = Tables.embeddings(spark, sf).count()
     assert(n <= Similarity.NdBruteCrossoverN)
     val p = Similarity.q67NearDupLsh(spark, sf).queryExecution.executedPlan.toString
-    assert(p.contains("BroadcastNestedLoopJoin"),
-      s"fallback did not pick the brute pair-scan below the crossover:\n$p")
+    assert(p.contains("SortMergeJoin") && !p.contains("BroadcastNestedLoopJoin")
+      && !p.contains("BroadcastExchange"),
+      s"fallback brute plan is not the blocked shuffled equi-join:\n$p")
     val brute = Similarity.q40EmbeddingNearDup(spark, sf).collect().toSet
     val got = Similarity.q67NearDupLsh(spark, sf).collect().toSet
     assert(got === brute)
     assert(brute.nonEmpty, "fixture must actually contain near-dup pairs")
+    // ordered-row equality too: same presentation order, not just set
+    assert(Similarity.q67NearDupLsh(spark, sf).collect().toSeq ===
+      Similarity.q40EmbeddingNearDup(spark, sf).collect().toSeq)
   }
 
   test("q67 banded core: every deep rung finds exactly the brute-force pair set on the fixture") {

@@ -964,6 +964,26 @@ object CorpusStats {
     * twice, and the sketch itself is mergeable across any partitioning —
     * the property that makes it the streaming/distributed standard.
     */
+  /** The d×w CMS counter table of a one-column `term` occurrence frame —
+    * ONE definition shared by q165's batch sketch, and by the streaming
+    * drain spec that proves per-micro-batch sketches merged by counter
+    * addition equal this batch form exactly (linearity — the property
+    * that makes CMS the streaming/distributed standard).
+    */
+  private[graft] def cmsCountersFromCounts(cnt: DataFrame): DataFrame = {
+    def bucketAt(r: Int): Column =
+      hash60(concat(col("term"), lit(s":cms$r"))) % CmsWidth
+    val rowBuckets = array((0 until CmsDepth).map(r =>
+      struct(lit(r).as("r"), bucketAt(r).as("bucket"))): _*)
+    cnt.select(col("cnt"), explode(rowBuckets).as("rb"))
+      .groupBy(col("rb.r").as("r"), col("rb.bucket").as("bucket"))
+      .agg(sum(col("cnt")).as("c"))
+  }
+
+  private[graft] def cmsCountersFromTokens(toks: DataFrame): DataFrame =
+    cmsCountersFromCounts(
+      toks.groupBy(col("term")).agg(count(lit(1)).as("cnt")))
+
   def q165CmsHeavyHitters(s: SparkSession, dir: String): DataFrame = {
     def bucketAt(r: Int): Column =
       hash60(concat(col("term"), lit(s":cms$r"))) % CmsWidth
@@ -974,10 +994,7 @@ object CorpusStats {
       .select(explode(words(col("text"))).as("term"))
       .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
 
-    val counters = cnt
-      .select(col("cnt"), explode(rowBuckets).as("rb"))
-      .groupBy(col("rb.r").as("r"), col("rb.bucket").as("bucket"))
-      .agg(sum(col("cnt")).as("c"))
+    val counters = cmsCountersFromCounts(cnt)
 
     // Tracked-set selection carries the term STRING through an
     // orderBy.limit (TakeOrderedAndProject — a bounded distributed heap

@@ -349,4 +349,54 @@ class StreamingSpec extends SparkTestBase {
     assert(math.abs(rows.last.getAs[Double]("cum_share") - 1.0) < 1e-6,
       "the cumulative share must close at 1")
   }
+
+  test("streaming CMS drain: per-batch sketches merged across a stream equal the batch sketch exactly") {
+    // q169 proved merge-linearity batch-side (per-source sketches); this
+    // drives the SAME counter builder from the streaming surface the
+    // sketch is designed for: each micro-batch folds its own d*w counter
+    // table into a running merged state by pure addition, and after the
+    // drain the merged state equals the one-shot batch sketch of the
+    // whole corpus EXACTLY -- counters are linear, so the micro-batch
+    // decomposition (like q169's source decomposition) cannot change a
+    // single counter.
+    import graft.queries.CorpusStats
+    implicit val sq = spark.sqlContext
+    import sq.implicits._
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(docs.length > 10, "fixture corpus must be non-trivial")
+    val in = MemoryStream[(Long, String)]
+    // merged state: (r, bucket) -> counter, folded by foreachBatch --
+    // the d*w frame is <= CmsDepth*CmsWidth = 768 rows by construction,
+    // so the per-batch collect is bounded no matter the corpus size
+    val state = scala.collection.mutable.Map.empty[(Int, Long), Long]
+    var batches = 0
+    val q = in.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val toks = batch.select(explode(split(trim(col("text")), "\\s+")).as("term"))
+        CorpusStats.cmsCountersFromTokens(toks).collect().foreach { r =>
+          val k = (r.getAs[Int]("r"), r.getAs[Long]("bucket"))
+          state(k) = state.getOrElse(k, 0L) + r.getAs[Long]("c")
+        }
+        batches += 1
+      }
+      .outputMode(OutputMode.Update).start()
+    try {
+      // three uneven ingest batches (split by doc_id mod 3)
+      (0 until 3).foreach { g =>
+        in.addData(docs.filter(_._1 % 3 == g).toSeq)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    assert(batches >= 3, s"expected >= 3 micro-batches, got $batches")
+    val batchSketch = CorpusStats.cmsCountersFromTokens(
+        Tables.documents(spark, sf)
+          .select(explode(split(trim(col("text")), "\\s+")).as("term")))
+      .collect()
+      .map(r => (r.getAs[Int]("r"), r.getAs[Long]("bucket")) -> r.getAs[Long]("c"))
+      .toMap
+    assert(state.toMap === batchSketch,
+      "stream-merged CMS counters diverged from the batch sketch")
+  }
 }

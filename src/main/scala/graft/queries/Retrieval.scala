@@ -395,8 +395,8 @@ object Retrieval {
       .agg(topKPairs(col("sim"), col("vec_id"), HybridDepth).as("top"))
       .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "t")))
       .select(col("query_id"), col("t.id").as("doc_id"),
-        (col("pos") + 1).cast("long").as("rnk"))
-    (lex.select(col("query_id"), col("doc_id"), col("rnk")), sem)
+        (col("pos") + 1).cast("long").as("rnk"), col("t.score").as("score"))
+    (lex.select(col("query_id"), col("doc_id"), col("rnk"), col("score")), sem)
   }
 
   /** q170: HYBRID lexical ⊕ semantic retrieval via reciprocal-rank fusion
@@ -421,11 +421,18 @@ object Retrieval {
     fuseRrf(lex, sem)
   }
 
-  val q170Sql: String = {
+  /** The CTE body shared by the three hybrid-retrieval oracles
+    * (q170/q171/q172): corpus index, query workload, per-query term
+    * selection, BM25 scoring, the two rank lists (each carrying its raw
+    * score for q171's normalization), and the RRF fusion — ONE text, so
+    * the metric and weighted-fusion oracles can never drift from the
+    * fusion oracle's arithmetic.
+    */
+  private def hybridCtes: String = {
     def fold(a: String, b: String): String =
       s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
          |     list_transform(range(1, ${Similarity.AnnDims + 1}), i -> $a[i] * $b[i])), (x, y) -> x + y)""".stripMargin
-    s"""WITH d AS (
+    s"""d AS (
        |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ww FROM documents),
        |tok AS (SELECT doc_id, unnest(ww) AS term FROM d),
        |wc AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2),
@@ -455,7 +462,7 @@ object Retrieval {
        |perdoc AS (
        |  SELECT query_id, doc_id, SUM(s_term) AS score_dec FROM scored GROUP BY 1, 2),
        |lex AS (
-       |  SELECT query_id, doc_id,
+       |  SELECT query_id, doc_id, CAST(score_dec AS DOUBLE) AS score,
        |   row_number() OVER (PARTITION BY query_id
        |     ORDER BY CAST(score_dec AS DOUBLE) DESC, doc_id) AS rnk
        |  FROM perdoc),
@@ -473,7 +480,7 @@ object Retrieval {
        |  FROM q JOIN n a ON a.vec_id = q.query_id
        |  JOIN n b ON b.vec_id <> q.query_id),
        |sem AS (
-       |  SELECT query_id, doc_id,
+       |  SELECT query_id, doc_id, sim AS score,
        |   row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, doc_id) AS rnk
        |  FROM sem0),
        |u AS (
@@ -490,10 +497,205 @@ object Retrieval {
        |  SELECT query_id, doc_id, rrf_dec, lex_rnk, sem_rnk,
        |   row_number() OVER (PARTITION BY query_id
        |     ORDER BY rrf_dec DESC, doc_id) AS rnk
-       |  FROM fused)
+       |  FROM fused)""".stripMargin
+  }
+
+  val q170Sql: String =
+    s"""WITH $hybridCtes
        |SELECT query_id, CAST(rnk AS BIGINT) AS rnk, doc_id,
        | CAST(rrf_dec AS DOUBLE) AS rrf_score,
        | CAST(lex_rnk AS BIGINT) AS lex_rnk, CAST(sem_rnk AS BIGINT) AS sem_rnk
        |FROM r WHERE rnk <= $HybridTopK ORDER BY query_id, rnk""".stripMargin
+
+  // ---------------------------------------------------------------- q171
+
+  /** Lexical weight of the weighted fusion, in TENTHS (6 ⇒ 0.6). Integer
+    * tenths keep the fused score exact DECIMAL arithmetic: the emitted
+    * `w_score` is 10× the convex combination 0.6·z_lex + 0.4·z_sem — a
+    * monotone transform, so the RANKING is identical and no cross-engine
+    * division ever happens. */
+  val LexWeightTenths = 6
+
+  /** Semantic weight in tenths (4 ⇒ 0.4). */
+  val SemWeightTenths = 4
+
+  /** The WEIGHTED-SCORE fusion core (CombSUM with min–max normalization,
+    * Fox & Shaw TREC-2; the other canonical fusion next to q170's RRF):
+    * each ranker's top-[[HybridDepth]] scores are min–max normalized to
+    * [0, 1] WITHIN the query (z = (s − min)/(max − min), 6dp; a
+    * degenerate constant list normalizes to 1.0), absent documents
+    * contribute 0, and the fused score is the weight-in-tenths
+    * combination [[LexWeightTenths]]·z_lex + [[SemWeightTenths]]·z_sem
+    * summed as DECIMAL(18,6) — exact in both engines. Unlike RRF this
+    * uses the score GAPS, not just the order: a runaway best match pulls
+    * ahead even when the rank pattern ties. Same bounded shapes as
+    * [[fuseRrf]]: per-query windows over ≤ depth rows, never
+    * corpus-sized.
+    */
+  private[graft] def weightedFuse(lex: DataFrame, sem: DataFrame): DataFrame = {
+    def normalized(df: DataFrame, src: String): DataFrame = {
+      val wN = Window.partitionBy(col("query_id"))
+      df.withColumn("mn", min(col("score")).over(wN))
+        .withColumn("mx", max(col("score")).over(wN))
+        .withColumn("z", when(col("mx") > col("mn"),
+          round((col("score") - col("mn")) / (col("mx") - col("mn")), 6))
+          .otherwise(lit(1.0)))
+        .select(col("query_id"), col("doc_id"), col("rnk"), lit(src).as("src"),
+          col("z").cast("decimal(18,6)").as("zc"))
+    }
+    val u = normalized(lex, "lex").unionByName(normalized(sem, "sem"))
+    val wf = u.groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(when(col("src") === "lex", col("zc") * lit(LexWeightTenths))
+          .otherwise(col("zc") * lit(SemWeightTenths))).as("w_dec"),
+        coalesce(max(when(col("src") === "lex", col("rnk"))), lit(0L)).as("lex_rnk"),
+        coalesce(max(when(col("src") === "sem", col("rnk"))), lit(0L)).as("sem_rnk"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("w_dec").desc, col("doc_id").asc)
+    wf.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= HybridTopK)
+      .select(col("query_id"), col("rnk"), col("doc_id"),
+        col("w_dec").cast("double").as("w_score"),
+        col("lex_rnk"), col("sem_rnk"))
+      .orderBy(col("query_id"), col("rnk"))
   }
+
+  /** q171: HYBRID retrieval via WEIGHTED-SCORE fusion — the score-aware
+    * complement of q170 (same legs, same workload, same output shape;
+    * [[weightedFuse]] for the semantics). Shipping BOTH fusion methods is
+    * the point: RRF is rank-robust (immune to score-scale mismatch),
+    * CombSUM is gap-sensitive (rewards decisive matches) — a pipeline
+    * A/Bs them with q172's metrics and picks per corpus.
+    */
+  def q171HybridWeighted(s: SparkSession, dir: String): DataFrame = {
+    val queryIds = embeddings(s, dir).select(col("vec_id").as("query_id"))
+      .orderBy(col("query_id")).limit(HybridQueries)
+    val (lex, sem) = hybridParts(s, dir, queryIds)
+    weightedFuse(lex, sem)
+  }
+
+  val q171Sql: String =
+    s"""WITH $hybridCtes,
+       |lexn AS (
+       |  SELECT query_id, doc_id, rnk, score,
+       |   MIN(score) OVER (PARTITION BY query_id) AS mn,
+       |   MAX(score) OVER (PARTITION BY query_id) AS mx
+       |  FROM lex WHERE rnk <= $HybridDepth),
+       |semn AS (
+       |  SELECT query_id, doc_id, rnk, score,
+       |   MIN(score) OVER (PARTITION BY query_id) AS mn,
+       |   MAX(score) OVER (PARTITION BY query_id) AS mx
+       |  FROM sem WHERE rnk <= $HybridDepth),
+       |un AS (
+       |  SELECT query_id, doc_id, rnk, 'lex' AS src,
+       |   CASE WHEN mx > mn THEN ROUND((score - mn) / (mx - mn), 6)
+       |        ELSE 1.0 END AS z
+       |  FROM lexn
+       |  UNION ALL
+       |  SELECT query_id, doc_id, rnk, 'sem',
+       |   CASE WHEN mx > mn THEN ROUND((score - mn) / (mx - mn), 6)
+       |        ELSE 1.0 END
+       |  FROM semn),
+       |wf AS (
+       |  SELECT query_id, doc_id,
+       |   SUM(CASE WHEN src = 'lex' THEN $LexWeightTenths ELSE $SemWeightTenths END
+       |       * CAST(z AS DECIMAL(18,6))) AS w_dec,
+       |   COALESCE(MAX(CASE WHEN src = 'lex' THEN rnk END), 0) AS lex_rnk,
+       |   COALESCE(MAX(CASE WHEN src = 'sem' THEN rnk END), 0) AS sem_rnk
+       |  FROM un GROUP BY 1, 2),
+       |wr AS (
+       |  SELECT query_id, doc_id, w_dec, lex_rnk, sem_rnk,
+       |   row_number() OVER (PARTITION BY query_id
+       |     ORDER BY w_dec DESC, doc_id) AS rnk
+       |  FROM wf)
+       |SELECT query_id, CAST(rnk AS BIGINT) AS rnk, doc_id,
+       | CAST(w_dec AS DOUBLE) AS w_score,
+       | CAST(lex_rnk AS BIGINT) AS lex_rnk, CAST(sem_rnk AS BIGINT) AS sem_rnk
+       |FROM wr WHERE rnk <= $HybridTopK ORDER BY query_id, rnk""".stripMargin
+
+  // ---------------------------------------------------------------- q172
+
+  /** Cutoff for the retrieval-quality metrics. */
+  val MetricK = 10
+
+  /** q172: RETRIEVAL QUALITY METRICS — the eval harness that closes the
+    * retrieval family's loop: for each query and each of the three
+    * rankers (`lex` BM25, `sem` exact cosine, `rrf` q170's fusion), the
+    * top-[[MetricK]] list is judged against a LABELED relevance set —
+    * the embeddings table's `label` column, the corpus's own class
+    * structure: a document is relevant to a query iff it shares the
+    * query document's label (the standard labeled-eval-set protocol).
+    * Emitted per (method, query): list size, relevant-universe size,
+    * hits@k, precision@k (hits/[[MetricK]]), and MRR (1/rank of the
+    * first relevant hit, 0 if none) — the numbers a pipeline reads to
+    * CHOOSE a fusion method (pair with q171's A/B) or tune depth.
+    *
+    * Scale shape: the relevance set is (queries × class size) rows built
+    * by ONE broadcast label join — never a corpus self-join; rank lists
+    * are ≤ 3·k·|Q| rows; every metric is a grouped integer aggregate.
+    * All arithmetic is integer counts and two 6dp-rounded divisions —
+    * hash-exact in both engines.
+    */
+  def q172RetrievalMetrics(s: SparkSession, dir: String): DataFrame = {
+    val queryIds = embeddings(s, dir).select(col("vec_id").as("query_id"))
+      .orderBy(col("query_id")).limit(HybridQueries)
+    val (lex, sem) = hybridParts(s, dir, queryIds)
+    val fused = fuseRrf(lex, sem)
+    val lists = lex.filter(col("rnk") <= MetricK)
+      .select(col("query_id"), col("doc_id"), col("rnk"), lit("lex").as("method"))
+      .unionByName(sem.filter(col("rnk") <= MetricK)
+        .select(col("query_id"), col("doc_id"), col("rnk"), lit("sem").as("method")))
+      .unionByName(fused.filter(col("rnk") <= MetricK)
+        .select(col("query_id"), col("doc_id"), col("rnk"), lit("rrf").as("method")))
+    val e = embeddings(s, dir).select(col("vec_id"), col("label"))
+    val qlab = e.join(broadcast(queryIds), col("vec_id") === col("query_id"))
+      .groupBy(col("query_id")).agg(first(col("label")).as("label"))
+    val rel = e.join(broadcast(qlab), Seq("label"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("doc_id"), lit(1L).as("is_rel"))
+    val nrel = rel.groupBy(col("query_id")).agg(count(lit(1)).as("n_relevant"))
+    lists.join(rel, Seq("query_id", "doc_id"), "left")
+      .groupBy(col("method"), col("query_id"))
+      .agg(count(lit(1)).as("n_ranked"),
+        coalesce(sum(col("is_rel")), lit(0L)).as("hits_at_k"),
+        min(when(col("is_rel") === 1L, col("rnk"))).as("first_rel"))
+      .join(nrel, Seq("query_id"), "left")
+      .select(col("method"), col("query_id"), col("n_ranked"),
+        coalesce(col("n_relevant"), lit(0L)).as("n_relevant"),
+        col("hits_at_k"),
+        round(col("hits_at_k").cast("double") / lit(MetricK.toDouble), 6)
+          .as("precision_at_k"),
+        round(coalesce(lit(1.0) / col("first_rel").cast("double"), lit(0.0)), 6)
+          .as("mrr"))
+      .orderBy(col("method"), col("query_id"))
+  }
+
+  val q172Sql: String =
+    s"""WITH $hybridCtes,
+       |lists AS (
+       |  SELECT 'lex' AS method, query_id, doc_id, rnk FROM lex WHERE rnk <= $MetricK
+       |  UNION ALL
+       |  SELECT 'sem', query_id, doc_id, rnk FROM sem WHERE rnk <= $MetricK
+       |  UNION ALL
+       |  SELECT 'rrf', query_id, doc_id, rnk FROM r WHERE rnk <= $MetricK),
+       |qlab AS (
+       |  SELECT q.query_id, e2.label FROM q JOIN embeddings e2 ON e2.vec_id = q.query_id),
+       |rel AS (
+       |  SELECT ql.query_id, e2.vec_id AS doc_id
+       |  FROM qlab ql JOIN embeddings e2
+       |    ON e2.label = ql.label AND e2.vec_id <> ql.query_id),
+       |nrel AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_relevant FROM rel GROUP BY 1),
+       |m AS (
+       |  SELECT l.method, l.query_id,
+       |   CAST(count(*) AS BIGINT) AS n_ranked,
+       |   CAST(COALESCE(SUM(CASE WHEN rel.doc_id IS NOT NULL THEN 1 END), 0) AS BIGINT) AS hits_at_k,
+       |   MIN(CASE WHEN rel.doc_id IS NOT NULL THEN l.rnk END) AS first_rel
+       |  FROM lists l LEFT JOIN rel
+       |    ON rel.query_id = l.query_id AND rel.doc_id = l.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT m.method, m.query_id AS query_id, m.n_ranked,
+       | COALESCE(nrel.n_relevant, 0) AS n_relevant, m.hits_at_k,
+       | ROUND(CAST(m.hits_at_k AS DOUBLE) / $MetricK, 6) AS precision_at_k,
+       | ROUND(COALESCE(1.0 / CAST(m.first_rel AS DOUBLE), 0.0), 6) AS mrr
+       |FROM m LEFT JOIN nrel ON nrel.query_id = m.query_id
+       |ORDER BY m.method, m.query_id""".stripMargin
 }

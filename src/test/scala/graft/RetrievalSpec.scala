@@ -182,4 +182,90 @@ class RetrievalSpec extends SparkTestBase {
     assert(rows.exists(r => r.getAs[Long]("lex_rnk") > 0 && r.getAs[Long]("sem_rnk") === 0L))
     assert(rows.exists(r => r.getAs[Long]("sem_rnk") > 0 && r.getAs[Long]("lex_rnk") === 0L))
   }
+
+  test("weightedFuse: min-max normalization and weighting equal hand arithmetic on a known fixture") {
+    import spark.implicits._
+    // query 1 lex scores: 10 -> z=1.0, 20 -> z=0.0; sem: 30 -> z=1.0,
+    // 10 -> z=0.0. doc 10: 6*1.0 + 4*0.0 = 6.0; doc 30: 4*1.0 = 4.0;
+    // doc 20: 6*0.0 = 0.0. A degenerate single-entry list normalizes to 1.
+    val lex = Seq((1L, 10L, 1L, 5.0), (1L, 20L, 2L, 3.0),
+      (2L, 40L, 1L, 7.5)).toDF("query_id", "doc_id", "rnk", "score")
+    val sem = Seq((1L, 30L, 1L, 0.9), (1L, 10L, 2L, 0.4)).toDF("query_id", "doc_id", "rnk", "score")
+    val got = Retrieval.weightedFuse(lex, sem).collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    val expected = Seq(
+      (1L, 1L, 10L, 6.0, 1L, 2L),
+      (1L, 2L, 30L, 4.0, 0L, 1L),
+      (1L, 3L, 20L, 0.0, 2L, 0L),
+      (2L, 1L, 40L, 6.0, 1L, 0L)) // single-entry list: z = 1.0 -> 6*1
+    assert(got === expected)
+  }
+
+  test("q171: registered weighted fusion equals a plain-Scala CombSUM replay of its own rank lists") {
+    val queryIds = Tables.embeddings(spark, sf).select(col("vec_id").as("query_id"))
+      .orderBy(col("query_id")).limit(HybridQueries)
+    val (lexDf, semDf) = Retrieval.hybridParts(spark, sf, queryIds)
+    def scored(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Long, Double)] =
+      df.collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("rnk"), r.getAs[Double]("score"))).toSeq
+    def norm(side: Seq[(Long, Long, Long, Double)]): Map[(Long, Long), (Long, BigDecimal)] =
+      side.groupBy(_._1).flatMap { case (q, g) =>
+        val (mn, mx) = (g.map(_._4).min, g.map(_._4).max)
+        g.map { case (_, d, rk, sc) =>
+          val z = if (mx > mn) round6((sc - mn) / (mx - mn)) else 1.0
+          (q, d) -> (rk, BigDecimal(z).setScale(6, RoundingMode.HALF_UP))
+        }
+      }
+    val ln = norm(scored(lexDf)); val sn = norm(scored(semDf))
+    val expected = (ln.keySet ++ sn.keySet).toSeq.map { case (q, d) =>
+      val w = ln.get((q, d)).map(_._2 * LexWeightTenths).getOrElse(BigDecimal(0)) +
+        sn.get((q, d)).map(_._2 * SemWeightTenths).getOrElse(BigDecimal(0))
+      (q, d, w, ln.get((q, d)).map(_._1).getOrElse(0L), sn.get((q, d)).map(_._1).getOrElse(0L))
+    }.groupBy(_._1).toSeq.flatMap { case (q, g) =>
+      g.sortBy { case (_, d, w, _, _) => (-w, d) }.take(HybridTopK).zipWithIndex
+        .map { case ((_, d, w, lr, sr), i) => (q, i + 1L, d, w.toDouble, lr, sr) }
+    }.sortBy(r => (r._1, r._2))
+    val got = Retrieval.q171HybridWeighted(spark, sf).collect().map(r =>
+      (r.getAs[Long]("query_id"), r.getAs[Long]("rnk"), r.getAs[Long]("doc_id"),
+        r.getAs[Double]("w_score"), r.getAs[Long]("lex_rnk"),
+        r.getAs[Long]("sem_rnk"))).toSeq
+    assert(got === expected)
+  }
+
+  test("q172: metrics equal a plain-Scala judge of the rank lists against the label classes") {
+    val queryIds = Tables.embeddings(spark, sf).select(col("vec_id").as("query_id"))
+      .orderBy(col("query_id")).limit(HybridQueries)
+    val (lexDf, semDf) = Retrieval.hybridParts(spark, sf, queryIds)
+    def ranks(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Long)] =
+      df.collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("rnk"))).toSeq
+    val lists = Map(
+      "lex" -> ranks(lexDf).filter(_._3 <= MetricK),
+      "sem" -> ranks(semDf).filter(_._3 <= MetricK),
+      "rrf" -> ranks(Retrieval.fuseRrf(lexDf, semDf)).filter(_._3 <= MetricK))
+    val labels = Tables.embeddings(spark, sf).select(col("vec_id"), col("label"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val qids = queryIds.collect().map(_.getLong(0)).toSeq
+    val rel = qids.map(q => q ->
+      labels.keySet.filter(v => v != q && labels(v) == labels(q))).toMap
+    val expected = lists.toSeq.flatMap { case (m, l) =>
+      l.groupBy(_._1).toSeq.map { case (q, g) =>
+        val hits = g.count(x => rel(q).contains(x._2)).toLong
+        val first = g.filter(x => rel(q).contains(x._2)).map(_._3).sorted.headOption
+        (m, q, g.size.toLong, rel(q).size.toLong, hits,
+          round6(hits.toDouble / MetricK),
+          first.map(f => round6(1.0 / f)).getOrElse(0.0))
+      }
+    }.sortBy(r => (r._1, r._2))
+    val got = Retrieval.q172RetrievalMetrics(spark, sf).collect().map(r =>
+      (r.getAs[String]("method"), r.getAs[Long]("query_id"), r.getAs[Long]("n_ranked"),
+        r.getAs[Long]("n_relevant"), r.getAs[Long]("hits_at_k"),
+        r.getAs[Double]("precision_at_k"), r.getAs[Double]("mrr"))).toSeq
+    assert(got === expected)
+    // the metric must be non-degenerate on the fixture: somebody finds
+    // something relevant, and not everybody is perfect
+    assert(got.exists(_._5 > 0), "no ranker found any relevant doc - eval set degenerate")
+    assert(got.exists(_._5 < MetricK), "every list perfect - eval set degenerate")
+  }
 }

@@ -1125,8 +1125,9 @@ object Similarity {
     * centroid CTE `cents` — the SQL twin of [[assignToCells]]; shared by
     * q101's unrolled training and q155's candidate counting. Assumes a
     * CTE `n` (vec_id, v, norm) is in scope. */
-  private def sqlAssignCte(name: String, cents: String): String =
-    s"""$name AS (
+  private def sqlAssignCte(name: String, cents: String,
+      materialized: Boolean = false): String =
+    s"""$name AS ${if (materialized) "MATERIALIZED " else ""}(
        |  SELECT vec_id, v, norm, cell FROM (
        |    SELECT n.vec_id, n.v, n.norm, c.c_id AS cell,
        |     row_number() OVER (PARTITION BY n.vec_id ORDER BY
@@ -2109,14 +2110,14 @@ object Similarity {
          |        i -> ($a[i] - $b[i]) * ($a[i] - $b[i]))), (x, y) -> x + y)""".stripMargin
     s"""WITH $sqlVecHeadCtes,
        |nv AS (SELECT CAST(count(*) AS BIGINT) AS n_vec FROM e),
-       |ex AS (SELECT vec_id, neighbor_id FROM ($q25Sql) x25 WHERE rnk <= 3),
+       |ex AS MATERIALIZED (SELECT vec_id, neighbor_id FROM ($q25Sql) x25 WHERE rnk <= 3),
        |lshp AS (SELECT vec_id, neighbor_id FROM ($q26Sql) x26),
        |mpp AS (SELECT vec_id, neighbor_id FROM ($q160Sql) x160),
        |ivfp AS (SELECT vec_id, neighbor_id FROM ($q39Sql) x39),
        |trp AS (SELECT vec_id, neighbor_id FROM ($q101Sql) x101),
        |pqp AS (SELECT q_id AS vec_id, neighbor_id FROM ($q109Sql) x109),
        |pqvp AS (SELECT q_id AS vec_id, neighbor_id FROM ($q163Sql) x163),
-       |sg AS (
+       |sg155 AS MATERIALIZED (
        |  SELECT vec_id,
        |   CAST(list_sum(list_transform(range(0, $AnnPlanes), p ->
        |     CASE WHEN list_reduce(list_prepend(CAST(0 AS DOUBLE),
@@ -2124,11 +2125,11 @@ object Similarity {
        |              CAST((($planes)[p + 1])[i] AS DOUBLE) * v[i])), (x, y) -> x + y) > 0
        |     THEN (CAST(1 AS BIGINT) << p) ELSE 0 END)) AS BIGINT) AS bucket
        |  FROM n),
-       |${sqlAssignCte("sa", "c0")},
+       |${sqlAssignCte("sa", "c0", materialized = true)},
        |$sqlTrainedRoundsCtes,
        |${sqlAssignCte("af", s"c$TrainRounds")},
        |qs AS (SELECT vec_id FROM e ORDER BY vec_id LIMIT $PqQueries),
-       |pqx AS (
+       |pqx AS MATERIALIZED (
        |  SELECT vec_id, neighbor_id FROM (
        |    SELECT q.vec_id AS vec_id, b.vec_id AS neighbor_id,
        |     row_number() OVER (PARTITION BY q.vec_id ORDER BY
@@ -2136,8 +2137,8 @@ object Similarity {
        |    FROM n q JOIN n b ON b.vec_id <> q.vec_id
        |    WHERE q.vec_id IN (SELECT vec_id FROM qs)) zx WHERE rnk <= $PqTopK),
        |lshc AS (SELECT CAST(COALESCE(SUM(c * (c - 1)), 0) AS BIGINT) AS cands
-       |         FROM (SELECT count(*) AS c FROM sg GROUP BY bucket) zb),
-       |hb AS (SELECT bucket, CAST(count(*) AS BIGINT) AS c FROM sg GROUP BY 1),
+       |         FROM (SELECT count(*) AS c FROM sg155 GROUP BY bucket) zb),
+       |hb AS (SELECT bucket, CAST(count(*) AS BIGINT) AS c FROM sg155 GROUP BY 1),
        |hp AS (
        |  SELECT CASE WHEN i = 0 THEN bucket
        |              ELSE xor(bucket, CAST(1 AS BIGINT) << (i - 1)) END AS probe, c

@@ -32,6 +32,29 @@ class SimilaritySpec extends SparkTestBase {
       Similarity.q40EmbeddingNearDup(spark, sf).collect().toSeq)
   }
 
+  test("blocked brute core: the block decomposition covers every unordered pair exactly once") {
+    // The coverage theorem behind bruteNearDupBlocked, tested exhaustively:
+    // with the threshold lowered below any cosine (-2), the blocked join
+    // must emit EXACTLY the n(n-1)/2 unordered pairs -- no pair lost to a
+    // mis-keyed bucket, none duplicated by the diagonal, across several
+    // n/block geometries (n mod B = 0 and != 0; the id space is the
+    // fixture's, so blocks are uneven when 500 % 8 != 0... 500 % 8 = 4).
+    import org.apache.spark.sql.functions._
+    val e = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+      .withColumn("norm", sqrt(graft.functions.DotFold.dotFold(col("v"), col("v"))))
+    for (n <- Seq(64L, 65L, 500L)) {
+      val sub = e.filter(col("vec_id") < n)
+      val pairs = Similarity.bruteNearDupBlocked(sub, n, -2.0)
+        .select(col("keep_id"), col("drop_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      assert(pairs.length === (n * (n - 1) / 2).toInt,
+        s"n=$n: expected all unordered pairs exactly once")
+      assert(pairs.distinct.length === pairs.length, s"n=$n: duplicate pairs")
+      assert(pairs.forall { case (a, b) => a < b }, s"n=$n: unnormalized pair order")
+    }
+  }
+
   test("q67 banded core: every deep rung finds exactly the brute-force pair set on the fixture") {
     // r12 advice: the adaptive geometry must be recall-tested at the
     // rungs the big corpora actually use, not only the legacy p=3 —

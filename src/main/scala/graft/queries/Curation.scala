@@ -891,4 +891,78 @@ object Curation {
     s"GREATEST(CASE WHEN t_ref > 0 THEN CAST(n_ref AS DOUBLE) / t_ref ELSE 0 END, $PsiEps)"
   private def sqlCurShare: String =
     s"GREATEST(CASE WHEN t_cur > 0 THEN CAST(n_cur AS DOUBLE) / t_cur ELSE 0 END, $PsiEps)"
+
+  // ---------------------------------------------------------------- q176
+
+  /** Range buckets for the distributed skyline pass — the parallelism
+    * knob: each bucket's window sees ~n/[[ParetoBuckets]] rows.
+    */
+  val ParetoBuckets: Int = 64
+
+  /** q176: Pareto-frontier (skyline) curation selection — the documents
+    * no other document dominates on (vocabulary richness ↑, length ↓):
+    * keep doc d unless some d′ has vocab ≥ and n_chars ≤ with one strict.
+    * This is the curation trade-off primitive (Börzsönyi et al. 2001,
+    * "The Skyline Operator"): budgeted selection wants the efficient
+    * frontier of quality-per-cost, not a single weighted score (q125's
+    * knapsack picks a POINT; the skyline exposes the whole curve).
+    *
+    * Scale shape — the 2-D skyline decomposes by RANGE BUCKETS on the
+    * minimized axis: within a bucket, "dominated by a strictly-shorter
+    * doc" is a bucket-partitioned RANGE window (never an unpartitioned
+    * whole-corpus sort); across buckets, every doc in a lower bucket is
+    * strictly shorter, so the cross-bucket term is a prefix-max over the
+    * [[ParetoBuckets]]-row per-bucket max table (a bounded self-join, no
+    * window). Same-length dominance needs a strictly-richer doc — the
+    * n_chars-partitioned max. Equal (vocab, n_chars) points dominate
+    * neither way and all survive, in both engines.
+    */
+  def q176ParetoFrontier(s: SparkSession, dir: String): DataFrame = {
+    val m = documents(s, dir)
+      .select(col("doc_id"), col("n_chars"),
+        size(array_distinct(words(col("text")))).cast("long").as("vocab"))
+      .localCheckpoint(true) // read by the stats row and the bucketed pass
+    val stats = m.agg(min(col("n_chars")).as("lo"), max(col("n_chars")).as("hi"))
+    // (chars−lo)·B/(hi−lo+1): exact in doubles (numerator < 2^53, and the
+    // floor can't flip — a non-integer true quotient sits ≥ 1/(hi−lo+1)
+    // from the next integer, 7 orders above the division ulp); engine-only
+    // anyway (the oracle runs the window form, bucketing is our partition
+    // strategy, not a contract)
+    val b = m.crossJoin(broadcast(stats))
+      .withColumn("bucket", least(lit(ParetoBuckets - 1L),
+        floor((col("n_chars") - col("lo")) * ParetoBuckets
+          / (col("hi") - col("lo") + 1)).cast("long")))
+    val shorterInBucket = Window.partitionBy(col("bucket"))
+      .orderBy(col("n_chars").asc)
+      .rangeBetween(Window.unboundedPreceding, -1)
+    val sameLen = Window.partitionBy(col("n_chars"))
+    val w = b
+      .withColumn("wmax", max(col("vocab")).over(shorterInBucket))
+      .withColumn("emax", max(col("vocab")).over(sameLen))
+    val bmax = b.groupBy(col("bucket")).agg(max(col("vocab")).as("bvmax"))
+    val prefix = bmax.as("x")
+      .join(bmax.as("y"), col("x.bucket") > col("y.bucket"))
+      .groupBy(col("x.bucket").as("bucket")).agg(max(col("y.bvmax")).as("pbmax"))
+    w.join(broadcast(prefix), Seq("bucket"), "left")
+      .filter(col("vocab") === col("emax")
+        && (col("wmax").isNull || col("vocab") > col("wmax"))
+        && (col("pbmax").isNull || col("vocab") > col("pbmax")))
+      .select(col("doc_id"), col("n_chars"), col("vocab"))
+      .orderBy(col("n_chars"), col("doc_id"))
+  }
+
+  val q176Sql: String =
+    """WITH m AS (
+      |  SELECT doc_id, n_chars,
+      |   CAST(len(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS vocab
+      |  FROM documents),
+      |w AS (
+      |  SELECT doc_id, n_chars, vocab,
+      |   max(vocab) OVER (ORDER BY n_chars
+      |     RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax,
+      |   max(vocab) OVER (PARTITION BY n_chars) AS emax
+      |  FROM m)
+      |SELECT doc_id, n_chars, vocab FROM w
+      |WHERE vocab = emax AND (pmax IS NULL OR vocab > pmax)
+      |ORDER BY n_chars, doc_id""".stripMargin
 }

@@ -484,7 +484,7 @@ object Dedup {
     * already be materialized (q45 passes the checkpointed q22 memo) — both
     * union branches below read it.
     */
-  private def minLabelPropagation(pairs: DataFrame): DataFrame = {
+  private[graft] def minLabelPropagation(pairs: DataFrame): DataFrame = {
     // localCheckpoint (eager) rather than cache throughout this loop, for
     // two reasons: (a) iterative plans grow a deeper logical tree every
     // round, and Catalyst re-analyzes the whole lineage per action —

@@ -410,8 +410,19 @@ object Similarity {
     */
   val NdLshMaxRatio: Double = 0.15
 
-  /** The corpus size where q67's ladder first clears [[NdLshMaxRatio]] —
-    * the brute/banded crossover at the calibrated 0.45 threshold. Below
+  /** The corpus size where the occupancy ladder first clears
+    * [[NdLshMaxRatio]] at a given verify threshold — the brute/banded
+    * crossover, generalized (r15) so other ε-graph consumers (q173's
+    * density clustering) can run the SAME mode policy at their own radius.
+    */
+  def ndCrossoverAt(threshold: Double): Long = {
+    val p = (3 to NdMaxPlanes)
+      .find(p => ndCandidateRatio(p, ndBandsForAt(p, threshold)) <= NdLshMaxRatio)
+      .getOrElse(NdMaxPlanes)
+    NdTargetOcc << (p - 1) // the ladder steps onto rung p just above this n
+  }
+
+  /** The crossover at the calibrated 0.45 threshold (q67's bar). Below
     * it the occupancy ladder's band count is so high (θ ≈ 63° ⇒ s1 ≈
     * 0.65 ⇒ 24…2790 bands at rungs 3…14) that nearly every pair becomes
     * a candidate and brute force wins outright; the first rung that
@@ -420,12 +431,7 @@ object Similarity {
     * is far lower (q161: rung 10 prunes 98% with 19 bands) — the
     * pruning bar, not corpus size per se, is what decides the mode.
     */
-  val NdBruteCrossoverN: Long = {
-    val p = (3 to NdMaxPlanes)
-      .find(p => ndCandidateRatio(p, ndBandsFor(p)) <= NdLshMaxRatio)
-      .getOrElse(NdMaxPlanes)
-    NdTargetOcc << (p - 1) // the ladder steps onto rung p just above this n
-  }
+  val NdBruteCrossoverN: Long = ndCrossoverAt(NearDupThreshold)
 
   /** Deterministic ±1 coefficients per (band, plane, dim) — md5 parity,
     * reproducible in both engines (cf. [[PlaneCoeffs]]). Band b / plane j
@@ -567,13 +573,29 @@ object Similarity {
     * at EVERY scale; banded recall vs the exact q40 pair set stays a
     * measurement (spec-pinned per rung at the fixture).
     */
-  val q67Sql: String = {
+  val q67Sql: String =
+    s"""WITH ${ndPairsSqlCtes(NearDupThreshold, NdBruteCrossoverN)}
+       |SELECT keep_id, drop_id, sim FROM brute
+       |UNION ALL
+       |SELECT keep_id, drop_id, sim FROM banded
+       |ORDER BY keep_id, drop_id""".stripMargin
+
+  /** The mode-aware near-dup pair CTE block (everything q67Sql computes up
+    * to the `brute` and `banded` branch CTEs), parameterized on the verify
+    * threshold and its precomputed integer crossover so ε-graph consumers
+    * at other radii (q173's density clustering) rebuild the identical
+    * policy — same md5-parity plane coefficients (band/plane seeds are
+    * threshold-independent, so lower rungs stay a prefix of higher ones),
+    * same occupancy ladder, only the band counts and the verify bar move.
+    * Place inside a `WITH`; downstream CTEs read `brute`/`banded`.
+    */
+  private[graft] def ndPairsSqlCtes(threshold: Double, crossover: Long): String = {
     val ladder = (3 to NdMaxPlanes)
-      .map(p => s"(${p}, ${ndBandsFor(p)}, ${NdTargetOcc << p})").mkString(", ")
+      .map(p => s"(${p}, ${ndBandsForAt(p, threshold)}, ${NdTargetOcc << p})").mkString(", ")
     def fold(a: String, b: String): String =
       s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
          |     list_transform(range(1, ${AnnDims + 1}), i -> $a[i] * $b[i])), (x, y) -> x + y)""".stripMargin
-    s"""WITH e AS (
+    s"""e AS (
        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
        |  FROM embeddings),
        |n AS (
@@ -586,11 +608,11 @@ object Similarity {
        |  SELECT a.vec_id AS keep_id, b.vec_id AS drop_id,
        |   ROUND(${fold("a.v", "b.v")} / (a.norm * b.norm), 6) AS sim
        |  FROM n a JOIN n b ON a.vec_id < b.vec_id, cnt
-       |  WHERE c <= $NdBruteCrossoverN
-       |   AND ${fold("a.v", "b.v")} / (a.norm * b.norm) >= $NearDupThreshold),
+       |  WHERE c <= $crossover
+       |   AND ${fold("a.v", "b.v")} / (a.norm * b.norm) >= $threshold),
        |geom AS (
        |  SELECT np, nb FROM (VALUES $ladder) l(np, nb, hi), cnt
-       |  WHERE c > $NdBruteCrossoverN AND (c <= hi OR np = $NdMaxPlanes)
+       |  WHERE c > $crossover AND (c <= hi OR np = $NdMaxPlanes)
        |  ORDER BY np LIMIT 1),
        |coef AS (
        |  SELECT b, j, list(CASE WHEN CAST(concat('0x',
@@ -615,11 +637,7 @@ object Similarity {
        |  SELECT keep_id, drop_id,
        |   ROUND(${fold("ka.v", "kb.v")} / (ka.norm * kb.norm), 6) AS sim
        |  FROM cand JOIN n ka ON keep_id = ka.vec_id JOIN n kb ON drop_id = kb.vec_id
-       |  WHERE ${fold("ka.v", "kb.v")} / (ka.norm * kb.norm) >= $NearDupThreshold)
-       |SELECT keep_id, drop_id, sim FROM brute
-       |UNION ALL
-       |SELECT keep_id, drop_id, sim FROM banded
-       |ORDER BY keep_id, drop_id""".stripMargin
+       |  WHERE ${fold("ka.v", "kb.v")} / (ka.norm * kb.norm) >= $threshold)""".stripMargin
   }
 
   // ---- q161: production-threshold near-dup (the banded-beats-brute
@@ -2210,5 +2228,147 @@ object Similarity {
        | candidates_scanned,
        | ROUND(CAST(candidates_scanned AS DOUBLE) / exhaustive, 6) AS scan_frac
        |FROM rows_ ORDER BY method""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q175
+
+  /** Candidate pool per query for MMR re-ranking. */
+  val MmrCand: Int = 12
+
+  /** Diversified picks per query. */
+  val MmrK: Int = 5
+
+  /** MMR relevance weight λ. The diversity weight 1−λ is pinned as its
+    * OWN literal: computing `1 - 0.7` in floating point yields
+    * 0.30000000000000004 — a different double than the SQL literal
+    * `0.3` — and the oracle compares exact rounded scores.
+    */
+  val MmrLambda: Double = 0.7
+  val MmrComplement: Double = 0.3
+
+  /** q175: Maximal Marginal Relevance diversified top-k (Carbonell &
+    * Goldstein 1998) — the re-ranker between retrieval and consumption:
+    * from each query's top-[[MmrCand]] relevance candidates, greedily
+    * pick [[MmrK]] maximizing λ·rel(c) − (1−λ)·max_{s∈S} sim(c, s), so
+    * the final set trades relevance against redundancy (a RAG context
+    * window or a labeling batch wants coverage, not five near-copies of
+    * the best hit — the diversification the ANN/BM25 stack (q26…q170)
+    * otherwise never applies).
+    *
+    * Plan shape: candidate generation is the bounded-build scan (query
+    * rows are an ORDER BY/LIMIT take, broadcast against the corpus —
+    * q109's pattern) reduced per query by the [[graft.functions
+    * .TopKPairs]] bounded heap; the candidate×candidate sim matrix is a
+    * query-keyed equi-join bounded by [[MmrCand]]² per query; the greedy
+    * loop is [[MmrK]]−1 fixed rounds of joins over (queries × pool)-sized
+    * frames — every step is bounded by the query workload, never the
+    * corpus, so the operator scales with #queries exactly like the
+    * retrieval family it post-processes. Rank-1 score is the bare
+    * relevance (the standard MMR base case); ties break on id ascending
+    * in both engines (the heap's total order ≡ the oracle's
+    * row_number).
+    */
+  def q175MmrDiversify(s: SparkSession, dir: String): DataFrame = {
+    val e = vecs(s, dir)
+    val qs = e.orderBy(col("vec_id")).limit(PqQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("norm").as("qn"))
+    val scored = qs.join(e, col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("id"),
+        round(dot(col("qv"), col("v")) / (col("qn") * col("norm")), 6).as("rel"))
+    val cand = scored.groupBy(col("qid"))
+      .agg(topKPairs(col("rel"), col("id"), MmrCand).as("nb"))
+      .select(col("qid"), explode(col("nb")).as("nb"))
+      .select(col("qid"), col("nb.id").as("id"), col("nb.score").as("rel"))
+      .localCheckpoint(true) // read by every greedy round + the final join-back
+    val ps = cand.as("a").join(cand.as("b"),
+        col("a.qid") === col("b.qid") && col("a.id") =!= col("b.id"))
+      .select(col("a.qid").as("qid"), col("a.id").as("ca"), col("b.id").as("cb"))
+      .join(e.select(col("vec_id").as("ca"), col("v").as("va"), col("norm").as("na")), "ca")
+      .join(e.select(col("vec_id").as("cb"), col("v").as("vb"), col("norm").as("nb2")), "cb")
+      .select(col("qid"), col("ca"), col("cb"),
+        round(dot(col("va"), col("vb")) / (col("na") * col("nb2")), 6).as("sim"))
+      .localCheckpoint(true) // read by every greedy round
+    def explodeTop1(df: DataFrame, rnk: Int): DataFrame = df
+      .select(col("qid"), explode(col("p")).as("p"))
+      .select(col("qid"), col("p.id").as("id"), col("p.score").as("score"),
+        lit(rnk.toLong).as("rnk"))
+    var selected = explodeTop1(
+      cand.groupBy(col("qid")).agg(topKPairs(col("rel"), col("id"), 1).as("p")), 1)
+    for (t <- 2 to MmrK) {
+      val sel = selected.select(col("qid").as("s_qid"), col("id").as("s_id"))
+      val ms = ps.join(sel, col("qid") === col("s_qid") && col("cb") === col("s_id"))
+        .groupBy(col("qid"), col("ca").as("id")).agg(max(col("sim")).as("maxsim"))
+      val pick = cand
+        .join(selected.select(col("qid"), col("id")), Seq("qid", "id"), "left_anti")
+        .join(ms, Seq("qid", "id"))
+        .select(col("qid"), col("id"),
+          (lit(MmrLambda) * col("rel") - lit(MmrComplement) * col("maxsim")).as("score"))
+        .groupBy(col("qid")).agg(topKPairs(col("score"), col("id"), 1).as("p"))
+      selected = selected.union(explodeTop1(pick, t)).localCheckpoint(true)
+    }
+    selected.join(cand, Seq("qid", "id"))
+      .select(col("qid").as("query_id"), col("rnk"), col("id").as("vec_id"),
+        col("rel"), round(col("score"), 6).as("mmr_score"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  val q175Sql: String = {
+    def fold(a: String, b: String): String =
+      s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |     list_transform(range(1, ${AnnDims + 1}), i -> $a[i] * $b[i])), (x, y) -> x + y)""".stripMargin
+    val steps = (2 to MmrK).map { t =>
+      val sel = (1 until t).map(u => s"SELECT qid, id FROM s$u").mkString(" UNION ALL ")
+      s"""sel$t AS MATERIALIZED ($sel),
+         |ms$t AS (
+         |  SELECT p.qid, p.ca AS id, max(p.sim) AS maxsim
+         |  FROM ps p JOIN sel$t s ON s.qid = p.qid AND s.id = p.cb
+         |  GROUP BY p.qid, p.ca),
+         |s$t AS MATERIALIZED (
+         |  SELECT qid, id, rel, score FROM (
+         |    SELECT c.qid, c.id, c.rel,
+         |      $MmrLambda * c.rel - $MmrComplement * m.maxsim AS score,
+         |      row_number() OVER (PARTITION BY c.qid ORDER BY
+         |        $MmrLambda * c.rel - $MmrComplement * m.maxsim DESC, c.id) AS rn
+         |    FROM cand c JOIN ms$t m ON m.qid = c.qid AND m.id = c.id
+         |    WHERE NOT EXISTS (
+         |      SELECT 1 FROM sel$t s WHERE s.qid = c.qid AND s.id = c.id)
+         |  ) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    val out = (1 to MmrK)
+      .map(t => s"SELECT qid, $t AS rnk, id, rel, ROUND(score, 6) AS mmr_score FROM s$t")
+      .mkString(" UNION ALL ")
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |n AS (
+       |  SELECT vec_id, v,
+       |   sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |     list_transform(v, x -> x * x)), (a, b) -> a + b)) AS norm
+       |  FROM e),
+       |qs AS (SELECT vec_id AS qid, v AS qv, norm AS qn FROM n ORDER BY vec_id LIMIT $PqQueries),
+       |scored AS (
+       |  SELECT qid, n.vec_id AS id,
+       |   ROUND(${fold("qv", "n.v")} / (qn * n.norm), 6) AS rel
+       |  FROM qs JOIN n ON n.vec_id <> qs.qid),
+       |cand AS MATERIALIZED (
+       |  SELECT qid, id, rel FROM (
+       |    SELECT qid, id, rel,
+       |      row_number() OVER (PARTITION BY qid ORDER BY rel DESC, id) AS rn
+       |    FROM scored) WHERE rn <= $MmrCand),
+       |ps AS MATERIALIZED (
+       |  SELECT a.qid, a.id AS ca, b.id AS cb,
+       |   ROUND(${fold("na.v", "nb.v")} / (na.norm * nb.norm), 6) AS sim
+       |  FROM cand a JOIN cand b ON a.qid = b.qid AND a.id <> b.id
+       |  JOIN n na ON na.vec_id = a.id JOIN n nb ON nb.vec_id = b.id),
+       |s1 AS MATERIALIZED (
+       |  SELECT qid, id, rel, rel AS score FROM (
+       |    SELECT qid, id, rel,
+       |      row_number() OVER (PARTITION BY qid ORDER BY rel DESC, id) AS rn
+       |    FROM cand) WHERE rn = 1),
+       |$steps
+       |SELECT qid AS query_id, CAST(rnk AS BIGINT) AS rnk, id AS vec_id,
+       | rel, mmr_score
+       |FROM ($out)
+       |ORDER BY query_id, rnk""".stripMargin
   }
 }

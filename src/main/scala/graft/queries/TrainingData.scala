@@ -985,4 +985,89 @@ object TrainingData {
        | epoch_us(min(ts)) AS first_us, epoch_us(max(ts)) AS last_us,
        | ROUND(CAST(count(*) AS DOUBLE) / (SELECT count(*) FROM events), 6) AS share
        |FROM a GROUP BY split ORDER BY split""".stripMargin
+
+  // ---------------------------------------------------------------- q177
+
+  /** Negatives kept per positive pair, and the attempt budget they are
+    * drawn from. 8 attempts for 4 keeps: an attempt is burned only by
+    * colliding with the anchor, the positive, or an anchor-neighbor —
+    * a few rows against the corpus — so 2× budget is deep margin, and a
+    * (deterministically) exhausted pair just yields fewer negatives in
+    * BOTH engines.
+    */
+  val NegPerPair: Int = 4
+  val NegAttempts: Int = 8
+
+  /** q177: deterministic contrastive negative sampling — for every
+    * near-dup positive pair (q67's mode-aware ε-graph at the calibrated
+    * 0.45 bar), draw [[NegPerPair]] corpus negatives that are NOT
+    * ε-neighbors of the anchor: the (anchor, positive, negative) triples
+    * a contrastive embedding trainer consumes (InfoNCE-style batches),
+    * with the standard false-negative filter (drawing an actual neighbor
+    * as a "negative" poisons the loss).
+    *
+    * Sampling is hash-threshold house style (never `rand()` — map-only,
+    * reproducible under task retries, and oracle-replayable): attempt t
+    * of pair (a, p) proposes vec_id = hash60(a‖':'‖p‖':'‖t) mod n, and
+    * the first [[NegPerPair]] attempts surviving the validity filter
+    * (exists in corpus, ≠ a, ≠ p, ∉ N_ε(a)) win, in attempt order. Every
+    * step is an equi-join or a pair-partitioned window over an
+    * attempts-bounded frame (positives × [[NegAttempts]] rows); the
+    * corpus appears only as the broadcast 1-row count and the existence/
+    * neighbor probes.
+    */
+  def q177ContrastiveNegatives(s: SparkSession, dir: String): DataFrame = {
+    val pos = Similarity.q67NearDupLsh(s, dir)
+      .select(col("keep_id").as("anchor_id"), col("drop_id").as("pos_id"))
+      .localCheckpoint(true) // read by attempts and the neighbor filter
+    val edges = pos.select(col("anchor_id").as("ea"), col("pos_id").as("eb"))
+      .union(pos.select(col("pos_id").as("ea"), col("anchor_id").as("eb")))
+    val cnt = embeddings(s, dir).agg(count(lit(1)).as("c"))
+    val att = pos.crossJoin(broadcast(cnt))
+      .select(col("anchor_id"), col("pos_id"),
+        explode(sequence(lit(1), lit(NegAttempts))).as("attempt"), col("c"))
+      .withColumn("cand",
+        hash60(concat(col("anchor_id").cast("string"), lit(":"),
+          col("pos_id").cast("string"), lit(":"),
+          col("attempt").cast("string"))) % col("c"))
+    val valid = att
+      .join(embeddings(s, dir).select(col("vec_id").as("cand")), Seq("cand"), "left_semi")
+      .filter(col("cand") =!= col("anchor_id") && col("cand") =!= col("pos_id"))
+      .join(edges, col("ea") === col("anchor_id") && col("eb") === col("cand"), "left_anti")
+    valid
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("anchor_id"), col("pos_id")).orderBy(col("attempt"))))
+      .filter(col("rnk") <= NegPerPair)
+      .select(col("anchor_id"), col("pos_id"), col("cand").as("neg_id"),
+        col("attempt").cast("long").as("attempt"), col("rnk").cast("long").as("rnk"))
+      .orderBy(col("anchor_id"), col("pos_id"), col("rnk"))
+  }
+
+  val q177Sql: String =
+    s"""WITH ${Similarity.ndPairsSqlCtes(Similarity.NearDupThreshold, Similarity.NdBruteCrossoverN)},
+       |pos AS MATERIALIZED (
+       |  SELECT keep_id AS anchor_id, drop_id AS pos_id FROM brute
+       |  UNION ALL SELECT keep_id, drop_id FROM banded),
+       |edges AS (
+       |  SELECT anchor_id AS ea, pos_id AS eb FROM pos
+       |  UNION ALL SELECT pos_id, anchor_id FROM pos),
+       |att AS (
+       |  SELECT anchor_id, pos_id, t.t AS attempt,
+       |   CAST(concat('0x', substr(md5(anchor_id || ':' || pos_id || ':' || t.t), 1, 15))
+       |     AS BIGINT) % c AS cand
+       |  FROM pos, unnest(range(1, ${NegAttempts + 1})) AS t(t), cnt),
+       |valid AS (
+       |  SELECT att.anchor_id, att.pos_id, att.attempt, att.cand
+       |  FROM att JOIN embeddings ex ON ex.vec_id = att.cand
+       |  WHERE att.cand <> att.anchor_id AND att.cand <> att.pos_id
+       |   AND NOT EXISTS (
+       |    SELECT 1 FROM edges WHERE edges.ea = att.anchor_id AND edges.eb = att.cand))
+       |SELECT anchor_id, pos_id, neg_id, attempt, rnk FROM (
+       |  SELECT anchor_id, pos_id, cand AS neg_id,
+       |   CAST(attempt AS BIGINT) AS attempt,
+       |   CAST(row_number() OVER (
+       |     PARTITION BY anchor_id, pos_id ORDER BY attempt) AS BIGINT) AS rnk
+       |  FROM valid)
+       |WHERE rnk <= $NegPerPair
+       |ORDER BY anchor_id, pos_id, rnk""".stripMargin
 }

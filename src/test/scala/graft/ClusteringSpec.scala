@@ -1,0 +1,210 @@
+package graft
+
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+
+import scala.math.BigDecimal.RoundingMode
+
+import org.apache.spark.sql.functions._
+
+import graft.queries.{Clustering, Curation, Similarity, TrainingData}
+
+/** Independent plain-Scala replays of the r15 operators (q173–q177):
+  * full-contract recomputation (same sequential-fold float arithmetic,
+  * same rounding discipline) compared row-exactly against the engine,
+  * plus the structural invariants the oracle hash can't express
+  * (eigen-residual bounds, genuine diversification, dominance
+  * exhaustiveness).
+  */
+class ClusteringSpec extends SparkTestBase {
+
+  private def round6(x: Double): Double =
+    BigDecimal(x).setScale(6, RoundingMode.HALF_UP).toDouble
+
+  /** (vec_id → doubles), the same widen as [[Similarity.vecs]]. */
+  private lazy val vecs: Map[Long, Array[Double]] =
+    Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(_.toDouble).toArray)
+      .toMap
+
+  /** Sequential fold, the DotFold order. */
+  private def dot(a: Array[Double], b: Array[Double]): Double =
+    a.indices.foldLeft(0.0)((acc, i) => acc + a(i) * b(i))
+
+  private def norm(a: Array[Double]): Double = math.sqrt(dot(a, a))
+
+  private def cos(a: Long, b: Long): Double =
+    dot(vecs(a), vecs(b)) / (norm(vecs(a)) * norm(vecs(b)))
+
+  /** Unrounded-threshold ε-pairs (i < j), the q40/q67 verify semantics. */
+  private def pairsAtLeast(th: Double): Seq[(Long, Long)] = {
+    val ids = vecs.keys.toSeq.sorted
+    for {
+      i <- ids; j <- ids if i < j && cos(i, j) >= th
+    } yield (i, j)
+  }
+
+  test("q173 ≡ plain-Scala DBSCAN (roles, clusters, degrees) on the fixture") {
+    val pairs = pairsAtLeast(Clustering.DbscanEps)
+    val nbrs = (pairs ++ pairs.map(_.swap)).groupBy(_._1)
+      .map { case (k, g) => k -> g.map(_._2).toSet }
+    val deg = vecs.keys.map(id => id -> nbrs.get(id).map(_.size).getOrElse(0)).toMap
+    val minDeg = Clustering.DbscanMinPts - 1
+    val core = vecs.keys.filter(deg(_) >= minDeg).toSet
+    // union-find over core-core edges
+    val parent = scala.collection.mutable.Map(core.map(c => c -> c).toSeq: _*)
+    def find(x: Long): Long = { if (parent(x) != x) parent(x) = find(parent(x)); parent(x) }
+    for ((a, b) <- pairs if core(a) && core(b)) {
+      val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val comp = core.map(c => c -> find(c)).toMap
+    val expected = vecs.keys.toSeq.sorted.map { id =>
+      val role =
+        if (core(id)) "core"
+        else if (nbrs.get(id).exists(_.exists(core))) "border"
+        else "noise"
+      val cluster = role match {
+        case "core"   => comp(id)
+        case "border" => nbrs(id).filter(core).map(comp).min
+        case _        => -1L
+      }
+      (id, role, cluster, deg(id).toLong)
+    }
+    val got = Clustering.q173Dbscan(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got === expected)
+    // the fixture exercises all three roles and ≥ 2 clusters
+    assert(Set("core", "border", "noise").subsetOf(expected.map(_._2).toSet))
+    assert(expected.filter(_._2 == "core").map(_._3).distinct.size >= 2)
+  }
+
+  test("q174: loadings are near-eigenvectors of the replayed centered Gramian") {
+    val d = Similarity.AnnDims
+    val out = Clustering.q174PcaPower(spark, sf).collect()
+    assert(out.length === d)
+    val pc1 = out.map(_.getDouble(2)); val pc2 = out.map(_.getDouble(3))
+    val lam1 = out.head.getDouble(4); val lam2 = out.head.getDouble(5)
+    val sh1 = out.head.getDouble(6); val sh2 = out.head.getDouble(7)
+    // replayed centered Gramian (plain sums — within 1e-9 of the engine's
+    // rounded ones, dwarfed by the tolerances below)
+    val xs = vecs.values.toArray
+    val n = xs.length.toDouble
+    val mu = Array.tabulate(d)(i => xs.map(_(i)).sum / n)
+    val gc = Array.tabulate(d, d)((i, j) =>
+      xs.map(x => x(i) * x(j)).sum - n * mu(i) * mu(j))
+    def mv(m: Array[Array[Double]], v: Array[Double]): Array[Double] =
+      Array.tabulate(d)(i => (0 until d).map(j => m(i)(j) * v(j)).sum)
+    def l2(v: Array[Double]): Double = math.sqrt(v.map(x => x * x).sum)
+    // unit loadings, positive eigenvalue estimates, shares consistent.
+    // NOT asserted: λ̂1 ≥ λ̂2 — the contract is FIXED-round Rayleigh
+    // estimates, and on a near-flat spectrum the deflated iterate's
+    // quotient can exceed the first's (both undershoot their true λ;
+    // ordering of the estimates is not a theorem)
+    assert(math.abs(l2(pc1) - 1.0) < 0.01 && math.abs(l2(pc2) - 1.0) < 0.01)
+    assert(lam1 > 0.0 && lam2 > 0.0)
+    assert(sh1 > 0.0 && sh2 > 0.0 && sh1 + sh2 < 1.0)
+    val trace = (0 until d).map(i => gc(i)(i)).sum
+    assert(math.abs(sh1 - lam1 / trace) < 1e-3)
+    // eigen-residual of the FIXED-round power iterate: ‖Gc·v − λv‖ ≤ 10% λ
+    // (the corpus spectrum is near-flat, so the iterate is a Rayleigh
+    // pair, not a converged eigenpair — the contract is determinism)
+    val r1 = mv(gc, pc1).zip(pc1).map { case (w, v) => w - lam1 * v }
+    assert(l2(r1) / lam1 < 0.1, s"PC1 residual ${l2(r1) / lam1}")
+    val g2 = Array.tabulate(d, d)((i, j) => gc(i)(j) - lam1 * pc1(i) * pc1(j))
+    val r2 = mv(g2, pc2).zip(pc2).map { case (w, v) => w - lam2 * v }
+    assert(l2(r2) / lam2 < 0.1, s"PC2 residual ${l2(r2) / lam2}")
+    assert(math.abs(dot(pc1, pc2)) < 0.1)
+    // means match the replay
+    out.foreach(r => assert(math.abs(r.getDouble(1) - mu(r.getLong(0).toInt - 1)) < 1e-5))
+  }
+
+  test("q175 ≡ plain-Scala greedy MMR, and the picks genuinely diversify") {
+    val qids = vecs.keys.toSeq.sorted.take(Similarity.PqQueries)
+    val ids = vecs.keys.toSeq.sorted
+    val expected = qids.flatMap { q =>
+      val rel = ids.filter(_ != q).map(c => c -> round6(cos(q, c))).toMap
+      val cand = rel.toSeq.sortBy { case (id, r) => (-r, id) }
+        .take(Similarity.MmrCand).map(_._1)
+      val sim = (for (a <- cand; b <- cand if a != b)
+        yield (a, b) -> round6(cos(a, b))).toMap
+      var selected = Vector(cand.minBy(c => (-rel(c), c)))
+      var scores = Vector(rel(selected.head))
+      for (_ <- 2 to Similarity.MmrK) {
+        val remaining = cand.filterNot(selected.contains)
+        val best = remaining.minBy { c =>
+          val ms = selected.map(s => sim((c, s))).max
+          (-(Similarity.MmrLambda * rel(c) - Similarity.MmrComplement * ms), c)
+        }
+        val ms = selected.map(s => sim((best, s))).max
+        selected :+= best
+        scores :+= Similarity.MmrLambda * rel(best) - Similarity.MmrComplement * ms
+      }
+      selected.zipWithIndex.map { case (id, i) =>
+        (q, (i + 1).toLong, id, rel(id), round6(scores(i)))
+      }
+    }
+    val got = Similarity.q175MmrDiversify(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+      .toSeq
+    assert(got === expected)
+    // diversification is real: some query's MMR set ≠ its pure-relevance top-k
+    val pureTop = qids.map { q =>
+      val rel = ids.filter(_ != q).map(c => c -> round6(cos(q, c))).toMap
+      q -> rel.toSeq.sortBy { case (id, r) => (-r, id) }
+        .take(Similarity.MmrK).map(_._1).toSet
+    }.toMap
+    val mmrSets = expected.groupBy(_._1).map { case (q, g) => q -> g.map(_._3).toSet }
+    assert(qids.exists(q => mmrSets(q) != pureTop(q)),
+      "MMR never deviated from pure relevance — λ trade-off inert on the fixture")
+  }
+
+  test("q176 ≡ brute-force skyline; every excluded doc has a dominator") {
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("n_chars"), col("text"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        r.getString(2).trim.split("\\s+").distinct.length.toLong))
+    def dominates(a: (Long, Long, Long), b: (Long, Long, Long)): Boolean =
+      a._3 >= b._3 && a._2 <= b._2 && (a._3 > b._3 || a._2 < b._2)
+    val frontier = docs.filter(d => !docs.exists(o => dominates(o, d)))
+      .sortBy(d => (d._2, d._1)).map(d => (d._1, d._2, d._3)).toSeq
+    val got = Curation.q176ParetoFrontier(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === frontier)
+    val kept = frontier.map(_._1).toSet
+    docs.filterNot(d => kept(d._1)).foreach { d =>
+      assert(docs.exists(o => dominates(o, d)), s"doc ${d._1} excluded but undominated")
+    }
+  }
+
+  test("q177 ≡ hash-policy replay; negatives are never ε-neighbors of the anchor") {
+    val th = Similarity.NearDupThreshold
+    val pos = pairsAtLeast(th)
+    val nbrs = (pos ++ pos.map(_.swap)).groupBy(_._1)
+      .map { case (k, g) => k -> g.map(_._2).toSet }
+    val n = vecs.size.toLong
+    def h60(sngl: String): Long = {
+      val hex = MessageDigest.getInstance("MD5")
+        .digest(sngl.getBytes(StandardCharsets.UTF_8))
+        .map("%02x".format(_)).mkString.substring(0, 15)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val expected = pos.flatMap { case (a, p) =>
+      (1 to TrainingData.NegAttempts).map { t =>
+        (a, p, t.toLong, h60(s"$a:$p:$t") % n)
+      }.filter { case (_, _, _, c) =>
+        vecs.contains(c) && c != a && c != p && !nbrs(a).contains(c)
+      }.take(TrainingData.NegPerPair).zipWithIndex
+        .map { case ((_, _, t, c), i) => (a, p, c, t, (i + 1).toLong) }
+    }
+    val got = TrainingData.q177ContrastiveNegatives(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSeq
+    assert(got === expected)
+    got.foreach { case (a, _, neg, _, _) =>
+      assert(!nbrs.getOrElse(a, Set.empty).contains(neg) && neg != a)
+    }
+    assert(got.nonEmpty)
+  }
+}

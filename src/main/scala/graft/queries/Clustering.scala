@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables._
+import graft.functions.DotFold.dotFold
 
 /** Embedding-space structure discovery: density clustering (DBSCAN) over
   * the ε-similarity graph and tall-skinny PCA via a one-pass distributed
@@ -85,7 +86,19 @@ object Clustering {
     * ≥ any recorded component diameter; post-fixpoint rounds are
     * identities, so extra rounds can't diverge).
     */
-  def q173Dbscan(s: SparkSession, dir: String): DataFrame = {
+  def q173Dbscan(s: SparkSession, dir: String): DataFrame =
+    dbscanRoles(s, dir).orderBy(col("vec_id"))
+
+  /** Memoized per (session, sfDir): q173 is the canonical consumer; the
+    * cluster-quality report (q179) reads the same role table — the
+    * [[Dedup.componentLabels]] sharing pattern.
+    */
+  private val dbscanRolesMemo = Dedup.registerMemo("dbscan_roles")
+
+  private[graft] def dbscanRoles(s: SparkSession, dir: String): DataFrame =
+    Dedup.memoized(dbscanRolesMemo, s, dir)(computeDbscan(s, dir))
+
+  private def computeDbscan(s: SparkSession, dir: String): DataFrame = {
     val minDeg = DbscanMinPts - 1
     // consumed by degree count, core-pair filter, and border attachment
     val pairs = dbscanPairs(s, dir).select(col("keep_id"), col("drop_id"))
@@ -113,6 +126,22 @@ object Clustering {
         .join(propagated.select(col("doc").as("id")), Seq("id"), "left_anti")
         .select(col("id").as("doc"), col("id").as("comp")))
       .localCheckpoint(true)
+    // materialized once for its consumers (q173's dump, q179's report)
+    assembleRoles(pairs, dg, core, labels).localCheckpoint(true)
+  }
+
+  /** Role/cluster assembly shared by the batch (q173) and incremental
+    * (q178) paths — border attachment plus the final casing — so the two
+    * can never drift on what `border`/`noise`/`cluster` mean. `pairs` is
+    * the undirected ε-pair list, `dg` the (id, degree) frame over ALL
+    * vectors, `core` the core ids, `labels` (doc, comp) for every core.
+    */
+  private def assembleRoles(pairs: DataFrame, dg: DataFrame,
+      core: DataFrame, labels: DataFrame): DataFrame = {
+    val minDeg = DbscanMinPts - 1
+    val edges = pairs
+      .union(pairs.select(col("drop_id").as("keep_id"), col("keep_id").as("drop_id")))
+      .toDF("a", "b")
     // border = non-core adjacent to ≥1 core; cluster = min adjacent core's comp
     val borderAttach = edges
       .join(core.withColumnRenamed("id", "a"), Seq("a"), "left_semi")
@@ -128,7 +157,6 @@ object Clustering {
         coalesce(when(col("degree") >= minDeg, col("comp"))
           .otherwise(col("bcluster")), lit(-1L)).as("cluster"),
         col("degree"))
-      .orderBy(col("vec_id"))
   }
 
   /** Unrolled hash-min + pointer-doubling rounds over the core-core edge
@@ -155,10 +183,17 @@ object Clustering {
 
   private val DbscanOracleRounds: Int = 18
 
-  val q173Sql: String = {
+  /** The DBSCAN CTE chain (pairs → degrees → cores → unrolled
+    * propagation → border attach) at a given brute/banded crossover gate
+    * — ONE chain shared by q173 (the measured crossover), q178 (gate
+    * removed: `Long.MaxValue`, the unconditional exact graph the
+    * incremental fold maintains) and q179's quality report (which reads
+    * `dg`/`lab`/`batt` instead of the final role SELECT).
+    */
+  private def dbscanCtes(crossover: Long): String = {
     val minDeg = DbscanMinPts - 1
     val last = s"l$DbscanOracleRounds"
-    s"""WITH ${Similarity.ndPairsSqlCtes(DbscanEps, DbscanCrossover)},
+    s"""${Similarity.ndPairsSqlCtes(DbscanEps, crossover)},
        |pairs AS MATERIALIZED (
        |  SELECT keep_id, drop_id FROM brute
        |  UNION ALL SELECT keep_id, drop_id FROM banded),
@@ -183,7 +218,12 @@ object Clustering {
        |  LEFT JOIN core cb ON e.b = cb.id
        |  JOIN lab l ON l.doc = e.a
        |  WHERE cb.id IS NULL
-       |  GROUP BY e.b)
+       |  GROUP BY e.b)""".stripMargin
+  }
+
+  private def dbscanSqlAt(crossover: Long): String = {
+    val minDeg = DbscanMinPts - 1
+    s"""WITH ${dbscanCtes(crossover)}
        |SELECT dg.id AS vec_id,
        | CASE WHEN dg.degree >= $minDeg THEN 'core'
        |      WHEN batt.bcluster IS NOT NULL THEN 'border'
@@ -196,6 +236,8 @@ object Clustering {
        |LEFT JOIN batt ON dg.id = batt.id
        |ORDER BY vec_id""".stripMargin
   }
+
+  val q173Sql: String = dbscanSqlAt(DbscanCrossover)
 
   // ---------------------------------------------------------------- q174
 
@@ -361,5 +403,292 @@ object Clustering {
        | ROUND(e2.lam2 / tr.trace, 6) AS var_share2
        |FROM sm, cnt, ev1 e1, ev2 e2, tr
        |ORDER BY dim""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q178
+
+  /** The embedding-delta convention (q148's): `vec_id % 10 = 0` is the
+    * arriving batch, the rest is the stored base corpus.
+    */
+  private def isDeltaVec = col("vec_id") % 10 === 0
+
+  private val dbscanPairsMemo = Dedup.registerMemo("dbscan_base_pairs")
+  private val dbscanLabelsMemo = Dedup.registerMemo("dbscan_base_labels")
+
+  /** The stored clustering state, as DURABLE bucketed parquet tables
+    * (q102's write pattern via [[Layout.materializeBucketed]], the q168
+    * stored-index idiom): the base ε-pair list and the base core labels.
+    * Degrees and the core set derive from the read-back pair table — the
+    * base VECTORS are never re-scored.
+    */
+  private[graft] def storedDbscanPairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.memoized(dbscanPairsMemo, s, dir)(
+      Layout.materializeBucketed(s, dir, "dbscan_pairs", "keep_id") {
+        val base = Similarity.vecs(s, dir).filter(!isDeltaVec)
+        Similarity.bruteNearDupBlocked(base, base.count(), DbscanEps)
+          .select(col("keep_id"), col("drop_id"))
+      })
+
+  private[graft] def storedDbscanLabels(s: SparkSession, dir: String): DataFrame =
+    Dedup.memoized(dbscanLabelsMemo, s, dir)(
+      Layout.materializeBucketed(s, dir, "dbscan_labels", "doc") {
+        val bp = storedDbscanPairs(s, dir)
+        val bd = bp.select(col("keep_id").as("id"))
+          .union(bp.select(col("drop_id").as("id")))
+          .groupBy(col("id")).agg(count(lit(1)).as("degree"))
+        val bCore = bd.filter(col("degree") >= DbscanMinPts - 1).select(col("id"))
+          .localCheckpoint(true)
+        val cp = bp
+          .join(bCore.withColumnRenamed("id", "keep_id"), Seq("keep_id"), "left_semi")
+          .join(bCore.withColumnRenamed("id", "drop_id"), Seq("drop_id"), "left_semi")
+          .select(col("keep_id").as("doc_a"), col("drop_id").as("doc_b"))
+        val prop = Dedup.minLabelPropagation(cp)
+        prop.union(bCore
+          .join(prop.select(col("doc").as("id")), Seq("id"), "left_anti")
+          .select(col("id").as("doc"), col("id").as("comp")))
+      })
+
+  /** q178: INCREMENTAL density-clustering maintenance — fold a vector
+    * batch into the stored DBSCAN state without re-scoring the base
+    * corpus, and prove the fold changes nothing: the oracle is the
+    * from-scratch exact-ε-graph DBSCAN over base ∪ delta, so the hash
+    * compare IS the fold ≡ batch theorem (the q121/q126/q148/q168
+    * incremental-family contract, now for density clustering).
+    *
+    * Why the fold is exact — additions are MONOTONE under DBSCAN:
+    *   - the delta only ADDS edges, so degrees only grow and the core
+    *     set only gains members (no demotions to reason about);
+    *   - delta-incident pairs are a BLOCK-replicated equi-join
+    *     (delta×corpus, O(Δ·n) dot products — never the O(n²) rebuild,
+    *     and never a full-corpus broadcast);
+    *   - the only NEW core-core edges are (a) delta-incident pairs with
+    *     both endpoints core and (b) STORED base pairs re-activated by
+    *     an endpoint crossing the core bar — a semi-join of the stored
+    *     pair table against the (small) newly-core set;
+    *   - components re-converge on the CONDENSED gluing graph (new
+    *     core edges with endpoints mapped to their stored base labels):
+    *     propagation cost is bounded by the touched components, not the
+    *     corpus (q121's condensed-fold shape). Labels are class minima,
+    *     so the min over merged classes is the global component min —
+    *     identical to the batch label.
+    * Border re-attachment is one edge-keyed aggregate over the stored ∪
+    * delta pair list — the same O(E) step the batch pays, and the reason
+    * the per-increment cost is O(Δ·n + E), not O(n²).
+    *
+    * The fold maintains the EXACT ε-graph (so does the registered q173
+    * at every recorded scale — its banded mode engages only above the
+    * measured ~4.19M-vector crossover, where an incremental consumer
+    * would fold band signatures instead); the oracle pins fold ≡ batch
+    * on that graph unconditionally (its pair CTE is the brute branch
+    * with the crossover gate removed).
+    */
+  def q178DbscanIncrement(s: SparkSession, dir: String): DataFrame = {
+    val minDeg = DbscanMinPts - 1
+    val all = Similarity.vecs(s, dir)
+    // stored state: durable pair + label tables, read back
+    val stored = storedDbscanPairs(s, dir)
+    val storedLab = storedDbscanLabels(s, dir)
+    // delta-incident exact pairs: the delta rows replicate across the
+    // block axis, the corpus partitions by block — an equi-join whose
+    // per-task work is |Δ|·(n/B) dot products, bruteNearDupBlocked's
+    // geometry with one side pinned to the batch
+    val nAll = embeddings(s, dir).count()
+    val nBlocks = math.max(Similarity.NdBruteMinBlocks,
+      math.ceil(nAll.toDouble / Similarity.NdBruteBlockTarget.toDouble).toInt)
+    val dRep = all.filter(isDeltaVec)
+      .select(col("vec_id").as("d_id"), col("v").as("dv"), col("norm").as("dn"),
+        explode(sequence(lit(0), lit(nBlocks - 1))).as("blk"))
+    val aBlk = all.select(col("vec_id"), col("v"), col("norm"),
+      pmod(col("vec_id"), lit(nBlocks.toLong)).cast("int").as("blk"))
+    val deltaPairs = dRep.hint("merge").join(aBlk, Seq("blk"))
+      // delta-delta pairs meet twice (both sides replicated) — keep one
+      .filter(col("d_id") =!= col("vec_id")
+        && (col("vec_id") % 10 =!= 0 || col("d_id") < col("vec_id")))
+      .select(least(col("d_id"), col("vec_id")).as("keep_id"),
+        greatest(col("d_id"), col("vec_id")).as("drop_id"),
+        (dotFold(col("dv"), col("v")) / (col("dn") * col("norm"))).as("sim_raw"))
+      .filter(col("sim_raw") >= DbscanEps)
+      .select(col("keep_id"), col("drop_id"))
+      .localCheckpoint(true) // read by degrees, core edges, assembly
+    // updated degrees = stored-pair degrees + delta increments
+    def degOf(p: DataFrame, name: String): DataFrame =
+      p.select(col("keep_id").as("id")).union(p.select(col("drop_id").as("id")))
+        .groupBy(col("id")).agg(count(lit(1)).as(name))
+    val baseDeg = degOf(stored, "bd").localCheckpoint(true)
+    val dg = embeddings(s, dir).select(col("vec_id").as("id"))
+      .join(baseDeg, Seq("id"), "left")
+      .join(degOf(deltaPairs, "ad"), Seq("id"), "left")
+      .select(col("id"),
+        (coalesce(col("bd"), lit(0L)) + coalesce(col("ad"), lit(0L))).as("degree"))
+      .localCheckpoint(true)
+    val core = dg.filter(col("degree") >= minDeg).select(col("id"))
+      .localCheckpoint(true)
+    val newlyCore = core
+      .join(baseDeg.filter(col("bd") >= minDeg).select(col("id")), Seq("id"), "left_anti")
+      .localCheckpoint(true)
+    // stored pairs re-activated by a newly-core endpoint
+    val react = stored
+      .join(newlyCore.withColumnRenamed("id", "keep_id"), Seq("keep_id"), "left_semi")
+      .select(col("keep_id"), col("drop_id"))
+      .union(stored
+        .join(newlyCore.withColumnRenamed("id", "drop_id"), Seq("drop_id"), "left_semi")
+        .select(col("keep_id"), col("drop_id")))
+      .distinct()
+    // the condensed gluing graph: new core-core edges, endpoints mapped
+    // to their stored class labels (newly-core nodes map to themselves)
+    val newCoreEdges = deltaPairs.union(react)
+      .join(core.withColumnRenamed("id", "keep_id"), Seq("keep_id"), "left_semi")
+      .join(core.withColumnRenamed("id", "drop_id"), Seq("drop_id"), "left_semi")
+    val mapped = newCoreEdges
+      .join(storedLab.select(col("doc").as("keep_id"), col("comp").as("kc")),
+        Seq("keep_id"), "left")
+      .join(storedLab.select(col("doc").as("drop_id"), col("comp").as("dc")),
+        Seq("drop_id"), "left")
+      .select(coalesce(col("kc"), col("keep_id")).as("doc_a"),
+        coalesce(col("dc"), col("drop_id")).as("doc_b"))
+      .filter(col("doc_a") =!= col("doc_b"))
+    val fold = Dedup.minLabelPropagation(mapped)
+    // final labels: stored class label (or self) re-pointed through the fold
+    val labels = core
+      .join(storedLab.select(col("doc").as("id"), col("comp").as("b_comp")),
+        Seq("id"), "left")
+      .select(col("id"), coalesce(col("b_comp"), col("id")).as("start"))
+      .join(fold.select(col("doc").as("start"), col("comp").as("f_comp")),
+        Seq("start"), "left")
+      .select(col("id").as("doc"), coalesce(col("f_comp"), col("start")).as("comp"))
+      .localCheckpoint(true)
+    assembleRoles(stored.select(col("keep_id"), col("drop_id")).union(deltaPairs),
+      dg, core, labels)
+      .orderBy(col("vec_id"))
+  }
+
+  /** The exact-ε-graph DBSCAN oracle: q173's CTE chain with the
+    * crossover gate removed (brute branch unconditional), over the FULL
+    * corpus — the batch recompute the fold must equal.
+    */
+  val q178Sql: String = dbscanSqlAt(Long.MaxValue)
+
+  // ---------------------------------------------------------------- q179
+
+  /** q179: cluster-quality report — the clustering family's EVAL member
+    * (q155 is this for the ANN indexes, q172 for retrieval): one row per
+    * q173 cluster with membership census, centroid cohesion (mean cosine
+    * of members to their own cluster centroid), and the mean SIMPLIFIED
+    * silhouette (Hruschka et al. 2004 — a(i)/b(i) measured to cluster
+    * CENTROIDS, not all-pairs member distances: the O(n·k) form that
+    * scales where Rousseeuw's O(n²) original cannot; distances are
+    * cosine distance 1 − cos).
+    *
+    * Plan shape: membership comes from the memoized q173 role table;
+    * centroids are one (cluster, dim)-keyed aggregate (map-side
+    * partials, cells×dims exchange rows — q85's invariant); the own-
+    * centroid leg is a cluster-keyed equi-join; the other-centroid leg
+    * is members × (k−1) centroids through a broadcast of the BOUNDED
+    * centroid table — O(n·k) dot products, the declared cost of the
+    * metric itself. Per-member cosines stay raw (bit-identical
+    * sequential folds in both engines); only the per-cluster averages
+    * round — see the midpoint note at the `own` leg.
+    *
+    * Degenerate contracts, identical in both engines: a single-cluster
+    * corpus has no "nearest other centroid" — silhouette is NULL (LEFT
+    * join + null-ignoring avg); a member exactly on its centroid with a
+    * coincident other centroid would hit 0/0 — pinned to 0.
+    */
+  def q179ClusterQuality(s: SparkSession, dir: String): DataFrame = {
+    val mem = dbscanRoles(s, dir).filter(col("role") =!= "noise")
+      .select(col("vec_id"), col("cluster"),
+        when(col("role") === "core", lit(1L)).otherwise(lit(0L)).as("is_core"))
+      .join(Similarity.vecs(s, dir), Seq("vec_id"))
+      .localCheckpoint(true) // read by centroids, own-leg, other-leg
+    val cents = mem.select(col("cluster"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("cluster"), col("pos")).agg(round(avg(col("x")), 6).as("c"))
+      .groupBy(col("cluster"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+        e => e.getField("c")).as("cv"))
+      .withColumn("cnorm", sqrt(dotFold(col("cv"), col("cv"))))
+    // NOT checkpointed: the other-centroid leg broadcasts this frame into
+    // a nested-loop join, and the suite-wide boundedness guard reasons
+    // from the build side's ROOT — an aggregate (k rows) passes, a
+    // checkpoint scan would not. Recomputing the k×d aggregate for each
+    // leg is cheaper than weakening the guard.
+    // per-member cosines stay RAW: the sequential fold is bit-identical
+    // across engines, and rounding them would snap every value onto the
+    // 1e-6 grid — whose small-k cluster AVERAGES then land exactly on
+    // rounding midpoints, where Spark's shortest-string HALF_UP and
+    // DuckDB's binary-double rounding disagree (measured at sf0.1).
+    // Only the final per-cluster averages round.
+    val own = mem.join(cents, Seq("cluster"))
+      .select(col("vec_id"), col("cluster"), col("is_core"),
+        (dotFold(col("v"), col("cv")) / (col("norm") * col("cnorm")))
+          .as("cos_own"))
+    val oth = mem.join(broadcast(cents.select(col("cluster").as("o_cluster"),
+          col("cv").as("ov"), col("cnorm").as("onorm"))),
+        col("cluster") =!= col("o_cluster"))
+      .select(col("vec_id"),
+        (dotFold(col("v"), col("ov")) / (col("norm") * col("onorm")))
+          .as("cos_o"))
+      .groupBy(col("vec_id")).agg(max(col("cos_o")).as("cos_oth"))
+    val a = lit(1) - col("cos_own")
+    val b = lit(1) - col("cos_oth")
+    val sil = own.join(oth, Seq("vec_id"), "left")
+      .select(col("cluster"), col("is_core"), col("cos_own"),
+        when(col("cos_oth").isNull, lit(null).cast("double"))
+          .when(greatest(a, b) > 0, (b - a) / greatest(a, b))
+          .otherwise(lit(0.0)).as("s"))
+    sil.groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_members"),
+        sum(col("is_core")).as("n_core"),
+        (count(lit(1)) - sum(col("is_core"))).as("n_border"),
+        round(avg(col("cos_own")), 6).as("cohesion"),
+        round(avg(col("s")), 6).as("silhouette"))
+      .orderBy(col("cluster"))
+  }
+
+  val q179Sql: String = {
+    val minDeg = DbscanMinPts - 1
+    val dd = Similarity.AnnDims
+    def fold(a: String, b: String): String =
+      s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |     list_transform(range(1, ${dd + 1}), i -> $a[i] * $b[i])), (x, y) -> x + y)""".stripMargin
+    s"""WITH ${dbscanCtes(DbscanCrossover)},
+       |members AS MATERIALIZED (
+       |  SELECT dg.id AS vec_id,
+       |   CASE WHEN dg.degree >= $minDeg THEN lab.comp ELSE batt.bcluster END AS cluster,
+       |   CASE WHEN dg.degree >= $minDeg THEN 1 ELSE 0 END AS is_core
+       |  FROM dg
+       |  LEFT JOIN lab ON dg.id = lab.doc
+       |  LEFT JOIN batt ON dg.id = batt.id
+       |  WHERE dg.degree >= $minDeg OR batt.bcluster IS NOT NULL),
+       |mv AS MATERIALIZED (
+       |  SELECT m.vec_id, m.cluster, m.is_core, n.v, n.norm
+       |  FROM members m JOIN n ON n.vec_id = m.vec_id),
+       |cd AS (
+       |  SELECT cluster, t.i AS pos, ROUND(avg(v[t.i]), 6) AS c
+       |  FROM mv, unnest(range(1, ${dd + 1})) AS t(i) GROUP BY cluster, t.i),
+       |cn AS MATERIALIZED (
+       |  SELECT cluster, cv, sqrt(${fold("cv", "cv")}) AS cnorm FROM (
+       |    SELECT cluster, list(c ORDER BY pos) AS cv FROM cd GROUP BY cluster) cq),
+       |own AS (
+       |  SELECT mv.vec_id, mv.cluster, mv.is_core,
+       |   ${fold("mv.v", "cn.cv")} / (mv.norm * cn.cnorm) AS cos_own
+       |  FROM mv JOIN cn ON mv.cluster = cn.cluster),
+       |oth AS (
+       |  SELECT mv.vec_id,
+       |   max(${fold("mv.v", "cn.cv")} / (mv.norm * cn.cnorm)) AS cos_oth
+       |  FROM mv JOIN cn ON mv.cluster <> cn.cluster GROUP BY mv.vec_id),
+       |sil AS (
+       |  SELECT own.cluster, own.is_core, own.cos_own,
+       |   CASE WHEN oth.vec_id IS NULL THEN NULL
+       |        WHEN GREATEST(1 - own.cos_own, 1 - oth.cos_oth) > 0
+       |        THEN ((1 - oth.cos_oth) - (1 - own.cos_own))
+       |             / GREATEST(1 - own.cos_own, 1 - oth.cos_oth)
+       |        ELSE 0 END AS s
+       |  FROM own LEFT JOIN oth ON own.vec_id = oth.vec_id)
+       |SELECT cluster, CAST(count(*) AS BIGINT) AS n_members,
+       | CAST(sum(is_core) AS BIGINT) AS n_core,
+       | CAST(count(*) - sum(is_core) AS BIGINT) AS n_border,
+       | ROUND(avg(cos_own), 6) AS cohesion,
+       | ROUND(avg(s), 6) AS silhouette
+       |FROM sil GROUP BY cluster ORDER BY cluster""".stripMargin
   }
 }

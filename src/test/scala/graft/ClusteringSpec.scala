@@ -80,6 +80,62 @@ class ClusteringSpec extends SparkTestBase {
     assert(expected.filter(_._2 == "core").map(_._3).distinct.size >= 2)
   }
 
+  test("q178 ≡ q173 row-identical (fold ≡ batch), and the fold reads the stored pair table") {
+    val batch = Clustering.q173Dbscan(spark, sf).collect().map(_.toSeq).toSeq
+    val fold = Clustering.q178DbscanIncrement(spark, sf)
+    assert(fold.collect().map(_.toSeq).toSeq === batch)
+    // the incremental path's pair list comes from the DURABLE bucketed
+    // table, not a re-scored base corpus (checkpoint-truncated subtrees
+    // hide the labels table; the pair table feeds the final assembly
+    // directly, so it must be visible in the prepared plan)
+    val p = fold.queryExecution.executedPlan.toString
+    assert(p.contains("graft_dbscan_pairs_b"),
+      s"stored pair table scan missing from the fold plan:\n$p")
+  }
+
+  test("q179 ≡ plain-Scala centroid-silhouette replay over the q173 clustering") {
+    val roles = Clustering.q173Dbscan(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    val members = roles.filter(_._2 != "noise")
+    val byCluster = members.groupBy(_._3)
+    def round6(x: Double) = BigDecimal(x).setScale(6, RoundingMode.HALF_UP).toDouble
+    val cents = byCluster.map { case (c, ms) =>
+      val vs = ms.map(m => vecs(m._1))
+      c -> Array.tabulate(vs.head.length)(i => round6(vs.map(_(i)).sum / vs.size))
+    }
+    def cosTo(v: Array[Double], c: Array[Double]) = dot(v, c) / (norm(v) * norm(c))
+    val expected = byCluster.toSeq.sortBy(_._1).map { case (c, ms) =>
+      val cosOwn = ms.map(m => cosTo(vecs(m._1), cents(c)))
+      val sils = ms.map { m =>
+        val others = cents.filter(_._1 != c).values
+        if (others.isEmpty) Double.NaN
+        else {
+          val a = 1.0 - cosTo(vecs(m._1), cents(c))
+          val b = 1.0 - others.map(o => cosTo(vecs(m._1), o)).max
+          if (math.max(a, b) > 0) (b - a) / math.max(a, b) else 0.0
+        }
+      }.filterNot(_.isNaN)
+      (c, ms.size.toLong, ms.count(_._2 == "core").toLong,
+        ms.count(_._2 == "border").toLong,
+        round6(cosOwn.sum / cosOwn.size),
+        if (sils.isEmpty) None else Some(round6(sils.sum / sils.size)))
+    }
+    val got = Clustering.q179ClusterQuality(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), if (r.isNullAt(5)) None else Some(r.getDouble(5))))
+    assert(got.length === expected.length)
+    got.zip(expected).foreach { case (g, e) =>
+      assert((g._1, g._2, g._3, g._4) === ((e._1, e._2, e._3, e._4)))
+      // averages re-sum in a different order than the engine's partials —
+      // equal to well inside the 6dp rounding quantum
+      assert(math.abs(g._5 - e._5) < 2e-6, s"cohesion ${g._5} vs ${e._5}")
+      (g._6, e._6) match {
+        case (Some(a), Some(b)) => assert(math.abs(a - b) < 2e-6, s"silhouette $a vs $b")
+        case (a, b)             => assert(a === b)
+      }
+    }
+  }
+
   test("q174: loadings are near-eigenvectors of the replayed centered Gramian") {
     val d = Similarity.AnnDims
     val out = Clustering.q174PcaPower(spark, sf).collect()

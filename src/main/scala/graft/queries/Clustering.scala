@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables._
@@ -272,7 +272,21 @@ object Clustering {
     * (repeated) eigenvalues + explained-variance shares against the
     * centered trace.
     */
-  def q174PcaPower(s: SparkSession, dir: String): DataFrame = {
+  /** The d-bounded PCA state: per-dim means, PC1/PC2 power iterates,
+    * eigenvalue estimates, centered trace. Cached by DATA DIRECTORY (not
+    * session): the value is a deterministic function of the corpus, so
+    * cross-session reuse is sound and the d²-pass runs once per dataset
+    * per JVM (q174 reports it; q180 projects through it).
+    */
+  private[graft] case class PcaStats(mu: Array[Double], v1: Array[Double],
+      v2: Array[Double], lam1: Double, lam2: Double, trace: Double)
+
+  private val pcaCache = scala.collection.concurrent.TrieMap[String, PcaStats]()
+
+  private[graft] def pcaStats(s: SparkSession, dir: String): PcaStats =
+    pcaCache.getOrElseUpdate(dir, computePcaStats(s, dir))
+
+  private def computePcaStats(s: SparkSession, dir: String): PcaStats = {
     val d = Similarity.AnnDims
     val e = Similarity.vecs(s, dir).select(col("vec_id"), col("v"))
     // ONE distributed pass each: d² second moments and d sums. The double
@@ -312,9 +326,16 @@ object Clustering {
     val g2 = Array.tabulate(d, d)((i, j) => gc(i)(j) - lam1 * v1(i) * v1(j))
     val (v2, lam2) = powerIterate(g2)
     val trace = (0 until d).foldLeft(0.0)((acc, i) => acc + gc(i)(i))
+    PcaStats(Array.tabulate(d)(i => sArr(i) / nn), v1, v2, lam1, lam2, trace)
+  }
+
+  def q174PcaPower(s: SparkSession, dir: String): DataFrame = {
+    val st = pcaStats(s, dir)
+    val d = Similarity.AnnDims
     import s.implicits._
     (0 until d).map(i =>
-        (i + 1L, sArr(i) / nn, v1(i), v2(i), lam1, lam2, lam1 / trace, lam2 / trace))
+        (i + 1L, st.mu(i), st.v1(i), st.v2(i), st.lam1, st.lam2,
+          st.lam1 / st.trace, st.lam2 / st.trace))
       .toDF("dim", "mu_r", "pc1_r", "pc2_r", "l1", "l2", "s1", "s2")
       .select(col("dim"),
         round(col("mu_r"), 6).as("mu"),
@@ -350,14 +371,18 @@ object Clustering {
     }.mkString(",\n")
   }
 
-  val q174Sql: String = {
+  /** The full PCA CTE chain (Gramian → centered matrix → two unrolled
+    * power-iteration runs → eigen summaries) — shared by q174's report
+    * and q180's projection map.
+    */
+  private def pcaSqlCtes: String = {
     val dd = Similarity.AnnDims
     val rng = s"range(1, ${dd + 1})"
     def foldSql(terms: String): String =
       s"list_reduce(list_prepend(CAST(0 AS DOUBLE), $terms), (x, y) -> x + y)"
     def matvecSql: String =
       s"list_transform($rng, i -> ${foldSql(s"list_transform($rng, j -> m[i][j] * v[j])")})"
-    s"""WITH e AS (
+    s"""e AS (
        |  SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
        |cnt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM e),
        |xp AS (
@@ -392,7 +417,11 @@ object Clustering {
        |  FROM fin2),
        |tr AS (
        |  SELECT ${foldSql(s"list_transform($rng, i -> m[i][i])")} AS trace
-       |  FROM gm)
+       |  FROM gm)""".stripMargin
+  }
+
+  val q174Sql: String =
+    s"""WITH $pcaSqlCtes
        |SELECT CAST(sm.i AS BIGINT) AS dim,
        | ROUND(sm.s / cnt.n, 6) AS mu,
        | ROUND(e1.v1[sm.i], 6) AS pc1,
@@ -403,7 +432,6 @@ object Clustering {
        | ROUND(e2.lam2 / tr.trace, 6) AS var_share2
        |FROM sm, cnt, ev1 e1, ev2 e2, tr
        |ORDER BY dim""".stripMargin
-  }
 
   // ---------------------------------------------------------------- q178
 
@@ -690,5 +718,92 @@ object Clustering {
        | ROUND(avg(cos_own), 6) AS cohesion,
        | ROUND(avg(s), 6) AS silhouette
        |FROM sil GROUP BY cluster ORDER BY cluster""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q180
+
+  /** Cells per principal axis for the corpus map. */
+  val PcaGrid: Int = 8
+
+  /** q180: PCA corpus map — every embedding projected onto the two
+    * principal axes (q174's components) and histogrammed on a
+    * [[PcaGrid]]×[[PcaGrid]] grid, with the distinct-label census per
+    * cell: the "where does my corpus live" scatter a curation team pins
+    * on the wall, and the operator that makes q174's loadings
+    * LOAD-BEARING (a report nobody consumes is a number, not a tool).
+    * Grid cells that separate labels (n_labels = 1) are coherent
+    * regions; mixed cells are where semantic dedup and curation earn
+    * their keep.
+    *
+    * Plan shape: the projection is map-only — the centered vector and
+    * two sequential-fold dot products against PC literals broadcast from
+    * the d-bounded [[pcaStats]] (the same widen-project idiom as q61's
+    * quantization); the grid needs one 1-row min/max frame (broadcast)
+    * and one (b1, b2)-keyed aggregate. Nothing shuffles more than
+    * grid² rows per partition.
+    *
+    * Parity: projections are bit-identical across engines (the PC
+    * literals equal the oracle's CTE-recomputed iterates exactly — both
+    * are the same deterministic fixed-round iteration — and the fold
+    * order matches), so bucket edges cannot flip: the only rounding
+    * anywhere is the output's display column.
+    */
+  def q180PcaMap(s: SparkSession, dir: String): DataFrame = {
+    val st = pcaStats(s, dir)
+    val muL = typedlit(st.mu.toSeq)
+    val v1L = typedlit(st.v1.toSeq)
+    val v2L = typedlit(st.v2.toSeq)
+    val p = embeddings(s, dir)
+      .select(col("vec_id"), col("label"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .withColumn("cv", zip_with(col("v"), muL, (x, m) => x - m))
+      .select(col("label"),
+        dotFold(col("cv"), v1L).as("p1"), dotFold(col("cv"), v2L).as("p2"))
+    val ext = p.agg(min(col("p1")).as("mn1"), max(col("p1")).as("mx1"),
+      min(col("p2")).as("mn2"), max(col("p2")).as("mx2"))
+    def cell(v: Column, mn: Column, mx: Column): Column =
+      when(mx === mn, lit(0L)).otherwise(
+        least(lit(PcaGrid - 1L),
+          floor((v - mn) * PcaGrid / (mx - mn)).cast("long")))
+    p.crossJoin(broadcast(ext))
+      .select(col("label"),
+        cell(col("p1"), col("mn1"), col("mx1")).as("b1"),
+        cell(col("p2"), col("mn2"), col("mx2")).as("b2"))
+      .groupBy(col("b1"), col("b2"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("label")).as("n_labels"))
+      .orderBy(col("b1"), col("b2"))
+  }
+
+  val q180Sql: String = {
+    val dd = Similarity.AnnDims
+    val rng = s"range(1, ${dd + 1})"
+    def fold(terms: String): String =
+      s"list_reduce(list_prepend(CAST(0 AS DOUBLE), $terms), (x, y) -> x + y)"
+    def cell(v: String, mn: String, mx: String): String =
+      s"""CASE WHEN $mx = $mn THEN 0
+         |      ELSE LEAST(${PcaGrid - 1},
+         |        CAST(floor(($v - $mn) * $PcaGrid / ($mx - $mn)) AS BIGINT)) END""".stripMargin
+    s"""WITH $pcaSqlCtes,
+       |ml AS (SELECT list(sm.s / cnt.n ORDER BY sm.i) AS m FROM sm, cnt),
+       |e2 AS (
+       |  SELECT vec_id, label,
+       |   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |proj AS MATERIALIZED (
+       |  SELECT e2.label,
+       |   ${fold(s"list_transform($rng, i -> (e2.v[i] - ml.m[i]) * e1.v1[i])")} AS p1,
+       |   ${fold(s"list_transform($rng, i -> (e2.v[i] - ml.m[i]) * e2v.v2[i])")} AS p2
+       |  FROM e2, ml, ev1 e1, ev2 e2v),
+       |ext AS (
+       |  SELECT min(p1) AS mn1, max(p1) AS mx1, min(p2) AS mn2, max(p2) AS mx2
+       |  FROM proj),
+       |cells AS (
+       |  SELECT label,
+       |   ${cell("p1", "mn1", "mx1")} AS b1,
+       |   ${cell("p2", "mn2", "mx2")} AS b2
+       |  FROM proj, ext)
+       |SELECT b1, b2, CAST(count(*) AS BIGINT) AS n,
+       | CAST(count(DISTINCT label) AS BIGINT) AS n_labels
+       |FROM cells GROUP BY b1, b2 ORDER BY b1, b2""".stripMargin
   }
 }

@@ -176,6 +176,31 @@ class ClusteringSpec extends SparkTestBase {
     out.foreach(r => assert(math.abs(r.getDouble(1) - mu(r.getLong(0).toInt - 1)) < 1e-5))
   }
 
+  test("q180 ≡ plain-Scala projection/grid replay; grid covers multiple cells") {
+    val st = Clustering.pcaStats(spark, sf)
+    val labels = Tables.embeddings(spark, sf).select(col("vec_id"), col("label"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val proj = vecs.toSeq.map { case (id, v) =>
+      val cv = v.indices.map(i => v(i) - st.mu(i)).toArray
+      (labels(id), dot(cv, st.v1), dot(cv, st.v2))
+    }
+    val (mn1, mx1) = (proj.map(_._2).min, proj.map(_._2).max)
+    val (mn2, mx2) = (proj.map(_._3).min, proj.map(_._3).max)
+    def cell(v: Double, mn: Double, mx: Double): Long =
+      if (mx == mn) 0L
+      else math.min(Clustering.PcaGrid - 1L,
+        math.floor((v - mn) * Clustering.PcaGrid / (mx - mn)).toLong)
+    val expected = proj.map { case (l, p1, p2) =>
+      (cell(p1, mn1, mx1), cell(p2, mn2, mx2), l)
+    }.groupBy(t => (t._1, t._2)).toSeq
+      .map { case ((b1, b2), g) => (b1, b2, g.size.toLong, g.map(_._3).distinct.size.toLong) }
+      .sortBy(t => (t._1, t._2))
+    val got = Clustering.q180PcaMap(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got === expected)
+    assert(got.size > 1 && got.map(_._3).sum === vecs.size.toLong)
+  }
+
   test("q175 ≡ plain-Scala greedy MMR, and the picks genuinely diversify") {
     val qids = vecs.keys.toSeq.sorted.take(Similarity.PqQueries)
     val ids = vecs.keys.toSeq.sorted

@@ -1500,4 +1500,88 @@ object Dedup {
        |SELECT sz, n1, n2, MIN(m1) AS m1, MIN(m2) AS m2, MIN(dist) AS dist,
        | bool_or(by_noun) AS by_noun, bool_or(by_adj) AS by_adj
        |FROM cand GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+
+  // ---------------------------------------------------------------- q181
+
+  /** BFS rounds for the chain-depth audit — a fixed-round contract: a
+    * doc more than this many hops from its canonical reports -1 ("deep
+    * chain"), in BOTH engines. Duplicate chains glued by borderline
+    * pairs rarely exceed a handful of hops; a -1 is itself the finding.
+    */
+  val DupDepthRounds: Int = 8
+
+  /** q181: duplicate-chain depth — per near-dup-graph doc, the hop
+    * distance to its component's canonical (q45's min-id). This is the
+    * diagnostic behind q45's transitive-closure caveat: A collapses
+    * into C's cluster without ever being compared to C when a chain of
+    * borderline pairs glues them, and the HOP DEPTH is how much
+    * transitive trust the dedup decision rests on (depth 1 = directly
+    * verified against the canonical; depth 3 = three borderline links
+    * deep; -1 = deeper than [[DupDepthRounds]]). Pairs with q127's
+    * borderline-chain profile the way q94's audit pairs with q21.
+    *
+    * Plan shape: [[DupDepthRounds]] rounds of (frontier ⋈ edges →
+    * doc-keyed min) over the component node set — O(E) per round, the
+    * min-plus analogue of q45's hash-min rounds, on the SAME memoized
+    * edge list and labels, so the audit adds no new corpus scan. The
+    * oracle unrolls the identical rounds (explicit CASE min — LEAST's
+    * null semantics differ across engines, so neither side uses it).
+    */
+  def q181DupDepth(s: SparkSession, dir: String): DataFrame = {
+    val pairs = q22Cached(s, dir).select(col("doc_a"), col("doc_b"))
+    chainDepths(pairs, componentLabels(s, dir)).orderBy(col("doc"))
+  }
+
+  /** The capped min-plus BFS on an undirected pair list + (doc, comp)
+    * labels — factored so the depth-cap path (-1, and depths ≥ 2 the
+    * corpus fixtures don't exhibit) is drivable on synthetic chains in
+    * DedupSpec.
+    */
+  private[graft] def chainDepths(pairs: DataFrame, labels: DataFrame): DataFrame = {
+    val edges = pairs
+      .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .localCheckpoint(true) // read every BFS round
+    var dist = labels.select(col("doc"), col("comp"),
+        when(col("doc") === col("comp"), lit(0L))
+          .otherwise(lit(null).cast("long")).as("dist"))
+      .localCheckpoint(true)
+    for (_ <- 1 to DupDepthRounds) {
+      val nd = edges
+        .join(dist.filter(col("dist").isNotNull)
+          .select(col("doc").as("doc_a"), col("dist")), Seq("doc_a"))
+        .groupBy(col("doc_b").as("doc")).agg(min(col("dist") + 1).as("nd"))
+      dist = dist.join(nd, Seq("doc"), "left")
+        .select(col("doc"), col("comp"),
+          when(col("dist").isNull, col("nd"))
+            .when(col("nd").isNull, col("dist"))
+            .when(col("nd") < col("dist"), col("nd"))
+            .otherwise(col("dist")).as("dist"))
+        .localCheckpoint(true)
+    }
+    dist.select(col("doc"), col("comp"), coalesce(col("dist"), lit(-1L)).as("hops"))
+  }
+
+  val q181Sql: String = {
+    val rounds = (1 to DupDepthRounds).map { r =>
+      val prev = s"d${r - 1}"
+      s"""m$r AS (
+         |  SELECT e.doc_b AS doc, min(d.dist + 1) AS nd
+         |  FROM edges e JOIN $prev d ON d.doc = e.doc_a
+         |  WHERE d.dist IS NOT NULL GROUP BY e.doc_b),
+         |d$r AS MATERIALIZED (
+         |  SELECT d.doc, d.comp,
+         |   CASE WHEN d.dist IS NULL THEN m.nd
+         |        WHEN m.nd IS NULL THEN d.dist
+         |        WHEN m.nd < d.dist THEN m.nd ELSE d.dist END AS dist
+         |  FROM $prev d LEFT JOIN m$r m ON d.doc = m.doc)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH RECURSIVE $sqlComponentsCtes,
+       |d0 AS MATERIALIZED (
+       |  SELECT doc, comp,
+       |   CASE WHEN doc = comp THEN CAST(0 AS BIGINT) END AS dist
+       |  FROM labels),
+       |$rounds
+       |SELECT doc, comp, COALESCE(dist, CAST(-1 AS BIGINT)) AS hops
+       |FROM d$DupDepthRounds ORDER BY doc""".stripMargin
+  }
 }

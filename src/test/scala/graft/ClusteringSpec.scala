@@ -201,6 +201,51 @@ class ClusteringSpec extends SparkTestBase {
     assert(got.size > 1 && got.map(_._3).sum === vecs.size.toLong)
   }
 
+  test("q181 ≡ independent BFS over the validated near-dup graph") {
+    import graft.queries.Dedup
+    val pairs = Dedup.componentLabels(spark, sf) // force the memo chain
+    val edgeList = graft.queries.Dedup.q22Cached(spark, sf)
+      .select(col("doc_a"), col("doc_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val labels = pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val adj = (edgeList ++ edgeList.map(_.swap)).groupBy(_._1)
+      .map { case (k, g) => k -> g.map(_._2).toSeq }
+    // uncapped BFS from each canonical, then apply the round cap
+    val hops = scala.collection.mutable.Map[Long, Long]()
+    labels.filter { case (d, c) => d == c }.keys.foreach { seed =>
+      var frontier = Set(seed); hops(seed) = 0L; var d = 0L
+      while (frontier.nonEmpty) {
+        d += 1
+        frontier = frontier.flatMap(f => adj.getOrElse(f, Seq.empty[Long]))
+          .filterNot(x => hops.contains(x))
+        frontier.foreach(hops(_) = d)
+      }
+    }
+    val expected = labels.keys.toSeq.sorted.map { doc =>
+      val h = hops(doc)
+      (doc, labels(doc), if (h <= Dedup.DupDepthRounds) h else -1L)
+    }
+    val got = Dedup.q181DupDepth(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === expected)
+  }
+
+  test("q181 BFS core: depths beyond the round cap report -1 on a synthetic chain") {
+    import spark.implicits._
+    import graft.queries.Dedup
+    val n = 12L
+    val pairs = (1L until n).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val labels = (1L to n).map(i => (i, 1L)).toDF("doc", "comp")
+    val got = Dedup.chainDepths(pairs, labels).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toMap
+    (1L to n).foreach { d =>
+      val depth = d - 1
+      assert(got(d) === (if (depth <= Dedup.DupDepthRounds) depth else -1L),
+        s"doc $d")
+    }
+    assert(got.values.toSet.contains(-1L))
+  }
+
   test("q175 ≡ plain-Scala greedy MMR, and the picks genuinely diversify") {
     val qids = vecs.keys.toSeq.sorted.take(Similarity.PqQueries)
     val ids = vecs.keys.toSeq.sorted

@@ -2263,10 +2263,11 @@ object Similarity {
     * loop is [[MmrK]]−1 fixed rounds of joins over (queries × pool)-sized
     * frames — every step is bounded by the query workload, never the
     * corpus, so the operator scales with #queries exactly like the
-    * retrieval family it post-processes. Rank-1 score is the bare
-    * relevance (the standard MMR base case); ties break on id ascending
-    * in both engines (the heap's total order ≡ the oracle's
-    * row_number).
+    * retrieval family it post-processes. The OUTPUT score is the ×10
+    * integer-weight combination 7·rel − 3·maxsim as exact decimal
+    * (rank 1: 10·rel, the bare-relevance base case) — see the midpoint
+    * note at the output select; ties break on id ascending in both
+    * engines (the heap's total order ≡ the oracle's row_number).
     */
   def q175MmrDiversify(s: SparkSession, dir: String): DataFrame = {
     val e = vecs(s, dir)
@@ -2306,9 +2307,32 @@ object Similarity {
         .groupBy(col("qid")).agg(topKPairs(col("score"), col("id"), 1).as("p"))
       selected = selected.union(explodeTop1(pick, t)).localCheckpoint(true)
     }
+    // Output score = the ×10 integer-weight combination 7·rel − 3·maxsim
+    // as EXACT DECIMAL(18,6) arithmetic (q171's idiom), recomputed from
+    // the lower-ranked picks. Rounding 0.7·rel − 0.3·maxsim at 6dp is NOT
+    // cross-engine safe: rel/maxsim are 1e-6-grid values, so the combined
+    // score lives on a 1e-7 grid whose points land exactly on 6dp
+    // rounding midpoints — measured divergence at the sf1-stress gate
+    // (0.2525515 → Spark 0.252552, DuckDB 0.252551). The ×10 form is a
+    // monotone transform: the RANKING (computed on raw doubles, identical
+    // in both engines) is unchanged.
+    val lowerMax = selected.select(col("qid"), col("id"), col("rnk"))
+      .join(selected.select(col("qid"), col("id").as("cb"), col("rnk").as("trnk")),
+        Seq("qid"))
+      .filter(col("trnk") < col("rnk"))
+      .join(ps.withColumnRenamed("ca", "id"), Seq("qid", "id", "cb"))
+      .groupBy(col("qid"), col("id"), col("rnk")).agg(max(col("sim")).as("ms"))
     selected.join(cand, Seq("qid", "id"))
+      .join(lowerMax, Seq("qid", "id", "rnk"), "left")
       .select(col("qid").as("query_id"), col("rnk"), col("id").as("vec_id"),
-        col("rel"), round(col("score"), 6).as("mmr_score"))
+        col("rel"),
+        when(col("ms").isNull, col("rel").cast("decimal(18,6)") * 10)
+          .otherwise(col("rel").cast("decimal(18,6)") * 7
+            - col("ms").cast("decimal(18,6)") * 3)
+          // exact decimal → double for the output dtype (q170's rrf_dec
+          // idiom): the decimal value is exact, so the nearest-double
+          // conversion is identical in both engines
+          .cast("double").as("mmr_score_x10"))
       .orderBy(col("query_id"), col("rnk"))
   }
 
@@ -2324,9 +2348,8 @@ object Similarity {
          |  FROM ps p JOIN sel$t s ON s.qid = p.qid AND s.id = p.cb
          |  GROUP BY p.qid, p.ca),
          |s$t AS MATERIALIZED (
-         |  SELECT qid, id, rel, score FROM (
-         |    SELECT c.qid, c.id, c.rel,
-         |      $MmrLambda * c.rel - $MmrComplement * m.maxsim AS score,
+         |  SELECT qid, id, rel, maxsim FROM (
+         |    SELECT c.qid, c.id, c.rel, m.maxsim,
          |      row_number() OVER (PARTITION BY c.qid ORDER BY
          |        $MmrLambda * c.rel - $MmrComplement * m.maxsim DESC, c.id) AS rn
          |    FROM cand c JOIN ms$t m ON m.qid = c.qid AND m.id = c.id
@@ -2334,9 +2357,12 @@ object Similarity {
          |      SELECT 1 FROM sel$t s WHERE s.qid = c.qid AND s.id = c.id)
          |  ) WHERE rn = 1)""".stripMargin
     }.mkString(",\n")
-    val out = (1 to MmrK)
-      .map(t => s"SELECT qid, $t AS rnk, id, rel, ROUND(score, 6) AS mmr_score FROM s$t")
-      .mkString(" UNION ALL ")
+    val out = (s"SELECT qid, 1 AS rnk, id, rel, " +
+        s"CAST(CAST(rel AS DECIMAL(18,6)) * 10 AS DOUBLE) AS mmr_score_x10 FROM s1") +:
+      (2 to MmrK).map(t => s"SELECT qid, $t AS rnk, id, rel, " +
+        s"CAST(CAST(rel AS DECIMAL(18,6)) * 7 - CAST(maxsim AS DECIMAL(18,6)) * 3" +
+        s" AS DOUBLE) AS mmr_score_x10 FROM s$t")
+    val outSql = out.mkString(" UNION ALL ")
     s"""WITH e AS (
        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
        |  FROM embeddings),
@@ -2367,8 +2393,8 @@ object Similarity {
        |    FROM cand) WHERE rn = 1),
        |$steps
        |SELECT qid AS query_id, CAST(rnk AS BIGINT) AS rnk, id AS vec_id,
-       | rel, mmr_score
-       |FROM ($out)
+       | rel, mmr_score_x10
+       |FROM ($outSql)
        |ORDER BY query_id, rnk""".stripMargin
   }
 }

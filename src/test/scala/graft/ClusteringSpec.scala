@@ -256,7 +256,8 @@ class ClusteringSpec extends SparkTestBase {
       val sim = (for (a <- cand; b <- cand if a != b)
         yield (a, b) -> round6(cos(a, b))).toMap
       var selected = Vector(cand.minBy(c => (-rel(c), c)))
-      var scores = Vector(rel(selected.head))
+      // ×10 exact-decimal output score (rank 1: 10·rel)
+      var scores = Vector(BigDecimal(rel(selected.head)) * 10)
       for (_ <- 2 to Similarity.MmrK) {
         val remaining = cand.filterNot(selected.contains)
         val best = remaining.minBy { c =>
@@ -265,14 +266,15 @@ class ClusteringSpec extends SparkTestBase {
         }
         val ms = selected.map(s => sim((best, s))).max
         selected :+= best
-        scores :+= Similarity.MmrLambda * rel(best) - Similarity.MmrComplement * ms
+        scores :+= BigDecimal(rel(best)) * 7 - BigDecimal(ms) * 3
       }
       selected.zipWithIndex.map { case (id, i) =>
-        (q, (i + 1).toLong, id, rel(id), round6(scores(i)))
+        (q, (i + 1).toLong, id, rel(id), scores(i).toDouble)
       }
     }
     val got = Similarity.q175MmrDiversify(spark, sf).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4)))
       .toSeq
     assert(got === expected)
     // diversification is real: some query's MMR set ≠ its pure-relevance top-k

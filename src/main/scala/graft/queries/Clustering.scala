@@ -286,22 +286,39 @@ object Clustering {
   private[graft] def pcaStats(s: SparkSession, dir: String): PcaStats =
     pcaCache.getOrElseUpdate(dir, computePcaStats(s, dir))
 
-  private def computePcaStats(s: SparkSession, dir: String): PcaStats = {
-    val d = Similarity.AnnDims
-    val e = Similarity.vecs(s, dir).select(col("vec_id"), col("v"))
-    // ONE distributed pass each: d² second moments and d sums. The double
-    // posexplode is O(n·d²) rows through codegen — the same multiply-add
-    // count any Gramian pays — and the (i, j)-keyed aggregate partials
-    // map-side, so the shuffle carries ≤ d² rows per partition.
-    val g = e.select(posexplode(col("v")).as(Seq("i", "xi")), col("v"))
+  /** RAW (unrounded) Gramian partials over a (vec_id, v) frame — the
+    * mergeable form: second moments and sums are ADDITIVE across
+    * doc-disjoint sides, so q182 folds a stored base table with a delta
+    * pass by plain addition. ONE distributed pass each: the double
+    * posexplode is O(n·d²) rows through codegen — the same multiply-add
+    * count any Gramian pays — and the (i, j)-keyed aggregate partials
+    * map-side, so the shuffle carries ≤ d² rows per partition.
+    */
+  private def gramRaw(e: DataFrame): DataFrame =
+    e.select(posexplode(col("v")).as(Seq("i", "xi")), col("v"))
       .select(col("i"), col("xi"), posexplode(col("v")).as(Seq("j", "xj")))
       .groupBy(col("i"), col("j"))
-      .agg(round(sum(col("xi") * col("xj")), 6).as("g"))
-    val sm = e.select(posexplode(col("v")).as(Seq("i", "xi")))
-      .groupBy(col("i")).agg(round(sum(col("xi")), 6).as("s"))
+      .agg(sum(col("xi") * col("xj")).as("g"))
+
+  private def sumRaw(e: DataFrame): DataFrame =
+    e.select(posexplode(col("v")).as(Seq("i", "xi")))
+      .groupBy(col("i")).agg(sum(col("xi")).as("s"))
+
+  private def computePcaStats(s: SparkSession, dir: String): PcaStats = {
+    val e = Similarity.vecs(s, dir).select(col("vec_id"), col("v"))
+    val g = gramRaw(e).select(col("i"), col("j"), round(col("g"), 6).as("g"))
+    val sm = sumRaw(e).select(col("i"), round(col("s"), 6).as("s"))
     val n = e.count()
-    // d² = 4096 doubles of state: the RowMatrix contract — collect is
-    // bounded by the DIMENSION, never the corpus
+    collectAndSolve(g, sm, n)
+  }
+
+  /** Collect the d-bounded stats and eigensolve — d² = 4096 doubles of
+    * state: the RowMatrix contract, collect bounded by the DIMENSION,
+    * never the corpus. Shared by the batch (q174/q180) and incremental
+    * (q182) paths.
+    */
+  private def collectAndSolve(g: DataFrame, sm: DataFrame, n: Long): PcaStats = {
+    val d = Similarity.AnnDims
     val gArr = Array.ofDim[Double](d, d)
     g.collect().foreach(r => gArr(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
     val sArr = new Array[Double](d)
@@ -329,8 +346,14 @@ object Clustering {
     PcaStats(Array.tabulate(d)(i => sArr(i) / nn), v1, v2, lam1, lam2, trace)
   }
 
-  def q174PcaPower(s: SparkSession, dir: String): DataFrame = {
-    val st = pcaStats(s, dir)
+  def q174PcaPower(s: SparkSession, dir: String): DataFrame =
+    pcaOutput(s, pcaStats(s, dir))
+
+  /** The per-dimension report frame from a [[PcaStats]] — shared by the
+    * batch (q174) and incremental (q182) paths, so fold ≡ batch is a
+    * statement about the STATS, not the formatting.
+    */
+  private def pcaOutput(s: SparkSession, st: PcaStats): DataFrame = {
     val d = Similarity.AnnDims
     import s.implicits._
     (0 until d).map(i =>

@@ -265,52 +265,91 @@ object Clustering {
     * (G₂ = Gc − λ₁v₁v₁ᵀ) and a second run for PC2. Every float op is a
     * fixed-order sequential fold or map, so the DuckDB oracle replays
     * the identical IEEE arithmetic via `list_reduce`/`list_transform`
-    * over the identically-rounded Gramian (the q25 DotFold ≡ list_reduce
-    * parity, applied to a matrix).
+    * over the BIT-IDENTICAL quantized Gramian (see [[PcaQuantScale]] —
+    * exact integer reduction, no order-dependent float sum anywhere;
+    * the q25 DotFold ≡ list_reduce parity, applied to a matrix).
     *
     * Output: one row per dimension — mean, PC1/PC2 loadings, and the
     * (repeated) eigenvalues + explained-variance shares against the
     * centered trace.
     */
   /** The d-bounded PCA state: per-dim means, PC1/PC2 power iterates,
-    * eigenvalue estimates, centered trace. Cached by DATA DIRECTORY (not
-    * session): the value is a deterministic function of the corpus, so
-    * cross-session reuse is sound and the d²-pass runs once per dataset
-    * per JVM (q174 reports it; q180 projects through it).
+    * eigenvalue estimates, centered trace. Cached per (SESSION, dir) —
+    * the same key discipline as every [[Dedup.registerMemo]] memo (r15
+    * advice: a dir-only key would silently serve stale stats if a corpus
+    * were regenerated in-place within one JVM), so the d²-pass runs once
+    * per dataset per session tree (q174 reports it; q180 projects
+    * through it; q182 folds into it).
     */
   private[graft] case class PcaStats(mu: Array[Double], v1: Array[Double],
       v2: Array[Double], lam1: Double, lam2: Double, trace: Double)
 
-  private val pcaCache = scala.collection.concurrent.TrieMap[String, PcaStats]()
+  private val pcaCache =
+    scala.collection.concurrent.TrieMap[(SparkSession, String), PcaStats]()
 
   private[graft] def pcaStats(s: SparkSession, dir: String): PcaStats =
-    pcaCache.getOrElseUpdate(dir, computePcaStats(s, dir))
+    pcaCache.getOrElseUpdate((s, dir), computePcaStats(s, dir))
 
-  /** RAW (unrounded) Gramian partials over a (vec_id, v) frame — the
-    * mergeable form: second moments and sums are ADDITIVE across
-    * doc-disjoint sides, so q182 folds a stored base table with a delta
-    * pass by plain addition. ONE distributed pass each: the double
+  /** Per-product quantization scale for the Gramian/sum partials: every
+    * product xi·xj (and every component xi) is snapped to the 1e-9 grid
+    * as an INTEGER, `floor(p·1e9 + 0.5)` — a floor of a bit-identical
+    * double, so the integer is identical in both engines — and the
+    * reductions run in exact integer arithmetic. This is what makes the
+    * statistics ORDER-FREE (r15 advice closed: no ROUND of an engine-
+    * and-partitioning-dependent double sum anywhere in the PCA path) and
+    * exactly ADDITIVE across doc-disjoint sides (the q182 merge law is
+    * integer addition, not a float theorem).
+    *
+    * Exactness window: |x| ≤ 1 (unit-norm corpus) keeps |pq| ≤ 1e9, so a
+    * corpus of up to ~9M vectors keeps every cell sum under 2^53 and the
+    * final int→double conversion EXACT — both engines then divide the
+    * same double by the same literal, bit-identically. Beyond that,
+    * widen the accumulator to DECIMAL(38,0) and split the conversion;
+    * the quantized semantics are unchanged.
+    */
+  val PcaQuantScale: Double = 1e9
+
+  /** Quantized mergeable PCA partials over a (vec_id, v) frame, as ONE
+    * tall frame — Gramian cells (i, j ≥ 0), per-dim sums (j = −1), and
+    * the row count (i = j = −1) — the shape q182 stores durably and
+    * folds by plain addition. ONE distributed pass: the double
     * posexplode is O(n·d²) rows through codegen — the same multiply-add
     * count any Gramian pays — and the (i, j)-keyed aggregate partials
-    * map-side, so the shuffle carries ≤ d² rows per partition.
+    * map-side, so the shuffle carries ≤ d²+d+1 rows per partition.
     */
-  private def gramRaw(e: DataFrame): DataFrame =
-    e.select(posexplode(col("v")).as(Seq("i", "xi")), col("v"))
+  private[graft] def pcaPartials(e: DataFrame): DataFrame = {
+    val q = lit(PcaQuantScale)
+    val gram = e.select(posexplode(col("v")).as(Seq("i", "xi")), col("v"))
       .select(col("i"), col("xi"), posexplode(col("v")).as(Seq("j", "xj")))
       .groupBy(col("i"), col("j"))
-      .agg(sum(col("xi") * col("xj")).as("g"))
+      .agg(sum(floor(col("xi") * col("xj") * q + lit(0.5))).as("q"))
+    val sums = e.select(posexplode(col("v")).as(Seq("i", "xi")))
+      .groupBy(col("i")).agg(sum(floor(col("xi") * q + lit(0.5))).as("q"))
+      .select(col("i"), lit(-1).as("j"), col("q"))
+    val cnt = e.agg(count(lit(1)).as("q"))
+      .select(lit(-1).as("i"), lit(-1).as("j"), col("q"))
+    gram.select(col("i"), col("j"), col("q"))
+      .unionByName(sums).unionByName(cnt)
+  }
 
-  private def sumRaw(e: DataFrame): DataFrame =
-    e.select(posexplode(col("v")).as(Seq("i", "xi")))
-      .groupBy(col("i")).agg(sum(col("xi")).as("s"))
-
-  private def computePcaStats(s: SparkSession, dir: String): PcaStats = {
-    val e = Similarity.vecs(s, dir).select(col("vec_id"), col("v"))
-    val g = gramRaw(e).select(col("i"), col("j"), round(col("g"), 6).as("g"))
-    val sm = sumRaw(e).select(col("i"), round(col("s"), 6).as("s"))
-    val n = e.count()
+  /** Split a (i, j, q) partials frame into the (g, sm, n) triple
+    * [[collectAndSolve]] consumes — the exact-integer sums become
+    * doubles (exact: < 2^53 in the documented window) and de-quantize by
+    * the shared literal scale. */
+  private def solveFromPartials(p: DataFrame): PcaStats = {
+    val q = lit(PcaQuantScale)
+    val g = p.filter(col("j") >= 0)
+      .select(col("i"), col("j"), (col("q").cast("double") / q).as("g"))
+    val sm = p.filter(col("j") === -1 && col("i") >= 0)
+      .select(col("i"), (col("q").cast("double") / q).as("s"))
+    val n = p.filter(col("i") === -1 && col("j") === -1)
+      .head().getLong(2)
     collectAndSolve(g, sm, n)
   }
+
+  private def computePcaStats(s: SparkSession, dir: String): PcaStats =
+    solveFromPartials(
+      pcaPartials(Similarity.vecs(s, dir).select(col("vec_id"), col("v"))))
 
   /** Collect the d-bounded stats and eigensolve — d² = 4096 doubles of
     * state: the RowMatrix contract, collect bounded by the DIMENSION,
@@ -409,11 +448,16 @@ object Clustering {
        |  SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
        |cnt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM e),
        |xp AS (
-       |  SELECT ti.i AS i, tj.j AS j, v[ti.i] * v[tj.j] AS p
+       |  SELECT ti.i AS i, tj.j AS j,
+       |   CAST(floor(v[ti.i] * v[tj.j] * $PcaQuantScale + 0.5) AS BIGINT) AS pq
        |  FROM e, unnest($rng) AS ti(i), unnest($rng) AS tj(j)),
-       |g AS (SELECT i, j, ROUND(SUM(p), 6) AS g FROM xp GROUP BY i, j),
+       |g AS (SELECT i, j,
+       |   CAST(CAST(SUM(pq) AS BIGINT) AS DOUBLE) / $PcaQuantScale AS g
+       |  FROM xp GROUP BY i, j),
        |sm AS (
-       |  SELECT t.i AS i, ROUND(SUM(v[t.i]), 6) AS s
+       |  SELECT t.i AS i,
+       |   CAST(CAST(SUM(CAST(floor(v[t.i] * $PcaQuantScale + 0.5) AS BIGINT)) AS BIGINT)
+       |        AS DOUBLE) / $PcaQuantScale AS s
        |  FROM e, unnest($rng) AS t(i) GROUP BY t.i),
        |gc AS (
        |  SELECT g.i, g.j, g.g - sa.s * sb.s / n AS g
@@ -455,6 +499,60 @@ object Clustering {
        | ROUND(e2.lam2 / tr.trace, 6) AS var_share2
        |FROM sm, cnt, ev1 e1, ev2 e2, tr
        |ORDER BY dim""".stripMargin
+
+  // ---------------------------------------------------------------- q182
+
+  private val pcaGramMemo = Dedup.registerMemo("pca_gram_base")
+
+  /** The stored PCA state: the BASE corpus's quantized Gramian/sum/count
+    * partials ([[pcaPartials]] over `vec_id % 10 ≠ 0`, q148's delta
+    * convention) as a durable bucketed parquet table (q102's writer, the
+    * q168/q178 stored-state idiom). d² + d + 1 = 4161 integer rows — the
+    * RowMatrix contract means the durable state is bounded by the
+    * DIMENSION, never the corpus.
+    */
+  private[graft] def storedPcaPartials(s: SparkSession, dir: String): DataFrame =
+    Dedup.memoized(pcaGramMemo, s, dir)(
+      Layout.materializeBucketed(s, dir, "pca_gram", "i")(
+        pcaPartials(Similarity.vecs(s, dir).filter(!isDeltaVec)
+          .select(col("vec_id"), col("v")))))
+
+  /** q182: INCREMENTAL PCA maintenance — fold a vector batch into the
+    * stored Gramian state without re-scanning the base corpus, then
+    * eigensolve the merged statistics. The fold IS plain addition: the
+    * quantized partials (see [[PcaQuantScale]]) are exact integers, and
+    * second moments/sums/counts are additive across doc-disjoint sides,
+    * so merge(G_base, G_delta) = G(base ∪ delta) is an integer identity,
+    * not a float theorem. Everything downstream ([[collectAndSolve]],
+    * [[pcaOutput]]) is the code q174 runs — fold ≡ batch is a statement
+    * about the STATS, and the oracle (q174's batch SQL verbatim, full
+    * corpus) makes the driver's hash compare prove it.
+    *
+    * Plan shape: the base side is a 4161-row bucketed catalog scan (the
+    * stored table — the base VECTORS are never re-exploded: only the
+    * `vec_id % 10 = 0` delta rows pay the O(Δ·d²) posexplode), the merge
+    * is a (i, j)-keyed aggregate over ≤ 2·(d²+d+1) rows, and the collect
+    * stays d-bounded (4 KB). Per-increment cost: O(Δ·d²) — independent
+    * of the base corpus size, the incremental-family contract
+    * (q121/q126/q148/q168/q178) for the PCA member.
+    */
+  /** The distributed half of the q182 fold — stored base partials ∪ the
+    * delta batch's partials, merged by integer addition. Exposed so the
+    * spec can pin ITS plan (the eigensolve is a bounded driver-side
+    * collect, so the REGISTERED frame's lineage is a LocalTableScan of
+    * 64 result rows — the scale claim lives here).
+    */
+  private[graft] def mergedPcaPartials(s: SparkSession, dir: String): DataFrame =
+    storedPcaPartials(s, dir).select(col("i"), col("j"), col("q"))
+      .unionByName(pcaPartials(Similarity.vecs(s, dir).filter(isDeltaVec)
+        .select(col("vec_id"), col("v"))))
+      .groupBy(col("i"), col("j")).agg(sum(col("q")).as("q"))
+
+  def q182PcaIncrement(s: SparkSession, dir: String): DataFrame =
+    pcaOutput(s, solveFromPartials(mergedPcaPartials(s, dir)))
+
+  /** The batch-PCA oracle verbatim: the hash match IS the merge law. */
+  val q182Sql: String = q174Sql
 
   // ---------------------------------------------------------------- q178
 

@@ -93,6 +93,45 @@ class ClusteringSpec extends SparkTestBase {
       s"stored pair table scan missing from the fold plan:\n$p")
   }
 
+  test("q182 ≡ q174 row-identical (fold ≡ batch), and the fold reads the stored partials") {
+    val batch = Clustering.q174PcaPower(spark, sf).collect().map(_.toSeq).toSeq
+    val fold = Clustering.q182PcaIncrement(spark, sf)
+    assert(fold.collect().map(_.toSeq).toSeq === batch)
+    // the base side of the merge is the DURABLE 4161-row bucketed table;
+    // the only embeddings rows paying the O(d²) posexplode are the delta
+    // batch (vec_id % 10 = 0) — the base corpus is never re-exploded.
+    // Pinned on the MERGE frame: the registered output's lineage is a
+    // LocalTableScan (the eigensolve is the d-bounded driver collect)
+    val p = Clustering.mergedPcaPartials(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("graft_pca_gram_b"),
+      s"stored partials table scan missing from the fold plan:\n$p")
+    assert(p.contains("% 10) = 0"),
+      s"delta filter missing — the fold may be re-exploding the base corpus:\n$p")
+  }
+
+  test("q182 stored partials are exactly additive (integer merge law on the fixture)") {
+    // the merge law the oracle hash proves end-to-end, replayed directly:
+    // stored(base) + partials(delta) = partials(all), cell by cell
+    import org.apache.spark.sql.Row
+    def partsOf(filter: Long => Boolean): Map[(Int, Int), Long] = {
+      val q = Clustering.PcaQuantScale
+      val sel = vecs.filter { case (id, _) => filter(id) }
+      val d = Similarity.AnnDims
+      val gram = for (i <- 0 until d; j <- 0 until d) yield (i, j) ->
+        sel.values.map(v => math.floor(v(i) * v(j) * q + 0.5).toLong).sum
+      val sums = (0 until d).map(i => (i, -1) ->
+        sel.values.map(v => math.floor(v(i) * q + 0.5).toLong).sum)
+      (gram ++ sums :+ ((-1, -1) -> sel.size.toLong)).toMap
+    }
+    val stored = Clustering.storedPcaPartials(spark, sf).collect()
+      .map { case Row(i: Int, j: Int, q: Long) => (i, j) -> q }.toMap
+    assert(stored === partsOf(_ % 10 != 0))
+    val all = partsOf(_ => true)
+    val delta = partsOf(_ % 10 == 0)
+    all.foreach { case (k, v) => assert(stored(k) + delta(k) === v) }
+  }
+
   test("q179 ≡ plain-Scala centroid-silhouette replay over the q173 clustering") {
     val roles = Clustering.q173Dbscan(spark, sf).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq

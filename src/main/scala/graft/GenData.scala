@@ -245,6 +245,13 @@ object GenData {
     val nVecs = read("embeddings").count() * factor
     write(embeddings(spark, nVecs, realistic).repartition(32), "embeddings")
 
+    // the external retrieval workload travels WITH the generated dataset
+    // (scale-independent: ids < 500 exist at every factor; the committed
+    // copy in fixtures/queries.parquet serves the read-only driver dirs)
+    write(spark.range(1)
+      .select(explode(typedlit(queries.Retrieval.ExternalQueryIds)).as("query_id"))
+      .coalesce(1), "queries")
+
     println(s"[gendata] done: factor=$factor corpus=" +
       (if (realistic) "realistic" else "stress-uniform") + s" from $src into $out")
     spark.stop()

@@ -927,4 +927,201 @@ object Clustering {
        | CAST(count(DISTINCT label) AS BIGINT) AS n_labels
        |FROM cells GROUP BY b1, b2 ORDER BY b1, b2""".stripMargin
   }
+
+  // ---------------------------------------------------------------- q184
+
+  /** The ε×minPts grid q184 sweeps. ε values sit AT and above
+    * [[DbscanEps]] — every cell's edge set is a similarity-filtered
+    * subset of the one shared ε₀-graph, so the sweep re-filters ONE pair
+    * list instead of re-running pair generation per cell. minPts
+    * brackets the registered [[DbscanMinPts]].
+    */
+  val SweepEps: Seq[Double] = Seq(0.40, 0.45, 0.50)
+  val SweepMinPts: Seq[Int] = Seq(3, 5)
+
+  /** (cell index, ε, minPts) — cell order is (ε-major, minPts-minor), the
+    * same ORDER BY the output uses. */
+  private val sweepGrid: Seq[(Int, Double, Int)] =
+    for ((e, i) <- SweepEps.zipWithIndex; (m, j) <- SweepMinPts.zipWithIndex)
+      yield (i * SweepMinPts.size + j, e, m)
+
+  /** Composite (cell, vector) node encoding for the per-cell component
+    * propagation: node = cell·10¹² + vec_id, so ONE [[Dedup
+    * .minLabelPropagation]] run labels all grid cells at once (cells
+    * can't interact — their id ranges are disjoint — and min-labels stay
+    * within a cell, so comp % 10¹² decodes back to the min member id).
+    * Headroom: 6 cells × ids < 10¹² keeps every composite well under
+    * 2^53, and the propagation's decimal label sums don't overflow.
+    */
+  private val CellOffset: Long = 1000000000000L
+
+  /** q184: DBSCAN parameter-sensitivity sweep — the report that picks
+    * (ε, minPts) BEFORE a 100 TB clustering run. The r15 sf1 gate showed
+    * why it must exist: at ε = 0.40 the realistic corpus collapses to
+    * ONE giant cluster (BASELINE.md r15 addendum) — a correct result the
+    * operator only discovers after paying for the full run. This sweep
+    * prices the whole grid for little more than one run: the ε-graph is
+    * generated ONCE at the widest radius (the shared mode-aware policy,
+    * exactly q173's pair relation), each pair's raw cosine is recovered
+    * with one O(E·d) verify pass, and every grid cell is a
+    * similarity-filtered VIEW of that one edge list — degrees, the core
+    * bar, components and border attachment replay per cell as pure role
+    * algebra (q173's), never touching the corpus again. Components for
+    * all cells run as ONE propagation over the composite (cell, id)
+    * graph.
+    *
+    * Output per cell: cores / borders / noise, cluster count, and the
+    * largest cluster's member count (the collapse detector — at sf1 it
+    * IS the corpus at ε = 0.40). All counts are integers: no division,
+    * no rounding, nothing for two engines to disagree on.
+    */
+  def q184DbscanSweep(s: SparkSession, dir: String): DataFrame = {
+    val gridLit = array(sweepGrid.map { case (c, e, m) =>
+      struct(lit(c).as("cell"), lit(e).as("eps"), lit(m).as("mp")) }: _*)
+    val mpByCell = array(sweepGrid.sortBy(_._1).map(g => lit(g._3)): _*)
+    // the shared ε₀-pair list with RAW cosines: one O(E·d) verify pass
+    // (rounded sims would re-open the cross-engine midpoint class the
+    // r15 fixes closed — the cell filters compare unrounded doubles,
+    // bit-identical in both engines)
+    val v = Similarity.vecs(s, dir)
+    val raw = dbscanPairs(s, dir).select(col("keep_id"), col("drop_id"))
+      .join(v.select(col("vec_id").as("keep_id"), col("v").as("va"), col("norm").as("na")), "keep_id")
+      .join(v.select(col("vec_id").as("drop_id"), col("v").as("vb"), col("norm").as("nb")), "drop_id")
+      .select(col("keep_id"), col("drop_id"),
+        (dotFold(col("va"), col("vb")) / (col("na") * col("nb"))).as("rsim"))
+      .localCheckpoint(true)
+    // per-cell directed edge list: literal-array explode (codegen, no
+    // nested-loop join), E×|grid| rows max
+    val cedges = raw
+      .select(col("keep_id"), col("drop_id"), col("rsim"), explode(gridLit).as("g"))
+      .filter(col("rsim") >= col("g.eps"))
+      .select(col("g.cell").as("cell"), col("keep_id").as("a"), col("drop_id").as("b"))
+    val both = cedges
+      .union(cedges.select(col("cell"), col("b").as("a"), col("a").as("b")))
+      .localCheckpoint(true)
+    val deg = both.groupBy(col("cell"), col("a").as("id")).agg(count(lit(1)).as("degree"))
+    val core = deg
+      .filter(col("degree") >= element_at(mpByCell, col("cell") + 1) - 1)
+      .select(col("cell"), col("id"))
+      .localCheckpoint(true)
+    // ONE propagation over the composite core-core graph of all cells
+    val ce = both
+      .join(core.withColumnRenamed("id", "a"), Seq("cell", "a"), "left_semi")
+      .join(core.withColumnRenamed("id", "b"), Seq("cell", "b"), "left_semi")
+      .select((col("cell") * CellOffset + col("a")).as("doc_a"),
+        (col("cell") * CellOffset + col("b")).as("doc_b"))
+      .localCheckpoint(true)
+    val prop = Dedup.minLabelPropagation(ce)
+    // every core gets a label; isolated cores are singleton clusters
+    val lab = core
+      .withColumn("cid", col("cell") * CellOffset + col("id"))
+      .join(prop.withColumnRenamed("doc", "cid"), Seq("cid"), "left")
+      .select(col("cell"), col("id"),
+        (coalesce(col("comp"), col("cid")) % CellOffset).as("comp"))
+      .localCheckpoint(true)
+    val batt = both
+      .join(core.withColumnRenamed("id", "a"), Seq("cell", "a"), "left_semi")
+      .join(core.withColumnRenamed("id", "b"), Seq("cell", "b"), "left_anti")
+      .join(lab.select(col("cell"), col("id").as("a"), col("comp")), Seq("cell", "a"))
+      .groupBy(col("cell"), col("b").as("id")).agg(min(col("comp")).as("bcomp"))
+      .localCheckpoint(true)
+    val csize = lab.select(col("cell"), col("comp"))
+      .unionByName(batt.select(col("cell"), col("bcomp").as("comp")))
+      .groupBy(col("cell"), col("comp")).agg(count(lit(1)).as("sz"))
+    val clus = csize.groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_clusters"), max(col("sz")).as("max_cluster"))
+    val coreN = core.groupBy(col("cell")).agg(count(lit(1)).as("n_core"))
+    val bordN = batt.groupBy(col("cell")).agg(count(lit(1)).as("n_border"))
+    val tot = embeddings(s, dir).agg(count(lit(1)).as("n"))
+    val gridDf = s.range(1).select(explode(gridLit).as("g"))
+      .select(col("g.cell").as("cell"), col("g.eps").as("eps"), col("g.mp").as("mp"))
+    gridDf
+      .join(coreN, Seq("cell"), "left")
+      .join(bordN, Seq("cell"), "left")
+      .join(clus, Seq("cell"), "left")
+      .crossJoin(tot) // 1-row aggregate build — bounded by construction
+      .select(col("eps"), col("mp").as("min_pts"),
+        coalesce(col("n_core"), lit(0L)).as("n_core"),
+        coalesce(col("n_border"), lit(0L)).as("n_border"),
+        (col("n") - coalesce(col("n_core"), lit(0L))
+          - coalesce(col("n_border"), lit(0L))).as("n_noise"),
+        coalesce(col("n_clusters"), lit(0L)).as("n_clusters"),
+        coalesce(col("max_cluster"), lit(0L)).as("max_cluster"))
+      .orderBy(col("eps"), col("min_pts"))
+  }
+
+  /** q184's oracle: the identical ε₀-graph (mode-aware SQL), the same
+    * raw-cosine recovery, and the same per-cell role algebra with the
+    * propagation unrolled over the composite (cell, id) node space —
+    * [[dbscanRoundsCtes]] reused verbatim (it reads `ce`/`l0`, which here
+    * hold composite ids).
+    */
+  val q184Sql: String = {
+    val off = CellOffset
+    val gridVals = sweepGrid
+      .map { case (c, e, m) => s"($c, CAST($e AS DOUBLE), $m)" }.mkString(", ")
+    def fold(a: String, b: String): String =
+      s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |     list_transform(range(1, ${Similarity.AnnDims + 1}), i -> $a[i] * $b[i])), (x, y) -> x + y)""".stripMargin
+    s"""WITH ${Similarity.ndPairsSqlCtes(DbscanEps, DbscanCrossover)},
+       |pairs AS MATERIALIZED (
+       |  SELECT keep_id, drop_id FROM brute
+       |  UNION ALL SELECT keep_id, drop_id FROM banded),
+       |raw AS MATERIALIZED (
+       |  SELECT p.keep_id, p.drop_id,
+       |   ${fold("a.v", "b.v")} / (a.norm * b.norm) AS rsim
+       |  FROM pairs p JOIN n a ON p.keep_id = a.vec_id JOIN n b ON p.drop_id = b.vec_id),
+       |grid AS (SELECT cell, eps, mp FROM (VALUES $gridVals) g(cell, eps, mp)),
+       |cedges AS MATERIALIZED (
+       |  SELECT g.cell, r.keep_id AS a, r.drop_id AS b
+       |  FROM raw r JOIN grid g ON r.rsim >= g.eps
+       |  UNION ALL
+       |  SELECT g.cell, r.drop_id, r.keep_id
+       |  FROM raw r JOIN grid g ON r.rsim >= g.eps),
+       |deg AS (SELECT cell, a AS id, CAST(count(*) AS BIGINT) AS degree
+       |  FROM cedges GROUP BY cell, a),
+       |core AS MATERIALIZED (
+       |  SELECT d.cell, d.id FROM deg d JOIN grid g ON d.cell = g.cell
+       |  WHERE d.degree >= g.mp - 1),
+       |ce AS MATERIALIZED (
+       |  SELECT e.cell * $off + e.a AS a, e.cell * $off + e.b AS b
+       |  FROM cedges e
+       |  JOIN core ca ON e.cell = ca.cell AND e.a = ca.id
+       |  JOIN core cb ON e.cell = cb.cell AND e.b = cb.id),
+       |l0 AS (SELECT cell * $off + id AS doc, cell * $off + id AS comp FROM core),
+       |${dbscanRoundsCtes(DbscanOracleRounds)},
+       |lab2 AS MATERIALIZED (
+       |  SELECT CAST(doc // $off AS INTEGER) AS cell, doc % $off AS id,
+       |   comp % $off AS comp
+       |  FROM l$DbscanOracleRounds),
+       |batt AS MATERIALIZED (
+       |  SELECT e.cell, e.b AS id, min(l.comp) AS bcomp
+       |  FROM cedges e
+       |  JOIN core ca ON e.cell = ca.cell AND e.a = ca.id
+       |  LEFT JOIN core cb ON e.cell = cb.cell AND e.b = cb.id
+       |  JOIN lab2 l ON l.cell = e.cell AND l.id = e.a
+       |  WHERE cb.id IS NULL
+       |  GROUP BY e.cell, e.b),
+       |csize AS (
+       |  SELECT cell, comp, CAST(count(*) AS BIGINT) AS sz FROM (
+       |    SELECT cell, comp FROM lab2
+       |    UNION ALL SELECT cell, bcomp AS comp FROM batt) m
+       |  GROUP BY cell, comp),
+       |clus AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_clusters,
+       |  max(sz) AS max_cluster FROM csize GROUP BY cell),
+       |coren AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_core FROM core GROUP BY cell),
+       |bordn AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_border FROM batt GROUP BY cell),
+       |tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings)
+       |SELECT g.eps, g.mp AS min_pts,
+       | COALESCE(coren.n_core, 0) AS n_core,
+       | COALESCE(bordn.n_border, 0) AS n_border,
+       | tot.n - COALESCE(coren.n_core, 0) - COALESCE(bordn.n_border, 0) AS n_noise,
+       | COALESCE(clus.n_clusters, 0) AS n_clusters,
+       | COALESCE(clus.max_cluster, 0) AS max_cluster
+       |FROM grid g CROSS JOIN tot
+       |LEFT JOIN coren ON g.cell = coren.cell
+       |LEFT JOIN bordn ON g.cell = bordn.cell
+       |LEFT JOIN clus ON g.cell = clus.cell
+       |ORDER BY g.eps, g.mp""".stripMargin
+  }
 }

@@ -428,7 +428,15 @@ object Retrieval {
     * the metric and weighted-fusion oracles can never drift from the
     * fusion oracle's arithmetic.
     */
-  private def hybridCtes: String = {
+  private def hybridCtes: String = hybridCtesWith(
+    s"SELECT vec_id AS query_id FROM embeddings ORDER BY vec_id LIMIT $HybridQueries")
+
+  /** [[hybridCtes]] with the query-workload CTE parameterized — q185
+    * swaps the corpus-derived workload for the external fixture's id
+    * list; every other CTE byte stays identical, so the external-workload
+    * oracle can never drift from the q170/q171/q172 family's arithmetic.
+    */
+  private def hybridCtesWith(qSelect: String): String = {
     def fold(a: String, b: String): String =
       s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
          |     list_transform(range(1, ${Similarity.AnnDims + 1}), i -> $a[i] * $b[i])), (x, y) -> x + y)""".stripMargin
@@ -440,7 +448,7 @@ object Retrieval {
        |dl AS (SELECT doc_id, CAST(len(ww) AS BIGINT) AS dl FROM d),
        |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_total,
        |                 CAST(SUM(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl FROM dl),
-       |q AS (SELECT vec_id AS query_id FROM embeddings ORDER BY vec_id LIMIT $HybridQueries),
+       |q AS ($qSelect),
        |qt0 AS (
        |  SELECT q.query_id, w.term, f.df,
        |   row_number() OVER (PARTITION BY q.query_id
@@ -698,4 +706,64 @@ object Retrieval {
        | ROUND(COALESCE(1.0 / CAST(m.first_rel AS DOUBLE), 0.0), 6) AS mrr
        |FROM m LEFT JOIN nrel ON nrel.query_id = m.query_id
        |ORDER BY m.method, m.query_id""".stripMargin
+
+  // ---------------------------------------------------------------- q185
+
+  /** The EXTERNAL query workload: 8 document ids, all < 500 so the same
+    * workload is valid at every scale point (both `documents` and
+    * `embeddings` carry ids 0..499 at every sf — FIXTURES.md). This
+    * literal is the single source of truth: the committed
+    * `fixtures/queries.parquet` holds exactly these rows (spec-pinned),
+    * [[graft.GenData]] writes the same rows into generated dirs, and
+    * [[q185Sql]] embeds them as the oracle's VALUES workload.
+    */
+  val ExternalQueryIds: Seq[Long] = Seq(3L, 17L, 42L, 99L, 150L, 256L, 321L, 487L)
+
+  /** Resolve the external workload parquet: a generated data dir carries
+    * its own copy next to the tables (GenData writes it); the driver's
+    * read-only sf dirs don't, so the committed repo fixture serves those
+    * — via `GRAFT_FIXTURES_DIR`, the working directory, or the absolute
+    * repo path, in that order. Missing everywhere is a loud error, not a
+    * silent fallback to a synthesized workload (the query exists to
+    * prove the EXTERNAL parameterization end-to-end).
+    */
+  private[graft] def externalQueriesPath(dir: String): String = {
+    val cands = Seq(Some(s"$dir/queries.parquet"),
+      sys.env.get("GRAFT_FIXTURES_DIR").map(_ + "/queries.parquet"),
+      Some("fixtures/queries.parquet"),
+      Some("/root/repo/fixtures/queries.parquet")).flatten
+    cands.find(p => new java.io.File(p).exists()).getOrElse(
+      sys.error(s"external query workload not found; tried: ${cands.mkString(", ")}"))
+  }
+
+  /** q185: hybrid RRF fusion over an EXTERNAL query workload — q170's
+    * fusion with the queries read from a parquet file instead of derived
+    * from the corpus. q170–q172/q175 all *parameterize* over a query
+    * frame, but every registered instantiation derived its queries from
+    * the corpus; this one proves the parameterization end-to-end (r15
+    * verdict #4): the workload file travels WITH the dataset in
+    * generated dirs and as a committed fixture for the read-only ones,
+    * and the oracle replays the identical id list as a VALUES literal.
+    * Same bounded plan shapes as q170 ([[hybridParts]] — the workload
+    * broadcasts, the corpus is scanned once per leg).
+    */
+  def q185ExternalFusion(s: SparkSession, dir: String): DataFrame = {
+    val queryIds = s.read.parquet(externalQueriesPath(dir))
+      .select(col("query_id").cast("long").as("query_id"))
+    val (lex, sem) = hybridParts(s, dir, queryIds)
+    fuseRrf(lex, sem)
+  }
+
+  /** q185's oracle: the q170 CTE chain verbatim with the workload CTE
+    * swapped for the fixture's id list (the file content is spec-pinned
+    * equal to [[ExternalQueryIds]], so the literal IS the file). */
+  val q185Sql: String = {
+    val vals = ExternalQueryIds.map(i => s"($i)").mkString(", ")
+    s"""WITH ${hybridCtesWith(
+        s"SELECT CAST(query_id AS BIGINT) AS query_id FROM (VALUES $vals) v(query_id)")}
+       |SELECT query_id, CAST(rnk AS BIGINT) AS rnk, doc_id,
+       | CAST(rrf_dec AS DOUBLE) AS rrf_score,
+       | CAST(lex_rnk AS BIGINT) AS lex_rnk, CAST(sem_rnk AS BIGINT) AS sem_rnk
+       |FROM r WHERE rnk <= $HybridTopK ORDER BY query_id, rnk""".stripMargin
+  }
 }

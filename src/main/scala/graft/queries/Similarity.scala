@@ -467,15 +467,7 @@ object Similarity {
     // 64KB codegen method limit — as a single constant it's a reference
     // lookup, and the signature loop is an expression-level fold whose
     // tree size is geometry-independent (q26's planesLit pattern)
-    val coefLit = typedlit(ndPlaneCoeffs(nBands, rung).map(_.map(_.map(_.toDouble))))
-    val bitsLit = typedlit((0 until rung).map(j => 1L << j))
-    val bandStructs = transform(sequence(lit(0), lit(nBands - 1)), b =>
-      struct(b.as("band"),
-        aggregate(sequence(lit(0), lit(rung - 1)), lit(0L), (acc, j) =>
-          acc + when(dot(col("v"), element_at(element_at(coefLit, b + 1), j + 1)) > 0,
-            element_at(bitsLit, j + 1)).otherwise(lit(0L))).as("band_sig")))
-    val bands = e.select(col("vec_id"), explode(bandStructs).as("bs"))
-      .select(col("vec_id"), col("bs.band").as("band"), col("bs.band_sig").as("band_sig"))
+    val bands = bandSigs(e, rung, nBands)
     // checkpoint + resplit (cf. q22's verify): scoring the candidates is
     // CPU-bound (one 64-dim dot per pair), and AQE's size-based coalescing
     // would pack the small-by-bytes id-pair list onto a couple of cores
@@ -485,16 +477,53 @@ object Similarity {
       .select(col("a.vec_id").as("keep_id"), col("b.vec_id").as("drop_id"))
       .distinct()
       .localCheckpoint(true))
+    verifyCandidates(cand, e, threshold)
+      .orderBy(col("keep_id"), col("drop_id"))
+  }
+
+  /** Banded random-hyperplane signatures over a prepared (vec_id, v)
+    * frame — the (vec_id, band, band_sig) relation the candidate
+    * equi-join keys on. Factored out of [[nearDupBandedFrame]] (r16) so
+    * the incremental index (q183) can compute DELTA signatures against a
+    * stored base-signature table with the identical geometry. A vector's
+    * signature depends only on (v, geometry), never on the rest of the
+    * corpus — the property that makes the signature index exactly
+    * mergeable across doc-disjoint corpus slices.
+    */
+  private[graft] def bandSigs(e: DataFrame, rung: Int, nBands: Int): DataFrame = {
+    // ONE nested-array Literal (typedlit), not bands×planes×dims lit()
+    // nodes: at the finer rungs the coefficient tensor holds tens of
+    // thousands of values, and an expression TREE that size blows the
+    // 64KB codegen method limit — as a single constant it's a reference
+    // lookup, and the signature loop is an expression-level fold whose
+    // tree size is geometry-independent (q26's planesLit pattern)
+    val coefLit = typedlit(ndPlaneCoeffs(nBands, rung).map(_.map(_.map(_.toDouble))))
+    val bitsLit = typedlit((0 until rung).map(j => 1L << j))
+    val bandStructs = transform(sequence(lit(0), lit(nBands - 1)), b =>
+      struct(b.as("band"),
+        aggregate(sequence(lit(0), lit(rung - 1)), lit(0L), (acc, j) =>
+          acc + when(dot(col("v"), element_at(element_at(coefLit, b + 1), j + 1)) > 0,
+            element_at(bitsLit, j + 1)).otherwise(lit(0L))).as("band_sig")))
+    e.select(col("vec_id"), explode(bandStructs).as("bs"))
+      .select(col("vec_id"), col("bs.band").as("band"), col("bs.band_sig").as("band_sig"))
+  }
+
+  /** Exact verification of a bare (keep_id, drop_id) candidate list
+    * against the full vectors of `e` — the shared tail of the batch
+    * banded core and the q183 incremental fold: per-candidate joins
+    * fetch the two vectors, one sequential-fold cosine each, unrounded
+    * threshold (matching q40, and q22/q23/q45's Jaccard), 6dp-rounded
+    * output.
+    */
+  private def verifyCandidates(cand: DataFrame, e: DataFrame,
+      threshold: Double): DataFrame =
     cand
       .join(e.select(col("vec_id").as("keep_id"), col("v").as("va"), col("norm").as("na")), "keep_id")
       .join(e.select(col("vec_id").as("drop_id"), col("v").as("vb"), col("norm").as("nb")), "drop_id")
       .select(col("keep_id"), col("drop_id"),
         (dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("sim_raw"))
-      // unrounded threshold, matching q40 (and q22/q23/q45's Jaccard)
       .filter(col("sim_raw") >= threshold)
       .select(col("keep_id"), col("drop_id"), round(col("sim_raw"), 6).as("sim"))
-      .orderBy(col("keep_id"), col("drop_id"))
-  }
 
   /** The banded core on the raw corpus at a FORCED rung — the spec hook
     * that keeps the adaptive geometry recall-tested at fixture scale for
@@ -743,7 +772,17 @@ object Similarity {
     * band signatures, and verify candidates with the sequential-fold
     * cosine at the production threshold.
     */
-  val q161Sql: String = {
+  val q161Sql: String = prodBandedSql("")
+
+  /** The production-threshold banded sweep SQL, parameterized on the
+    * WHERE clause of the geometry-deciding count — `""` replays q161's
+    * batch (rung from the full augmented corpus); q183 passes the
+    * base-corpus filter, because an incremental index's geometry is
+    * frozen when the index is BUILT, before any delta exists. Everything
+    * else (jitter construction, signatures, candidate join, exact
+    * verify) is byte-identical between the two oracles.
+    */
+  private def prodBandedSql(cntWhere: String): String = {
     val ladder = (NdProdMinPlanes to NdMaxPlanes)
       .map(p => s"(${p}, ${prodBandsFor(p)}, ${NdTargetOcc << p})").mkString(", ")
     def fold(a: String, b: String): String =
@@ -767,7 +806,7 @@ object Similarity {
        |   sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
        |     list_transform(v, x -> x * x)), (a, b) -> a + b)) AS norm
        |  FROM e),
-       |cnt AS (SELECT CAST(count(*) AS BIGINT) AS c FROM e),
+       |cnt AS (SELECT CAST(count(*) AS BIGINT) AS c FROM e$cntWhere),
        |geom AS (
        |  SELECT np, nb FROM (VALUES $ladder) l(np, nb, hi), cnt
        |  WHERE c <= hi OR np = $NdMaxPlanes ORDER BY np LIMIT 1),
@@ -796,6 +835,128 @@ object Similarity {
        |WHERE ${fold("ka.v", "kb.v")} / (ka.norm * kb.norm) >= $ProdNearDupThreshold
        |ORDER BY keep_id, drop_id""".stripMargin
   }
+
+  // ---- q183: incremental maintenance of the banded near-dup index ----
+
+  /** The corpus increment for the signature index: HALF of the planted
+    * near-copies (`vec_id ≥ shift ∧ (vec_id − shift) % 16 = 0`) — a
+    * fresh crawl batch that contains near-duplicates of already-indexed
+    * documents, exactly the workload an incremental near-dup index
+    * exists for. The q124 `% 10` convention would be VACUOUS here: the
+    * planted pairs live between even source ids and their even-shifted
+    * copies, so `% 10 = 3` never captures a pair member and the
+    * increment would contribute nothing. This split leaves both halves
+    * non-trivial — the stored base-base table holds the other half of
+    * the planted pairs, and the delta probe finds base-delta pairs
+    * (spec-pinned non-vacuous on both sides).
+    */
+  private def isDeltaVec(shift: Long): Column =
+    col("vec_id") >= shift && (col("vec_id") - shift) % 16 === 0
+
+  private val ndSigIndexMemo  = Dedup.registerMemo("nd_sig_index")
+  private val ndBasePairsMemo = Dedup.registerMemo("nd_base_pairs")
+
+  /** The FROZEN index geometry: rung/bands from the BASE corpus size —
+    * an incremental index's geometry is fixed when the index is built,
+    * before any delta exists (re-deriving it from base+delta would
+    * re-signature the whole base on every increment, which is exactly
+    * what incremental maintenance must not do). The oracle derives the
+    * same integers from the same filtered count ([[q183Sql]]).
+    */
+  private def prodBaseGeometry(baseN: Long): (Int, Int) = {
+    val rung = math.max(ndPlanesFor(baseN), NdProdMinPlanes)
+    (rung, prodBandsFor(rung))
+  }
+
+  /** The STORED signature index: base-corpus band signatures written
+    * ONCE as a bucketed-by-band_sig external parquet table (q102's
+    * layout pattern, shared writer [[Layout.materializeBucketed]]) and
+    * read back through the catalog — durable-index semantics, the q168
+    * stored-postings idiom applied to LSH. Bucketing by band_sig
+    * co-locates each delta probe with the base rows it can collide
+    * with.
+    */
+  private[graft] def storedBandSigs(s: SparkSession, dir: String,
+      base: DataFrame, rung: Int, bands: Int): DataFrame =
+    Dedup.memoized(ndSigIndexMemo, s, dir)(
+      Layout.materializeBucketed(s, dir, "nd_sigs", "band_sig")(
+        bandSigs(base, rung, bands)))
+
+  /** The STORED base-base verified pair list — the second half of the
+    * durable index state: built once FROM the stored signature table
+    * (read back, never re-signatured) and persisted bucketed by
+    * keep_id; every later increment unions against it without touching
+    * base-base work again.
+    */
+  private[graft] def storedBasePairs(s: SparkSession, dir: String,
+      base: DataFrame, rung: Int, bands: Int): DataFrame =
+    Dedup.memoized(ndBasePairsMemo, s, dir) {
+      val sigB = storedBandSigs(s, dir, base, rung, bands)
+      val cand = resplit(sigB.as("a").join(sigB.as("b"),
+          col("a.band") === col("b.band") && col("a.band_sig") === col("b.band_sig")
+            && col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("keep_id"), col("b.vec_id").as("drop_id"))
+        .distinct()
+        .localCheckpoint(true))
+      Layout.materializeBucketed(s, dir, "nd_base_pairs", "keep_id")(
+        verifyCandidates(cand, base, ProdNearDupThreshold))
+    }
+
+  /** q183: INCREMENTAL maintenance of the banded near-dup index — fold a
+    * corpus increment into the stored signature index without
+    * re-signaturing or re-pairing the base, then prove the fold changes
+    * nothing: the oracle is the BATCH banded sweep over the full corpus
+    * at the same frozen geometry, so the hash compare IS the
+    * fold ≡ batch theorem (the q108/q121/q148/q168/q178/q182
+    * incremental-family contract, here for the LSH index — making
+    * executable what q178's Scaladoc only claimed about the
+    * above-crossover regime).
+    *
+    * Why the fold is exact: a vector's band signature depends only on
+    * (v, geometry) — never on the rest of the corpus — so with the
+    * geometry frozen at the base rung, the batch candidate set
+    * partitions exactly into base-base (stored, verified once at index
+    * build), base-delta (delta signatures probing the STORED bucketed
+    * signature table) and delta-delta (the delta batch's self-join);
+    * the three classes are disjoint id-pair sets, so the union of their
+    * per-class DISTINCTs is the batch DISTINCT. Per-increment cost is
+    * O(Δ·bands) signature work plus the probe join against the bucketed
+    * index — the base corpus is never rescanned (its only appearance is
+    * point-lookups of candidate vectors in the exact verify). At 100 TB
+    * this is the difference between re-indexing the corpus per crawl
+    * batch and an append.
+    */
+  def q183NearDupIncrement(s: SparkSession, dir: String): DataFrame = {
+    val (shift, _) = prodStats(s, dir)
+    // one materialization feeds the base filter, delta filter and the
+    // candidate verify's vector lookups
+    val corpus = prodCorpus(s, dir, shift).localCheckpoint(true)
+    val base = corpus.filter(!isDeltaVec(shift))
+    val (rung, bands) = prodBaseGeometry(base.count())
+    val sigB = storedBandSigs(s, dir, base, rung, bands)
+    val basePairs = storedBasePairs(s, dir, base, rung, bands)
+    // the increment, signatured fresh exactly once (two consumers:
+    // the index probe and the delta-delta self-join)
+    val sigD = bandSigs(corpus.filter(isDeltaVec(shift)), rung, bands).localCheckpoint(true)
+    val candBD = sigD.as("d").join(sigB.as("b"),
+        col("d.band") === col("b.band") && col("d.band_sig") === col("b.band_sig"))
+      .select(least(col("d.vec_id"), col("b.vec_id")).as("keep_id"),
+        greatest(col("d.vec_id"), col("b.vec_id")).as("drop_id"))
+    val candDD = sigD.as("a").join(sigD.as("b"),
+        col("a.band") === col("b.band") && col("a.band_sig") === col("b.band_sig")
+          && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("keep_id"), col("b.vec_id").as("drop_id"))
+    val cand = resplit(candBD.unionByName(candDD).distinct().localCheckpoint(true))
+    basePairs.unionByName(verifyCandidates(cand, corpus, ProdNearDupThreshold))
+      .orderBy(col("keep_id"), col("drop_id"))
+  }
+
+  /** q183's oracle IS the batch banded recompute at the frozen base
+    * geometry: [[prodBandedSql]] with the geometry count filtered to the
+    * base corpus — fold ≡ batch, hash-proven.
+    */
+  val q183Sql: String = prodBandedSql(
+    " WHERE NOT (vec_id >= (SELECT m FROM sh) AND (vec_id - (SELECT m FROM sh)) % 16 = 0)")
 
   /** IVF cell count (√n-ish for the test corpora). */
   val IvfCells: Int = 16

@@ -132,6 +132,43 @@ class ClusteringSpec extends SparkTestBase {
     all.foreach { case (k, v) => assert(stored(k) + delta(k) === v) }
   }
 
+  test("q184 ≡ plain-Scala grid replay (roles + components per (ε, minPts) cell)") {
+    val expected = for {
+      eps <- Clustering.SweepEps
+      mp <- Clustering.SweepMinPts
+    } yield {
+      val pairs = pairsAtLeast(eps)
+      val nbrs = (pairs ++ pairs.map(_.swap)).groupBy(_._1)
+        .map { case (k, g) => k -> g.map(_._2).toSet }
+      val deg = vecs.keys.map(id => id -> nbrs.get(id).map(_.size).getOrElse(0)).toMap
+      val core = vecs.keys.filter(deg(_) >= mp - 1).toSet
+      val parent = scala.collection.mutable.Map(core.map(c => c -> c).toSeq: _*)
+      def find(x: Long): Long = { if (parent(x) != x) parent(x) = find(parent(x)); parent(x) }
+      for ((a, b) <- pairs if core(a) && core(b)) {
+        val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val comp = core.map(c => c -> find(c)).toMap
+      val borders = vecs.keys.filterNot(core)
+        .filter(id => nbrs.get(id).exists(_.exists(core))).toSeq
+      val battach = borders.map(id => id -> nbrs(id).filter(core).map(comp).min)
+      val sizes = (core.toSeq.map(comp) ++ battach.map(_._2))
+        .groupBy(identity).map(_._2.size)
+      (eps, mp, core.size.toLong, borders.size.toLong,
+        (vecs.size - core.size - borders.size).toLong,
+        comp.values.toSet.size.toLong,
+        (if (sizes.isEmpty) 0 else sizes.max).toLong)
+    }
+    val got = Clustering.q184DbscanSweep(spark, sf).collect()
+      .map(r => (r.getDouble(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
+    assert(got === expected)
+    // the grid is informative on the fixture: at least one cell clusters
+    // and at least one cell reports pure noise (the sweep's whole point
+    // is seeing that boundary before a full-scale run)
+    assert(expected.exists(_._6 > 0), "no cell clusters — grid uninformative")
+    assert(expected.exists(_._3 == 0L), "no all-noise cell — grid uninformative")
+  }
+
   test("q179 ≡ plain-Scala centroid-silhouette replay over the q173 clustering") {
     val roles = Clustering.q173Dbscan(spark, sf).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq

@@ -268,4 +268,24 @@ class RetrievalSpec extends SparkTestBase {
     assert(got.exists(_._5 > 0), "no ranker found any relevant doc - eval set degenerate")
     assert(got.exists(_._5 < MetricK), "every list perfect - eval set degenerate")
   }
+
+  test("q185: committed workload fixture ≡ ExternalQueryIds, and the fusion serves it fully") {
+    // the driver sf dirs carry no queries.parquet, so resolution lands on
+    // the committed repo fixture — whose CONTENT must equal the literal
+    // the oracle embeds (this pin is what makes the VALUES oracle honest)
+    val path = Retrieval.externalQueriesPath(sf)
+    assert(path.contains("fixtures"), s"unexpected resolution: $path")
+    val ids = spark.read.parquet(path).collect().map(_.getLong(0)).toSeq
+    assert(ids === Retrieval.ExternalQueryIds)
+    // the external parameterization end-to-end: every fixture query is
+    // served at full fused depth
+    val got = Retrieval.q185ExternalFusion(spark, sf).collect()
+    val perQuery = got.groupBy(_.getLong(0))
+    assert(perQuery.keySet === Retrieval.ExternalQueryIds.toSet)
+    perQuery.foreach { case (q, rows) =>
+      assert(rows.length === Retrieval.HybridTopK, s"query $q short-served") }
+    // and it is genuinely a DIFFERENT workload than q170's corpus-derived
+    // one (ids are not the 8 smallest vec_ids)
+    assert(Retrieval.ExternalQueryIds.toSet !== (0L until 8L).toSet)
+  }
 }

@@ -450,4 +450,35 @@ class SimilaritySpec extends SparkTestBase {
     // the delta batch is genuinely non-empty and lands in some cell
     assert(inc.values.exists(_._2 > 0L), "no delta members — vacuous increment")
   }
+
+  test("q183 ≡ batch banded sweep (fold ≡ batch), probing DURABLE index tables") {
+    val (shift, total) = Similarity.prodStats(spark, sf)
+    // at fixture scale both the base-count and full-count geometries sit
+    // on the rung floor (occupancy ladder would say 3; floor is 10), so
+    // the frozen-base-geometry batch comparator is exactly q161
+    assert(math.max(Similarity.ndPlanesFor(total), Similarity.NdProdMinPlanes) === 10)
+    val batch = Similarity.q161NearDupProd(spark, sf).collect().map(_.toSeq).toSeq
+    val fold = Similarity.q183NearDupIncrement(spark, sf)
+    assert(fold.collect().map(_.toSeq).toSeq === batch)
+    // the base-base half arrives from the DURABLE bucketed pair table —
+    // visible in the final plan (the union's left side is the catalog
+    // scan; the sig-index probe sits behind the candidate checkpoint)
+    val p = fold.queryExecution.executedPlan.toString
+    assert(p.contains("graft_nd_base_pairs_b"),
+      s"stored base-pair table scan missing from the fold plan:\n$p")
+    // both durable index tables exist in the catalog after the fold
+    val names = spark.catalog.listTables().collect().map(_.name).toSet
+    assert(names.exists(_.startsWith("graft_nd_sigs_b")),
+      s"signature index table not materialized: $names")
+    assert(names.exists(_.startsWith("graft_nd_base_pairs_b")))
+    // non-vacuous on BOTH sides of the fold: the answer set contains
+    // pairs the stored base-base half cannot supply (a delta-side
+    // member) AND pairs the delta probe cannot supply (pure base-base)
+    def isDelta(id: Long) = id >= shift && (id - shift) % 16 == 0
+    val ids = batch.map(r => (r.head.asInstanceOf[Long], r(1).asInstanceOf[Long]))
+    assert(ids.exists { case (a, b) => isDelta(a) || isDelta(b) },
+      "no delta-side pair — the increment is vacuous")
+    assert(ids.exists { case (a, b) => !isDelta(a) && !isDelta(b) },
+      "no base-base pair — the stored half is vacuous")
+  }
 }

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables._
@@ -1150,5 +1151,188 @@ object CorpusStats {
        |JOIN counters_all ca ON ca.r = p.r AND ca.bucket = p.bucket
        |GROUP BY p.rnk, p.term, p.source, p.src_exact
        |ORDER BY p.rnk, p.source""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q186
+
+  /** Prefix checkpoints for the growth curves (q186/q187), in integer
+    * PERCENT of the corpus in ingestion order (doc_id ascending).
+    * Integer percents keep every prefix size m = n·pct div 100 exact
+    * integer arithmetic in both engines — no float fraction of a count
+    * anywhere, so no rounding surface.
+    */
+  val GrowthPcts: Seq[Int] = Seq(1, 2, 5, 10, 25, 50, 100)
+
+  /** Two-phase global 1-based rank of documents by doc_id — q50's
+    * distributed rank pattern applied at corpus width: range-partition
+    * the ids, row_number within each partition, add broadcast cumulative
+    * offsets. Bit-identical to the oracle's global `row_number() OVER
+    * (ORDER BY doc_id)` without ever planning a single-partition window
+    * (the suite-wide PlanSpec ban).
+    */
+  private def docRanks(s: SparkSession, dir: String): DataFrame = {
+    val buckets = s.sparkContext.defaultParallelism
+    val keys = documents(s, dir).select(col("doc_id"))
+      .repartitionByRange(buckets, col("doc_id"))
+      .withColumn("bucket", spark_partition_id())
+    // eager checkpoint pins ONE bucket assignment for both consumers
+    // (q50's range-partition determinism note applies verbatim)
+    val local = keys.withColumn("local_rn",
+      row_number().over(Window.partitionBy(col("bucket")).orderBy(col("doc_id"))))
+      .localCheckpoint(true)
+    val cnts = local.groupBy(col("bucket")).agg(count(lit(1)).as("cnt"))
+    val offsets = cnts.select(col("bucket"), col("cnt"))
+      .join(broadcast(cnts.select(col("bucket").as("lb"), col("cnt").as("lc"))),
+        col("lb") < col("bucket"), "left")
+      .groupBy(col("bucket")).agg(coalesce(sum(col("lc")), lit(0L)).as("off"))
+    local.join(broadcast(offsets), "bucket")
+      .select(col("doc_id"), (col("off") + col("local_rn")).cast("long").as("rnk"))
+  }
+
+  /** The 7-row checkpoint frame (pct, m): prefix sizes from ONE corpus
+    * count — every growth aggregate equi-joins this broadcast, so no
+    * nested-loop join appears anywhere in the curves. */
+  private def growthChk(s: SparkSession, dir: String): DataFrame =
+    documents(s, dir).agg(count(lit(1)).as("n"))
+      .select(explode(typedlit(GrowthPcts)).as("pct"), col("n"))
+      .select(col("pct"), expr("(n * pct) div 100").as("m"))
+
+  /** q186: vocabulary-growth (Heaps' law) curve — |vocabulary| and token
+    * count at each corpus prefix, the measurement that fits V ≈ K·Tᵝ
+    * (Heaps 1978) and answers the 100 TB planning questions "how fast is
+    * the type inventory still growing?" and "what vocabulary budget does
+    * a tokenizer trained at this scale need?" — the standard curve a
+    * corpus report shows next to Zipf (cf. q84's surprisal, q107's BPE).
+    *
+    * Scale shape: a term's first appearance IS the rank of its MINIMUM
+    * doc_id (ranks are monotone in doc_id), so the whole curve needs one
+    * tokenize + min-aggregate (vocabulary-keyed), one corpus-width
+    * two-phase rank ([[docRanks]] — no single-partition window), and a
+    * ×|checkpoints| explode of the per-TERM first-rank table (vocabulary-
+    * sized, not token-sized) hash-aggregated map-side to 7 rows. All
+    * outputs integers — nothing for two engines to disagree on.
+    */
+  def q186VocabGrowth(s: SparkSession, dir: String): DataFrame = {
+    val rk = docRanks(s, dir).localCheckpoint(true)
+    val chk = growthChk(s, dir).localCheckpoint(true)
+    val d = resplit(documents(s, dir).select(col("doc_id"), col("text")))
+    val first = d.select(col("doc_id"), explode(words(col("text"))).as("term"))
+      .groupBy(col("term")).agg(min(col("doc_id")).as("doc_id"))
+      .join(rk, "doc_id")
+      .select(col("rnk").as("fr"))
+    val voc = first.select(col("fr"), explode(typedlit(GrowthPcts)).as("pct"))
+      .join(broadcast(chk), "pct")
+      .filter(col("fr") <= col("m"))
+      .groupBy(col("pct")).agg(count(lit(1)).as("vocab"))
+    val tks = d.select(col("doc_id"), size(words(col("text"))).cast("long").as("tc"))
+      .join(rk, "doc_id")
+      .select(col("rnk"), col("tc"), explode(typedlit(GrowthPcts)).as("pct"))
+      .join(broadcast(chk), "pct")
+      .filter(col("rnk") <= col("m"))
+      .groupBy(col("pct")).agg(sum(col("tc")).as("n_tokens"))
+    chk.join(voc, Seq("pct"), "left").join(tks, Seq("pct"), "left")
+      .select(col("pct"), col("m").as("n_docs"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("vocab"), lit(0L)).as("vocab"))
+      .orderBy(col("pct"))
+  }
+
+  val q186Sql: String = {
+    val pcts = GrowthPcts.map(p => s"($p)").mkString(", ")
+    s"""WITH d AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ww FROM documents),
+       |rk AS (
+       |  SELECT doc_id, CAST(row_number() OVER (ORDER BY doc_id) AS BIGINT) AS rnk
+       |  FROM documents),
+       |tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+       |chk AS (SELECT pct, (n * pct) // 100 AS m FROM (VALUES $pcts) p(pct), tot),
+       |fst AS (
+       |  SELECT term, min(doc_id) AS doc_id
+       |  FROM (SELECT doc_id, unnest(ww) AS term FROM d) t GROUP BY term),
+       |fr AS (SELECT r.rnk AS fr FROM fst f JOIN rk r USING (doc_id)),
+       |voc AS (
+       |  SELECT c.pct, CAST(count(*) AS BIGINT) AS vocab
+       |  FROM fr, chk c WHERE fr.fr <= c.m GROUP BY 1),
+       |tks AS (
+       |  SELECT c.pct, CAST(sum(len(d.ww)) AS BIGINT) AS n_tokens
+       |  FROM d JOIN rk r USING (doc_id), chk c WHERE r.rnk <= c.m GROUP BY 1)
+       |SELECT c.pct, c.m AS n_docs,
+       | COALESCE(tks.n_tokens, 0) AS n_tokens,
+       | COALESCE(voc.vocab, 0) AS vocab
+       |FROM chk c
+       |LEFT JOIN tks ON c.pct = tks.pct
+       |LEFT JOIN voc ON c.pct = voc.pct
+       |ORDER BY c.pct""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q187
+
+  /** q187: duplicate-rate growth curve — at each corpus prefix, how many
+    * documents are near-dup graph members, how many distinct dup
+    * clusters have appeared, and how many documents a canonical-keep
+    * dedup would DROP (members − clusters). Dedup savings grow
+    * superlinearly with corpus size (the birthday effect: a pair needs
+    * both ends present), so the rate measured at a sample UNDERSTATES
+    * the rate at 100 TB — this curve is the extrapolation evidence, the
+    * dedup-planning twin of q186's vocabulary curve.
+    *
+    * Scale shape: reuses the MEMOIZED q45 component labels (no new pair
+    * generation) and [[docRanks]]; the cluster-appearance gate is free —
+    * a component's label IS its minimum member id, and ranks are
+    * monotone in doc_id, so "cluster present in prefix" ⇔ "rank(label) ≤
+    * m" with no per-(cluster, prefix) min-aggregate at all. Everything
+    * downstream is |members|×7 explode → 7-row aggregates. All integers.
+    */
+  def q187DupGrowth(s: SparkSession, dir: String): DataFrame = {
+    val rk = docRanks(s, dir).localCheckpoint(true)
+    val chk = growthChk(s, dir).localCheckpoint(true)
+    val labels = Dedup.componentLabels(s, dir)
+    val members = labels.join(rk.withColumnRenamed("doc_id", "doc"), "doc")
+      .select(col("rnk"), explode(typedlit(GrowthPcts)).as("pct"))
+      .join(broadcast(chk), "pct")
+      .filter(col("rnk") <= col("m"))
+      .groupBy(col("pct")).agg(count(lit(1)).as("dup_members"))
+    val clusters = labels.select(col("comp")).distinct()
+      .join(rk.withColumnRenamed("doc_id", "comp"), "comp")
+      .select(col("rnk"), explode(typedlit(GrowthPcts)).as("pct"))
+      .join(broadcast(chk), "pct")
+      .filter(col("rnk") <= col("m"))
+      .groupBy(col("pct")).agg(count(lit(1)).as("dup_clusters"))
+    chk.join(members, Seq("pct"), "left").join(clusters, Seq("pct"), "left")
+      .select(col("pct"), col("m").as("n_docs"),
+        coalesce(col("dup_members"), lit(0L)).as("dup_members"),
+        coalesce(col("dup_clusters"), lit(0L)).as("dup_clusters"),
+        (coalesce(col("dup_members"), lit(0L))
+          - coalesce(col("dup_clusters"), lit(0L))).as("n_duplicates"))
+      .orderBy(col("pct"))
+  }
+
+  /** q187's oracle rides the shared q45 components block (so the sf1
+    * sweep's CTE cache serves it too). */
+  val q187Sql: String = {
+    val pcts = GrowthPcts.map(p => s"($p)").mkString(", ")
+    s"""WITH RECURSIVE ${Dedup.sqlComponentsCtes},
+       |rk AS (
+       |  SELECT doc_id, CAST(row_number() OVER (ORDER BY doc_id) AS BIGINT) AS rnk
+       |  FROM documents),
+       |tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+       |chk AS (SELECT pct, (n * pct) // 100 AS m FROM (VALUES $pcts) p(pct), tot),
+       |mem AS (SELECT r.rnk FROM labels l JOIN rk r ON l.doc = r.doc_id),
+       |mm AS (
+       |  SELECT c.pct, CAST(count(*) AS BIGINT) AS dup_members
+       |  FROM mem, chk c WHERE mem.rnk <= c.m GROUP BY 1),
+       |cm AS (
+       |  SELECT c.pct, CAST(count(*) AS BIGINT) AS dup_clusters
+       |  FROM (SELECT DISTINCT comp FROM labels) k
+       |  JOIN rk r ON k.comp = r.doc_id, chk c
+       |  WHERE r.rnk <= c.m GROUP BY 1)
+       |SELECT c.pct, c.m AS n_docs,
+       | COALESCE(mm.dup_members, 0) AS dup_members,
+       | COALESCE(cm.dup_clusters, 0) AS dup_clusters,
+       | COALESCE(mm.dup_members, 0) - COALESCE(cm.dup_clusters, 0) AS n_duplicates
+       |FROM chk c
+       |LEFT JOIN mm ON c.pct = mm.pct
+       |LEFT JOIN cm ON c.pct = cm.pct
+       |ORDER BY c.pct""".stripMargin
   }
 }

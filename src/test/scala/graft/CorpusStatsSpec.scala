@@ -858,4 +858,51 @@ class CorpusStatsSpec extends SparkTestBase {
     // the window genuinely widens somewhere (else the 7-day union is vacuous)
     assert(rows.exists(r => r.getAs[Long]("wau7") > r.getAs[Long]("dau")))
   }
+
+  test("q186 ≡ plain-Scala Heaps replay, and the curve is monotone & concave-ish") {
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    def toks(t: String): Seq[String] = t.trim.split("\\s+").toSeq
+    val n = docs.length
+    val expected = CorpusStats.GrowthPcts.map { pct =>
+      val m = n.toLong * pct / 100
+      val prefix = docs.take(m.toInt)
+      (pct, m, prefix.map(d => toks(d._2).size.toLong).sum,
+        prefix.flatMap(d => toks(d._2)).distinct.size.toLong)
+    }
+    val got = CorpusStats.q186VocabGrowth(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got === expected)
+    // vocab grows monotonically, and sublinearly vs tokens (Heaps β < 1
+    // on any natural-ish corpus: the 50%→100% vocab ratio is smaller
+    // than the token ratio)
+    val v = expected.map(_._4)
+    assert(v.zip(v.tail).forall { case (a, b) => a <= b })
+    val (t50, v50) = (expected(5)._3.toDouble, expected(5)._4.toDouble)
+    val (t100, v100) = (expected(6)._3.toDouble, expected(6)._4.toDouble)
+    assert(v100 / v50 < t100 / t50, "vocabulary must grow sublinearly in tokens")
+  }
+
+  test("q187 ≡ plain-Scala dup-growth replay against the q45 labels") {
+    val labels = Dedup.componentLabels(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val n = Tables.documents(spark, sf).count()
+    val expected = CorpusStats.GrowthPcts.map { pct =>
+      val m = n * pct / 100
+      val mem = labels.filter(_._1 < m) // ids are dense 0..n-1 ⇒ rank = id+1
+      (pct, m, mem.length.toLong, mem.map(_._2).distinct.length.toLong,
+        (mem.length - mem.map(_._2).distinct.length).toLong)
+    }
+    val got = CorpusStats.q187DupGrowth(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    assert(got === expected)
+    // the fixture makes the curve non-trivial: duplicates exist at full
+    // size, and the dup RATE grows with the prefix (the birthday effect
+    // the operator exists to demonstrate)
+    val full = expected.last
+    assert(full._5 > 0, "no duplicates at 100% — fixture degenerate")
+    val half = expected(5)
+    assert(full._5.toDouble / full._2 >= half._5.toDouble / half._2,
+      "dup rate must not shrink from 50% to 100%")
+  }
 }

@@ -44,6 +44,9 @@ for side in sf01 sf1; do
 done
 
 echo "== oracle sweep (sequenced after all Spark work) =="
+# per-query budgets: sweep.py's DECLARED_BUDGETS carries the known-heavy
+# oracles (q155's six embedded ground truths: ~600 s at sf1-stress) so a
+# tightened --timeout can't re-present their cost as a regression
 python3 tools/sweep.py "$dump" "$sfdir" "$report" \
   --timeout 600 --workers 4 --cte-cache --retry-timeouts 3600
 

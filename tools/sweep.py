@@ -26,6 +26,15 @@ exceeded the budget; the Spark result exists and its row count is kept.
 import json, os, re, subprocess, sys, time, glob
 from concurrent.futures import ThreadPoolExecutor
 
+# Declared per-query first-pass oracle budgets (seconds), replacing the
+# sweep-wide --timeout for these names only. These are the known-heavy
+# compares whose ORACLE cost is a property of the oracle's design, not an
+# engine regression — recording the budget here means a future tightening
+# of the sweep default can't re-present them as correctness failures
+# (r15 verdict #6). q155 embeds six per-method O(n^2)/exhaustive ground
+# truths and measured ~600 s at sf1-stress — the single heaviest compare.
+DECLARED_BUDGETS = {"q155_ann_recall": 3600}
+
 def main():
     out, sf, report_path = sys.argv[1], sys.argv[2], sys.argv[3]
     timeout = 300
@@ -80,7 +89,8 @@ def main():
         try:
             p = subprocess.run(
                 [sys.executable, check_py, out, sf, name] + cte_args,
-                capture_output=True, text=True, timeout=budget or timeout)
+                capture_output=True, text=True,
+                timeout=budget or DECLARED_BUDGETS.get(name) or timeout)
             # exact one-query summary, not a substring ("0 fail" would
             # also match "20 fail"); check.py is invoked with exactly one
             # query so the expected line is "== 1 pass, 0 fail =="

@@ -1335,4 +1335,59 @@ object CorpusStats {
        |LEFT JOIN cm ON c.pct = cm.pct
        |ORDER BY c.pct""".stripMargin
   }
+
+  // ---------------------------------------------------------------- q188
+
+  /** q188: tokenizer-efficiency (fertility) report per language — after
+    * applying the learned merge rules (q107's training, q111's encode),
+    * the tokens-per-word and chars-per-token each language pays under
+    * the shared tokenizer. This is the report a multilingual pipeline
+    * reads before committing a tokenizer: languages the merge table
+    * under-serves (fertility near 1, high chars/token) are the ones
+    * whose effective context window shrinks — the standard fertility
+    * audit (e.g. Rust et al. 2021, "How good is your tokenizer?") over
+    * the corpus's own BPE artifacts.
+    *
+    * Scale shape: rides the MEMOIZED q107/q111 fold (no new merge
+    * training); one id-keyed join of two document-sized count frames,
+    * then a language-keyed hash aggregate (map-side partials). The two
+    * ratios divide one corpus-level integer sum by another — the same
+    * int/int→ROUND(…,6) discipline q111's compression column ships.
+    */
+  def q188TokenizerFertility(s: SparkSession, dir: String): DataFrame = {
+    val enc = bpeCorpus(s, dir)
+      .select(col("doc_id"), size(split(col("txt"), " ")).cast("long").as("n_bpe"))
+    val meta = documents(s, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        size(words(col("text"))).cast("long").as("n_words"))
+    meta.join(enc, Seq("doc_id"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_words")).as("n_words"),
+        sum(col("n_bpe")).as("n_tok_bpe"),
+        sum(col("n_chars")).as("n_chars"))
+      .select(col("lang"), col("n_docs"), col("n_words"), col("n_tok_bpe"),
+        col("n_chars"),
+        round(col("n_tok_bpe").cast("double") / col("n_words").cast("double"), 6)
+          .as("fertility"),
+        round(col("n_chars").cast("double") / col("n_tok_bpe").cast("double"), 6)
+          .as("chars_per_token"))
+      .orderBy(col("lang"))
+  }
+
+  val q188Sql: String =
+    s"""WITH $bpeChainCtes
+       |SELECT d.lang,
+       | CAST(count(*) AS BIGINT) AS n_docs,
+       | CAST(sum(len(string_split(w0.txt, ' '))) AS BIGINT) AS n_words,
+       | CAST(sum(len(string_split(w3.txt, ' '))) AS BIGINT) AS n_tok_bpe,
+       | CAST(sum(d.n_chars) AS BIGINT) AS n_chars,
+       | ROUND(CAST(sum(len(string_split(w3.txt, ' '))) AS DOUBLE)
+       |   / sum(len(string_split(w0.txt, ' '))), 6) AS fertility,
+       | ROUND(CAST(sum(d.n_chars) AS DOUBLE)
+       |   / sum(len(string_split(w3.txt, ' '))), 6) AS chars_per_token
+       |FROM documents d
+       |JOIN w0 ON d.doc_id = w0.doc_id
+       |JOIN w3 ON d.doc_id = w3.doc_id
+       |GROUP BY d.lang ORDER BY d.lang""".stripMargin
 }

@@ -1070,4 +1070,70 @@ object TrainingData {
        |  FROM valid)
        |WHERE rnk <= $NegPerPair
        |ORDER BY anchor_id, pos_id, rnk""".stripMargin
+
+  // ---------------------------------------------------------------- q189
+
+  /** Token budget per training shard (q189). 4096 whitespace tokens —
+    * small enough that every sf produces a multi-shard plan, large
+    * enough that shards hold many documents.
+    */
+  val ShardTokenBudget: Long = 4096L
+
+  /** q189: token-budget shard planner — assign documents, in ingestion
+    * order, to contiguous training shards of ≈[[ShardTokenBudget]]
+    * tokens: shard_id = (tokens before this doc) div budget, the greedy
+    * contiguous sharding every pretraining data loader uses (a document
+    * straddling a boundary goes to the shard its first token lands in,
+    * so shards can exceed the budget by at most one document). The
+    * output is the shard MANIFEST — per shard: document count, token
+    * count, id range — the artifact a 100 TB run materializes before
+    * writing a single shard file.
+    *
+    * Scale shape: the running token total is a TWO-PHASE distributed
+    * prefix sum (q50's rank pattern with SUM in place of COUNT:
+    * range-partition by doc_id, running sum within each partition,
+    * broadcast cumulative bucket offsets) — never a single-partition
+    * window; the manifest is one shard-keyed hash aggregate. All
+    * integers.
+    */
+  def q189ShardPlan(s: SparkSession, dir: String): DataFrame = {
+    val buckets = s.sparkContext.defaultParallelism
+    val tc = documents(s, dir)
+      .select(col("doc_id"), size(words(col("text"))).cast("long").as("tc"))
+      .repartitionByRange(buckets, col("doc_id"))
+      .withColumn("bucket", spark_partition_id())
+    // eager checkpoint pins ONE bucket assignment for both consumers
+    // (q50's range-partition determinism note)
+    val local = tc.withColumn("cum_in",
+      sum(col("tc")).over(Window.partitionBy(col("bucket")).orderBy(col("doc_id"))))
+      .localCheckpoint(true)
+    val tots = local.groupBy(col("bucket")).agg(sum(col("tc")).as("btot"))
+    val offs = tots.select(col("bucket"), col("btot"))
+      .join(broadcast(tots.select(col("bucket").as("lb"), col("btot").as("lt"))),
+        col("lb") < col("bucket"), "left")
+      .groupBy(col("bucket")).agg(coalesce(sum(col("lt")), lit(0L)).as("off"))
+    local.join(broadcast(offs), "bucket")
+      .select(col("doc_id"), col("tc"),
+        expr(s"(off + cum_in - tc) div $ShardTokenBudget").as("shard_id"))
+      .groupBy(col("shard_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("tc")).as("n_tokens"),
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+      .orderBy(col("shard_id"))
+  }
+
+  val q189Sql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |   CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS tc
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, tc,
+       |   CAST(COALESCE(sum(tc) OVER (ORDER BY doc_id
+       |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+       |  FROM d)
+       |SELECT CAST(cum_before // $ShardTokenBudget AS BIGINT) AS shard_id,
+       | CAST(count(*) AS BIGINT) AS n_docs,
+       | CAST(sum(tc) AS BIGINT) AS n_tokens,
+       | min(doc_id) AS first_doc, max(doc_id) AS last_doc
+       |FROM c GROUP BY 1 ORDER BY shard_id""".stripMargin
 }

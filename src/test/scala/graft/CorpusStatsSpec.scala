@@ -905,4 +905,30 @@ class CorpusStatsSpec extends SparkTestBase {
     assert(full._5.toDouble / full._2 >= half._5.toDouble / half._2,
       "dup rate must not shrink from 50% to 100%")
   }
+
+  test("q188: per-language sums reconcile with q111's per-document encode accounting") {
+    def round6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val enc = CorpusStats.q111BpeEncode(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getAs[Long]("n_tok_raw"), r.getAs[Long]("n_tok_bpe")))
+      .toMap
+    val meta = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang"), col("n_chars")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val expected = meta.groupBy(_._2).toSeq.map { case (lang, g) =>
+      val words = g.map(d => enc(d._1)._1).sum
+      val toks = g.map(d => enc(d._1)._2).sum
+      val chars = g.map(_._3).sum
+      (lang, g.size.toLong, words, toks, chars,
+        round6(toks.toDouble / words), round6(chars.toDouble / toks))
+    }.sortBy(_._1)
+    val got = CorpusStats.q188TokenizerFertility(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getDouble(6))).toSeq
+    assert(got === expected)
+    // the report is non-degenerate: the learned merges land somewhere
+    // (some language's fertility < 1), and languages differ
+    assert(got.exists(_._6 < 1.0), "no language compressed — merges vacuous")
+    assert(got.map(_._6).distinct.size > 1, "all languages identical — report uninformative")
+  }
 }

@@ -229,4 +229,32 @@ class TrainingDataSpec extends SparkTestBase {
     assert(rows.values.map(_._1).sum === evs.length.toLong)
     assert(math.abs(rows.values.map(_._5).sum - 1.0) < 1e-5)
   }
+
+  test("q189 ≡ sequential shard replay; shards contiguous, budget-filled, conserving") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1).trim.split("\\s+").length.toLong))
+      .sortBy(_._1)
+    var cum = 0L
+    val assign = docs.map { case (id, tc) =>
+      val sh = cum / TrainingData.ShardTokenBudget; cum += tc; (sh, id, tc)
+    }
+    val expected = assign.groupBy(_._1).toSeq.sortBy(_._1).map { case (sh, g) =>
+      (sh, g.size.toLong, g.map(_._3).sum, g.map(_._2).min, g.map(_._2).max) }
+    val got = TrainingData.q189ShardPlan(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSeq
+    assert(got === expected)
+    // manifest invariants: shard ids contiguous from 0, id ranges
+    // contiguous in ingestion order, token total conserved, and every
+    // shard but the last fills its budget once its final doc lands
+    assert(got.map(_._1) === got.indices.map(_.toLong))
+    got.sliding(2).foreach { case Seq(a, b) => assert(a._5 < b._4); case _ => }
+    assert(got.map(_._3).sum === docs.map(_._2).sum)
+    val budget = TrainingData.ShardTokenBudget
+    got.dropRight(1).zipWithIndex.foreach { case (sh, i) =>
+      assert(got.take(i + 1).map(_._3).sum >= (i + 1) * budget,
+        s"shard ${sh._1} closed before its cumulative budget") }
+    assert(got.size > 1, "single shard — budget too large for the fixture")
+  }
 }

@@ -1390,4 +1390,155 @@ object CorpusStats {
        |JOIN w0 ON d.doc_id = w0.doc_id
        |JOIN w3 ON d.doc_id = w3.doc_id
        |GROUP BY d.lang ORDER BY d.lang""".stripMargin
+
+  // ---------------------------------------------------------------- q190
+
+  /** q190: cross-source near-dup contamination matrix — near-dup pair
+    * counts bucketed by unordered (source, source): the diagonal is
+    * within-source redundancy (a crawl re-visiting itself), off-diagonal
+    * cells are CROSS-source contamination (two feeds shipping the same
+    * content) — the input to "dedup within or across feeds?", one of the
+    * first questions a multi-source 100 TB ingest answers. q80 measures
+    * source VOCABULARY overlap; this measures actual near-duplicate
+    * documents, pair by pair.
+    *
+    * Scale shape: rides the MEMOIZED q22 pair list (no new pair
+    * generation); two id-keyed joins against the (doc_id, source)
+    * projection, an unordered-pair normalization (least/greatest — both
+    * engines compare strings bytewise), and a source²-bounded hash
+    * aggregate. Per-source doc counts join in for rate context. All
+    * integers and strings.
+    */
+  def q190SourceContamination(s: SparkSession, dir: String): DataFrame = {
+    val src = documents(s, dir).select(col("doc_id"), col("source"))
+    val cnts = src.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+    val agg = Dedup.q22Cached(s, dir).select(col("doc_a"), col("doc_b"))
+      .join(src.select(col("doc_id").as("doc_a"), col("source").as("src_a")), "doc_a")
+      .join(src.select(col("doc_id").as("doc_b"), col("source").as("src_b")), "doc_b")
+      .select(least(col("src_a"), col("src_b")).as("source_a"),
+        greatest(col("src_a"), col("src_b")).as("source_b"))
+      .groupBy(col("source_a"), col("source_b")).agg(count(lit(1)).as("n_pairs"))
+    agg
+      .join(broadcast(cnts.select(col("source").as("source_a"), col("n_docs").as("docs_a"))),
+        "source_a")
+      .join(broadcast(cnts.select(col("source").as("source_b"), col("n_docs").as("docs_b"))),
+        "source_b")
+      .select(col("source_a"), col("source_b"), col("n_pairs"),
+        col("docs_a"), col("docs_b"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
+  /** q190's oracle rides the shared q45 components block (its `near` CTE
+    * is the pair list; the recursive tail goes unreferenced, and the sf1
+    * CTE cache serves the block). */
+  val q190Sql: String =
+    s"""WITH RECURSIVE ${Dedup.sqlComponentsCtes},
+       |srcs AS (SELECT doc_id, source FROM documents),
+       |cnts AS (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+       |  FROM documents GROUP BY source),
+       |mp AS (
+       |  SELECT least(sa.source, sb.source) AS source_a,
+       |   greatest(sa.source, sb.source) AS source_b
+       |  FROM near n
+       |  JOIN srcs sa ON n.doc_a = sa.doc_id
+       |  JOIN srcs sb ON n.doc_b = sb.doc_id),
+       |agg AS (
+       |  SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_pairs
+       |  FROM mp GROUP BY 1, 2)
+       |SELECT a.source_a, a.source_b, a.n_pairs,
+       | ca.n_docs AS docs_a, cb.n_docs AS docs_b
+       |FROM agg a
+       |JOIN cnts ca ON a.source_a = ca.source
+       |JOIN cnts cb ON a.source_b = cb.source
+       |ORDER BY source_a, source_b""".stripMargin
+
+  // ---------------------------------------------------------------- q191
+
+  /** Absolute-discount constant for q191 (Kneser–Ney's canonical D;
+    * 3/4 is a power-of-two fraction, so c − D and D·n are exact in IEEE
+    * doubles). */
+  val KnDiscount: Double = 0.75
+
+  /** q191: interpolated Kneser–Ney bigram document scoring — the
+    * production-grade step past q115's add-k smoothing (Kneser & Ney
+    * 1995; Chen & Goodman 1999 made interpolated KN the standard n-gram
+    * baseline, and CCNet-style corpus filters rank documents with
+    * exactly this family):
+    *
+    *   p(r|l) = (c(l,r) − D)/c(l·) + λ(l)·p_cont(r)
+    *   λ(l) = D·N₁₊(l·)/c(l·),  p_cont(r) = N₁₊(·r)/N₁₊(··)
+    *
+    * where N₁₊ are distinct-continuation counts — the "how many contexts
+    * has this word followed" statistic that makes KN robust to burst
+    * tokens (a word frequent in ONE document stops inflating its
+    * unigram back-off). Every doc bigram has c ≥ 1 in the self-trained
+    * model, so the discounted term is positive and the max(·,0) clamp is
+    * structurally inactive.
+    *
+    * Scale shape = q115's: doc-keyed bigram counts map-side, the model
+    * lives on the bigram vocabulary (c, prefix marginals, continuation
+    * counts are three vocab-sized aggregates), N₁₊(··) is a broadcast
+    * 1-row frame, and the doc rejoin keys on (l, r). Determinism:
+    * probabilities combine integer-derived exact doubles in an
+    * expression mirrored token-for-token in the oracle; ln ulp and
+    * per-doc sum order are absorbed by the 4dp round (q84/q115's rule).
+    */
+  def q191KneserNey(s: SparkSession, dir: String): DataFrame = {
+    val d = lit(KnDiscount)
+    val docBi = resplit(documents(s, dir).select(col("doc_id"), col("text")))
+      .select(col("doc_id"), words(col("text")).as("ww"))
+      .filter(size(col("ww")) >= 2)
+      .select(col("doc_id"), explode(transform(sequence(lit(1), size(col("ww")) - 1),
+        i => struct(element_at(col("ww"), i).as("l"),
+          element_at(col("ww"), i + 1).as("r")))).as("b"))
+      .groupBy(col("doc_id"), col("b.l").as("l"), col("b.r").as("r"))
+      .agg(count(lit(1)).as("k"))
+    val big = docBi.groupBy(col("l"), col("r")).agg(sum(col("k")).as("c_lr"))
+    // prefix marginal AND distinct-continuation count ride one aggregate
+    // (big is distinct (l, r) by construction, so count(*) = N₁₊(l·))
+    val pre = big.groupBy(col("l"))
+      .agg(sum(col("c_lr")).as("c_l"), count(lit(1)).as("n1_l"))
+    val cont = big.groupBy(col("r")).agg(count(lit(1)).as("n1_r"))
+    val n1All = big.agg(count(lit(1)).as("n1_all"))
+    val model = big.join(pre, Seq("l")).join(cont, Seq("r"))
+      .crossJoin(broadcast(n1All))
+      .select(col("l"), col("r"),
+        log((col("c_lr").cast("double") - d) / col("c_l").cast("double")
+          + (d * col("n1_l").cast("double") / col("c_l").cast("double"))
+            * (col("n1_r").cast("double") / col("n1_all").cast("double"))).as("logp"))
+    docBi.join(model, Seq("l", "r"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("k")).as("n_bigrams"),
+        round(-sum(col("k").cast("double") * col("logp"))
+          / sum(col("k")).cast("double"), 4).as("nll_kn"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q191Sql: String =
+    s"""WITH w AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ww FROM documents),
+       |db AS (
+       |  SELECT doc_id, b.l AS l, b.r AS r, CAST(count(*) AS BIGINT) AS k FROM (
+       |    SELECT doc_id, unnest(list_transform(range(1, len(ww)),
+       |      i -> struct_pack(l := ww[i], r := ww[i+1]))) AS b
+       |    FROM w WHERE len(ww) >= 2)
+       |  GROUP BY doc_id, b.l, b.r),
+       |big AS (SELECT l, r, CAST(sum(k) AS BIGINT) AS c_lr FROM db GROUP BY l, r),
+       |pre AS (
+       |  SELECT l, CAST(sum(c_lr) AS BIGINT) AS c_l,
+       |   CAST(count(*) AS BIGINT) AS n1_l
+       |  FROM big GROUP BY l),
+       |cont AS (SELECT r, CAST(count(*) AS BIGINT) AS n1_r FROM big GROUP BY r),
+       |n1a AS (SELECT CAST(count(*) AS BIGINT) AS n1_all FROM big),
+       |m AS (
+       |  SELECT big.l, big.r,
+       |   ln((c_lr - $KnDiscount) / c_l
+       |     + ($KnDiscount * n1_l / c_l) * (CAST(n1_r AS DOUBLE) / n1_all)) AS logp
+       |  FROM big JOIN pre ON big.l = pre.l JOIN cont ON big.r = cont.r
+       |  CROSS JOIN n1a)
+       |SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_bigrams,
+       | ROUND(-sum(k * logp) / sum(k), 4) AS nll_kn
+       |FROM db JOIN m ON db.l = m.l AND db.r = m.r
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 }

@@ -931,4 +931,65 @@ class CorpusStatsSpec extends SparkTestBase {
     assert(got.exists(_._6 < 1.0), "no language compressed — merges vacuous")
     assert(got.map(_._6).distinct.size > 1, "all languages identical — report uninformative")
   }
+
+  test("q190 ≡ replay from the q22 pair list; pair mass conserved; both matrix regions present") {
+    val srcs = Tables.documents(spark, sf).select(col("doc_id"), col("source"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val pairs = Dedup.q22Cached(spark, sf).select(col("doc_a"), col("doc_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val expected = pairs
+      .map { case (a, b) =>
+        val (sa, sb) = (srcs(a), srcs(b))
+        (if (sa <= sb) sa else sb, if (sa <= sb) sb else sa) }
+      .groupBy(identity).map { case (k, g) => (k._1, k._2, g.size.toLong) }
+      .toSeq.sortBy(t => (t._1, t._2))
+    val cnt = srcs.values.groupBy(identity).map { case (k, g) => k -> g.size.toLong }
+    val got = CorpusStats.q190SourceContamination(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.map(t => (t._1, t._2, t._3)).toSeq === expected)
+    got.foreach { t => assert(t._4 === cnt(t._1) && t._5 === cnt(t._2)) }
+    // every near-dup pair lands in exactly one cell
+    assert(got.map(_._3).sum === pairs.length.toLong)
+    // the fixture exercises both regions: within-source AND cross-source
+    assert(got.exists(t => t._1 == t._2), "no within-source cell")
+    assert(got.exists(t => t._1 != t._2), "no cross-source cell")
+  }
+
+  test("q191 ≡ plain-Scala interpolated Kneser–Ney replay; KN reranks vs add-k") {
+    def round4(x: Double): Double =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1).trim.split("\\s+").toSeq))
+      .filter(_._2.size >= 2)
+    val docBi = docs.map { case (id, ww) =>
+      id -> ww.zip(ww.tail).groupBy(identity).map { case (b, g) => b -> g.size.toLong } }
+    val big = docBi.flatMap(_._2).groupBy(_._1).map { case (b, g) => b -> g.map(_._2).sum }
+    val cL = big.groupBy(_._1._1).map { case (l, g) => l -> g.values.sum }
+    val n1L = big.groupBy(_._1._1).map { case (l, g) => l -> g.size.toLong }
+    val n1R = big.groupBy(_._1._2).map { case (r, g) => r -> g.size.toLong }
+    val n1All = big.size.toDouble
+    val d = CorpusStats.KnDiscount
+    def logp(l: String, r: String): Double =
+      math.log((big((l, r)).toDouble - d) / cL(l).toDouble
+        + (d * n1L(l).toDouble / cL(l).toDouble) * (n1R(r).toDouble / n1All))
+    val expected = docBi.map { case (id, ks) =>
+      val n = ks.values.sum
+      (id, n, round4(-ks.map { case ((l, r), k) => k * logp(l, r) }.sum / n))
+    }.sortBy(_._1)
+    val got = CorpusStats.q191KneserNey(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    // same keyspace and counts; NLL within one 4dp ulp (Scala's sum order
+    // differs from both engines' — the oracle hash pins engine ≡ engine,
+    // this replay pins the FORMULA)
+    assert(got.map(t => (t._1, t._2)) === expected.map(t => (t._1, t._2)))
+    got.zip(expected).foreach { case (g, e) =>
+      assert(math.abs(g._3 - e._3) <= 1e-4 + 1e-9, s"doc ${g._1}: ${g._3} vs ${e._3}") }
+    // KN is a different model than q115's add-k: the two NLLs disagree
+    // somewhere, and every probability is < 1 so every NLL is positive
+    assert(got.forall(_._3 > 0.0))
+    val addk = CorpusStats.q115BigramPerplexity(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(2))).toMap
+    assert(got.exists(g => math.abs(addk(g._1) - g._3) > 1e-3),
+      "KN ≡ add-k everywhere — smoothing vacuous")
+  }
 }

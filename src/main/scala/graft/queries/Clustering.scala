@@ -975,21 +975,33 @@ object Clustering {
     * IS the corpus at ε = 0.40). All counts are integers: no division,
     * no rounding, nothing for two engines to disagree on.
     */
+  private val rawPairsMemo = Dedup.registerMemo("eps_raw_pairs")
+
+  /** The shared ε₀-pair list with RAW cosines: the mode-aware pair
+    * relation at the widest radius ([[DbscanEps]]) plus one O(E·d)
+    * verify pass recovering each pair's unrounded cosine (rounded sims
+    * would re-open the cross-engine midpoint class the r15 fixes
+    * closed — downstream threshold filters compare unrounded doubles,
+    * bit-identical in both engines). Memoized per (session, dir): the
+    * parameter sweep (q184) and the threshold calibration (q193) both
+    * re-filter this ONE frame instead of re-running pair generation.
+    */
+  private[graft] def rawEpsPairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.memoized(rawPairsMemo, s, dir) {
+      val v = Similarity.vecs(s, dir)
+      dbscanPairs(s, dir).select(col("keep_id"), col("drop_id"))
+        .join(v.select(col("vec_id").as("keep_id"), col("v").as("va"), col("norm").as("na")), "keep_id")
+        .join(v.select(col("vec_id").as("drop_id"), col("v").as("vb"), col("norm").as("nb")), "drop_id")
+        .select(col("keep_id"), col("drop_id"),
+          (dotFold(col("va"), col("vb")) / (col("na") * col("nb"))).as("rsim"))
+        .localCheckpoint(true)
+    }
+
   def q184DbscanSweep(s: SparkSession, dir: String): DataFrame = {
     val gridLit = array(sweepGrid.map { case (c, e, m) =>
       struct(lit(c).as("cell"), lit(e).as("eps"), lit(m).as("mp")) }: _*)
     val mpByCell = array(sweepGrid.sortBy(_._1).map(g => lit(g._3)): _*)
-    // the shared ε₀-pair list with RAW cosines: one O(E·d) verify pass
-    // (rounded sims would re-open the cross-engine midpoint class the
-    // r15 fixes closed — the cell filters compare unrounded doubles,
-    // bit-identical in both engines)
-    val v = Similarity.vecs(s, dir)
-    val raw = dbscanPairs(s, dir).select(col("keep_id"), col("drop_id"))
-      .join(v.select(col("vec_id").as("keep_id"), col("v").as("va"), col("norm").as("na")), "keep_id")
-      .join(v.select(col("vec_id").as("drop_id"), col("v").as("vb"), col("norm").as("nb")), "drop_id")
-      .select(col("keep_id"), col("drop_id"),
-        (dotFold(col("va"), col("vb")) / (col("na") * col("nb"))).as("rsim"))
-      .localCheckpoint(true)
+    val raw = rawEpsPairs(s, dir)
     // per-cell directed edge list: literal-array explode (codegen, no
     // nested-loop join), E×|grid| rows max
     val cedges = raw
@@ -1056,21 +1068,27 @@ object Clustering {
     * [[dbscanRoundsCtes]] reused verbatim (it reads `ce`/`l0`, which here
     * hold composite ids).
     */
-  val q184Sql: String = {
-    val off = CellOffset
-    val gridVals = sweepGrid
-      .map { case (c, e, m) => s"($c, CAST($e AS DOUBLE), $m)" }.mkString(", ")
+  /** The SQL twin of [[rawEpsPairs]] — the mode-aware ε₀ pair CTEs plus
+    * the raw-cosine recovery, shared by the q184 and q193 oracles. */
+  private def rawPairsSqlCtes: String = {
     def fold(a: String, b: String): String =
       s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
          |     list_transform(range(1, ${Similarity.AnnDims + 1}), i -> $a[i] * $b[i])), (x, y) -> x + y)""".stripMargin
-    s"""WITH ${Similarity.ndPairsSqlCtes(DbscanEps, DbscanCrossover)},
+    s"""${Similarity.ndPairsSqlCtes(DbscanEps, DbscanCrossover)},
        |pairs AS MATERIALIZED (
        |  SELECT keep_id, drop_id FROM brute
        |  UNION ALL SELECT keep_id, drop_id FROM banded),
        |raw AS MATERIALIZED (
        |  SELECT p.keep_id, p.drop_id,
        |   ${fold("a.v", "b.v")} / (a.norm * b.norm) AS rsim
-       |  FROM pairs p JOIN n a ON p.keep_id = a.vec_id JOIN n b ON p.drop_id = b.vec_id),
+       |  FROM pairs p JOIN n a ON p.keep_id = a.vec_id JOIN n b ON p.drop_id = b.vec_id)""".stripMargin
+  }
+
+  val q184Sql: String = {
+    val off = CellOffset
+    val gridVals = sweepGrid
+      .map { case (c, e, m) => s"($c, CAST($e AS DOUBLE), $m)" }.mkString(", ")
+    s"""WITH $rawPairsSqlCtes,
        |grid AS (SELECT cell, eps, mp FROM (VALUES $gridVals) g(cell, eps, mp)),
        |cedges AS MATERIALIZED (
        |  SELECT g.cell, r.keep_id AS a, r.drop_id AS b
@@ -1123,5 +1141,68 @@ object Clustering {
        |LEFT JOIN bordn ON g.cell = bordn.cell
        |LEFT JOIN clus ON g.cell = clus.cell
        |ORDER BY g.eps, g.mp""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q193
+
+  /** Cosine thresholds q193 calibrates — from the clustering radius up
+    * through q67's dedup bar to q161's production near-copy bar. */
+  val CalibThresholds: Seq[Double] = Seq(0.40, 0.45, 0.50, 0.60, 0.70, 0.80, 0.90)
+
+  /** q193: similarity-threshold calibration against labels — for each
+    * candidate cosine bar, how many pairs the corpus yields and what
+    * fraction share a label (the proxy for "really the same content").
+    * This is how a dedup bar is actually chosen when a labeled subset
+    * exists: sweep the threshold, read the purity/volume trade-off,
+    * pick the knee — BEFORE committing a 100 TB dedup pass to one
+    * number (q67's 0.45 and q161's 0.95 become measured choices, not
+    * conventions).
+    *
+    * Scale shape: re-filters the ONE memoized raw-cosine pair frame
+    * ([[rawEpsPairs]] — no new pair generation), joins the corpus's
+    * (vec_id, label) projection twice, and explodes against the literal
+    * threshold array into a 7-row hash aggregate. Integer counts only;
+    * threshold filters compare unrounded doubles.
+    */
+  def q193ThresholdCalibration(s: SparkSession, dir: String): DataFrame = {
+    val lab = embeddings(s, dir).select(col("vec_id"), col("label"))
+    val pl = rawEpsPairs(s, dir)
+      .join(lab.select(col("vec_id").as("keep_id"), col("label").as("la")), "keep_id")
+      .join(lab.select(col("vec_id").as("drop_id"), col("label").as("lb")), "drop_id")
+      .select(col("rsim"), when(col("la") === col("lb"), 1L).otherwise(0L).as("same"))
+    val agg = pl.select(col("rsim"), col("same"),
+        explode(typedlit(CalibThresholds)).as("thr"))
+      .filter(col("rsim") >= col("thr"))
+      .groupBy(col("thr"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("same")).as("n_same_label"))
+    s.range(1).select(explode(typedlit(CalibThresholds)).as("thr"))
+      .join(agg, Seq("thr"), "left")
+      .select(col("thr"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_same_label"), lit(0L)).as("n_same_label"),
+        (coalesce(col("n_pairs"), lit(0L))
+          - coalesce(col("n_same_label"), lit(0L))).as("n_cross_label"))
+      .orderBy(col("thr"))
+  }
+
+  val q193Sql: String = {
+    val vals = CalibThresholds.map(t => s"(CAST($t AS DOUBLE))").mkString(", ")
+    s"""WITH $rawPairsSqlCtes,
+       |grid AS (SELECT thr FROM (VALUES $vals) g(thr)),
+       |pl AS (
+       |  SELECT r.rsim, CASE WHEN la.label = lb.label THEN 1 ELSE 0 END AS same
+       |  FROM raw r
+       |  JOIN embeddings la ON r.keep_id = la.vec_id
+       |  JOIN embeddings lb ON r.drop_id = lb.vec_id),
+       |agg AS (
+       |  SELECT g.thr, CAST(count(*) AS BIGINT) AS n_pairs,
+       |   CAST(sum(pl.same) AS BIGINT) AS n_same_label
+       |  FROM pl, grid g WHERE pl.rsim >= g.thr GROUP BY g.thr)
+       |SELECT g.thr,
+       | COALESCE(agg.n_pairs, 0) AS n_pairs,
+       | COALESCE(agg.n_same_label, 0) AS n_same_label,
+       | COALESCE(agg.n_pairs, 0) - COALESCE(agg.n_same_label, 0) AS n_cross_label
+       |FROM grid g LEFT JOIN agg ON g.thr = agg.thr
+       |ORDER BY g.thr""".stripMargin
   }
 }

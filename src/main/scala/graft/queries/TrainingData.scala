@@ -1096,11 +1096,16 @@ object TrainingData {
     * window; the manifest is one shard-keyed hash aggregate. All
     * integers.
     */
-  def q189ShardPlan(s: SparkSession, dir: String): DataFrame = {
+  /** Two-phase distributed prefix sum over a (doc_id, tc) frame →
+    * (doc_id, tc, cum_before): range-partition by doc_id, running sum
+    * within each partition, broadcast cumulative bucket offsets (q50's
+    * rank pattern with SUM in place of COUNT — never a single-partition
+    * window). Shared by the batch planner (q189, whole corpus) and the
+    * incremental fold (q192, delta batch only).
+    */
+  private def prefixTokens(s: SparkSession, docsTc: DataFrame): DataFrame = {
     val buckets = s.sparkContext.defaultParallelism
-    val tc = documents(s, dir)
-      .select(col("doc_id"), size(words(col("text"))).cast("long").as("tc"))
-      .repartitionByRange(buckets, col("doc_id"))
+    val tc = docsTc.repartitionByRange(buckets, col("doc_id"))
       .withColumn("bucket", spark_partition_id())
     // eager checkpoint pins ONE bucket assignment for both consumers
     // (q50's range-partition determinism note)
@@ -1113,13 +1118,27 @@ object TrainingData {
         col("lb") < col("bucket"), "left")
       .groupBy(col("bucket")).agg(coalesce(sum(col("lt")), lit(0L)).as("off"))
     local.join(broadcast(offs), "bucket")
+      .select(col("doc_id"), col("tc"), (col("off") + col("cum_in") - col("tc")).as("cum_before"))
+  }
+
+  /** The shard-manifest aggregate over a (doc_id, tc, cum_before) frame
+    * whose cum_before is offset by `base` tokens — the shared tail of
+    * q189 (base = 0, whole corpus) and q192's delta leg. */
+  private def shardManifest(assigned: DataFrame, base: Long): DataFrame =
+    assigned
       .select(col("doc_id"), col("tc"),
-        expr(s"(off + cum_in - tc) div $ShardTokenBudget").as("shard_id"))
+        expr(s"(cum_before + ${base}L) div $ShardTokenBudget").as("shard_id"))
       .groupBy(col("shard_id"))
       .agg(count(lit(1)).as("n_docs"), sum(col("tc")).as("n_tokens"),
         min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+
+  private def docTokens(s: SparkSession, dir: String): DataFrame =
+    documents(s, dir)
+      .select(col("doc_id"), size(words(col("text"))).cast("long").as("tc"))
+
+  def q189ShardPlan(s: SparkSession, dir: String): DataFrame =
+    shardManifest(prefixTokens(s, docTokens(s, dir)), 0L)
       .orderBy(col("shard_id"))
-  }
 
   val q189Sql: String =
     s"""WITH d AS (
@@ -1136,4 +1155,61 @@ object TrainingData {
        | CAST(sum(tc) AS BIGINT) AS n_tokens,
        | min(doc_id) AS first_doc, max(doc_id) AS last_doc
        |FROM c GROUP BY 1 ORDER BY shard_id""".stripMargin
+
+  // ---------------------------------------------------------------- q192
+
+  private val shardManifestMemo = Dedup.registerMemo("shard_manifest")
+
+  /** The id threshold splitting the already-planned base from the append
+    * batch: the top tenth of the id RANGE (integer arithmetic on
+    * min/max, identical in both engines). Appends arrive at the top of
+    * the id space — exactly the workload an incremental shard planner
+    * faces. */
+  private[graft] def shardSplitAt(s: SparkSession, dir: String): Long = {
+    val r = documents(s, dir).agg(min(col("doc_id")), max(col("doc_id"))).head()
+    r.getLong(0) + (r.getLong(1) - r.getLong(0) + 1L) * 9L / 10L
+  }
+
+  /** The STORED base manifest: the q189 plan over the base corpus,
+    * written once as a bucketed-by-shard_id external parquet table
+    * (q102's writer) and read back through the catalog — the durable
+    * artifact a production shard planner keeps between ingest batches.
+    */
+  private[graft] def storedShardManifest(s: SparkSession, dir: String, thr: Long): DataFrame =
+    Dedup.memoized(shardManifestMemo, s, dir)(
+      Layout.materializeBucketed(s, dir, "shard_manifest", "shard_id")(
+        shardManifest(prefixTokens(s, docTokens(s, dir).filter(col("doc_id") < thr)), 0L)))
+
+  /** q192: INCREMENTAL shard-plan maintenance — extend the stored
+    * manifest (q189's artifact) with an append batch without re-scanning
+    * the base corpus, then prove the fold changes nothing: the oracle is
+    * q189's batch plan over the full corpus, so the hash compare IS
+    * fold ≡ batch (the incremental-family contract, here for the
+    * training-shard manifest).
+    *
+    * Why the fold is exact: appends land ABOVE every base id (the split
+    * is the top tenth of the id range), so a delta doc's batch
+    * tokens-before equals (base total) + (tokens before it within the
+    * delta) — the base total reads off the STORED manifest (Σ n_tokens,
+    * a shard-count-sized aggregate), the delta prefix is the shared
+    * two-phase prefix sum over the batch alone, and the manifest rows
+    * are per-shard SUM/MIN/MAX — mergeable across the straddling shard
+    * (the one shard both sides may touch) by one more shard-keyed
+    * aggregate. Per-increment cost: O(Δ) + the stored-manifest read.
+    */
+  def q192ShardIncrement(s: SparkSession, dir: String): DataFrame = {
+    val thr = shardSplitAt(s, dir)
+    val base = storedShardManifest(s, dir, thr)
+    val baseTotal = base.agg(coalesce(sum(col("n_tokens")), lit(0L))).head().getLong(0)
+    val delta = shardManifest(
+      prefixTokens(s, docTokens(s, dir).filter(col("doc_id") >= thr)), baseTotal)
+    base.unionByName(delta)
+      .groupBy(col("shard_id"))
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("n_tokens")).as("n_tokens"),
+        min(col("first_doc")).as("first_doc"), max(col("last_doc")).as("last_doc"))
+      .orderBy(col("shard_id"))
+  }
+
+  /** q192's oracle IS q189's batch recompute: fold ≡ batch, hash-proven. */
+  val q192Sql: String = q189Sql
 }

@@ -169,6 +169,29 @@ class ClusteringSpec extends SparkTestBase {
     assert(expected.exists(_._3 == 0L), "no all-noise cell — grid uninformative")
   }
 
+  test("q193 ≡ plain-Scala threshold-calibration replay; volume monotone, trade-off visible") {
+    val labels = Tables.embeddings(spark, sf).select(col("vec_id"), col("label"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val base = pairsAtLeast(Clustering.DbscanEps)
+      .map { case (a, b) => (cos(a, b), labels(a) == labels(b)) }
+    val expected = Clustering.CalibThresholds.map { thr =>
+      val sel = base.filter(_._1 >= thr)
+      (thr, sel.size.toLong, sel.count(_._2).toLong, sel.count(!_._2).toLong)
+    }
+    val got = Clustering.q193ThresholdCalibration(spark, sf).collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got === expected)
+    // pair volume is monotone non-increasing in the threshold, the
+    // lowest bar yields pairs, and the fixture shows a real trade-off:
+    // some threshold admits cross-label pairs (impure), some doesn't
+    val vols = expected.map(_._2)
+    assert(vols.zip(vols.tail).forall { case (a, b) => a >= b })
+    assert(vols.head > 0, "no pairs at the widest radius")
+    assert(expected.exists(_._4 > 0), "no impure threshold — calibration vacuous")
+    assert(expected.exists(e => e._2 > 0 && e._4 == 0L) || expected.exists(_._2 == 0L),
+      "no pure-or-empty threshold — nothing to choose between")
+  }
+
   test("q179 ≡ plain-Scala centroid-silhouette replay over the q173 clustering") {
     val roles = Clustering.q173Dbscan(spark, sf).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq

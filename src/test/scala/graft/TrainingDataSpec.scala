@@ -257,4 +257,30 @@ class TrainingDataSpec extends SparkTestBase {
         s"shard ${sh._1} closed before its cumulative budget") }
     assert(got.size > 1, "single shard — budget too large for the fixture")
   }
+
+  test("q192 ≡ q189 row-identical (fold ≡ batch), reading the stored manifest") {
+    val batch = TrainingData.q189ShardPlan(spark, sf).collect().map(_.toSeq).toSeq
+    val fold = TrainingData.q192ShardIncrement(spark, sf)
+    assert(fold.collect().map(_.toSeq).toSeq === batch)
+    // the base half arrives from the DURABLE bucketed manifest table
+    val p = fold.queryExecution.executedPlan.toString
+    assert(p.contains("graft_shard_manifest_b"),
+      s"stored manifest scan missing from the fold plan:\n$p")
+    // non-vacuous: the delta batch is non-empty, and the straddling
+    // shard genuinely merges contributions from both sides (unless the
+    // base total happens to land exactly on a shard boundary)
+    val thr = TrainingData.shardSplitAt(spark, sf)
+    val deltaDocs = batch.count(r => r(3).asInstanceOf[Long] >= thr) // shards fully in delta
+    assert(batch.exists(r => r(4).asInstanceOf[Long] >= thr), "no delta docs reached the plan")
+    val baseManifest = TrainingData.storedShardManifest(spark, sf, thr).collect()
+    val baseTotal = baseManifest.map(_.getAs[Long]("n_tokens")).sum
+    if (baseTotal % TrainingData.ShardTokenBudget != 0) {
+      val straddle = baseTotal / TrainingData.ShardTokenBudget
+      val row = batch.find(_.head.asInstanceOf[Long] == straddle).get
+      val baseRow = baseManifest.find(_.getAs[Long]("shard_id") == straddle).get
+      assert(row(1).asInstanceOf[Long] > baseRow.getAs[Long]("n_docs"),
+        "straddling shard did not absorb delta docs")
+    }
+    assert(deltaDocs >= 0) // documentation: shards wholly in the delta may or may not exist
+  }
 }

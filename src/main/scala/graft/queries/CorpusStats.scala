@@ -1163,14 +1163,20 @@ object CorpusStats {
     */
   val GrowthPcts: Seq[Int] = Seq(1, 2, 5, 10, 25, 50, 100)
 
+  private val docRanksMemo = Dedup.registerMemo("doc_ranks")
+
   /** Two-phase global 1-based rank of documents by doc_id — q50's
     * distributed rank pattern applied at corpus width: range-partition
     * the ids, row_number within each partition, add broadcast cumulative
     * offsets. Bit-identical to the oracle's global `row_number() OVER
     * (ORDER BY doc_id)` without ever planning a single-partition window
-    * (the suite-wide PlanSpec ban).
+    * (the suite-wide PlanSpec ban). Memoized per (session, dir): both
+    * growth curves (q186, q187) read it, twice each.
     */
-  private def docRanks(s: SparkSession, dir: String): DataFrame = {
+  private def docRanks(s: SparkSession, dir: String): DataFrame =
+    Dedup.memoized(docRanksMemo, s, dir)(computeDocRanks(s, dir).localCheckpoint(true))
+
+  private def computeDocRanks(s: SparkSession, dir: String): DataFrame = {
     val buckets = s.sparkContext.defaultParallelism
     val keys = documents(s, dir).select(col("doc_id"))
       .repartitionByRange(buckets, col("doc_id"))
@@ -1213,7 +1219,7 @@ object CorpusStats {
     * outputs integers — nothing for two engines to disagree on.
     */
   def q186VocabGrowth(s: SparkSession, dir: String): DataFrame = {
-    val rk = docRanks(s, dir).localCheckpoint(true)
+    val rk = docRanks(s, dir)
     val chk = growthChk(s, dir).localCheckpoint(true)
     val d = resplit(documents(s, dir).select(col("doc_id"), col("text")))
     val first = d.select(col("doc_id"), explode(words(col("text"))).as("term"))
@@ -1284,7 +1290,7 @@ object CorpusStats {
     * downstream is |members|×7 explode → 7-row aggregates. All integers.
     */
   def q187DupGrowth(s: SparkSession, dir: String): DataFrame = {
-    val rk = docRanks(s, dir).localCheckpoint(true)
+    val rk = docRanks(s, dir)
     val chk = growthChk(s, dir).localCheckpoint(true)
     val labels = Dedup.componentLabels(s, dir)
     val members = labels.join(rk.withColumnRenamed("doc_id", "doc"), "doc")

@@ -958,6 +958,87 @@ object Similarity {
   val q183Sql: String = prodBandedSql(
     " WHERE NOT (vec_id >= (SELECT m FROM sh) AND (vec_id - (SELECT m FROM sh)) % 16 = 0)")
 
+  // ---- q195: per-label embedding drift between corpus and crawl batch ----
+
+  /** q195: label-stratified embedding drift — per label, the cosine
+    * between the BASE corpus's mean vector and the fresh CRAWL BATCH's
+    * mean vector (q124's `% 10 = 3` delta convention): the
+    * embedding-space distribution-shift monitor an ingest pipeline reads
+    * before folding a batch into its indexes (q148/q168/q178/q182/q183's
+    * folds all assume the batch resembles the base — this is the check).
+    * q147 monitors FEATURE drift (PSI on scalar profiles); this monitors
+    * the embedding space itself, stratified by label so a shift confined
+    * to one class is visible.
+    *
+    * Determinism: mean vectors would be order-dependent double sums —
+    * instead each component is quantized to the 1e-9 integer grid and
+    * summed EXACTLY (q182's [[Clustering.PcaQuantScale]] idiom), so the
+    * per-(label, side, dim) sums are integers, the de-quantized means
+    * are identical doubles in both engines, and the final cosine is a
+    * sequential fold over dim-ordered arrays. One O(n·d) explode +
+    * label×side×dim-keyed aggregate (map-side partials), label-bounded
+    * everything after.
+    */
+  def q195LabelDrift(s: SparkSession, dir: String): DataFrame = {
+    val q = lit(Clustering.PcaQuantScale)
+    val e = embeddings(s, dir).select(col("label"), col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .withColumn("side",
+        when(col("vec_id") % 10 === 3, lit("delta")).otherwise(lit("base")))
+    val sums = e.select(col("label"), col("side"), posexplode(col("v")).as(Seq("dim", "x")))
+      .groupBy(col("label"), col("side"), col("dim"))
+      .agg(sum(floor(col("x") * q + lit(0.5))).as("sq"))
+    val cnts = e.groupBy(col("label"), col("side")).agg(count(lit(1)).as("n"))
+    val means = sums.groupBy(col("label"), col("side"))
+      .agg(sort_array(collect_list(struct(col("dim"), col("sq")))).as("ds"))
+      .join(cnts, Seq("label", "side"))
+      .select(col("label"), col("side"), col("n"),
+        transform(col("ds"), d => d.getField("sq") / (q * col("n").cast("double"))).as("m"))
+    val b = means.filter(col("side") === "base")
+      .select(col("label"), col("n").as("n_base"), col("m").as("mb"))
+    val d2 = means.filter(col("side") === "delta")
+      .select(col("label"), col("n").as("n_delta"), col("m").as("md"))
+    b.join(d2, "label")
+      .select(col("label"), col("n_base"), col("n_delta"),
+        round(dot(col("mb"), col("md"))
+          / (sqrt(dot(col("mb"), col("mb"))) * sqrt(dot(col("md"), col("md")))), 6)
+          .as("drift_cos"))
+      .orderBy(col("label"))
+  }
+
+  val q195Sql: String = {
+    val qs = Clustering.PcaQuantScale
+    def fold(a: String, b: String): String =
+      s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |     list_transform(range(1, ${AnnDims + 1}), i -> $a[i] * $b[i])), (x, y) -> x + y)""".stripMargin
+    s"""WITH e AS (
+       |  SELECT label, vec_id,
+       |   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+       |   CASE WHEN vec_id % 10 = 3 THEN 'delta' ELSE 'base' END AS side
+       |  FROM embeddings),
+       |x AS (
+       |  SELECT label, side, u.d AS dim, v[u.d + 1] AS x
+       |  FROM e, unnest(range(0, $AnnDims)) AS u(d)),
+       |sums AS (
+       |  SELECT label, side, dim,
+       |   CAST(sum(CAST(floor(x * $qs + 0.5) AS BIGINT)) AS BIGINT) AS sq
+       |  FROM x GROUP BY 1, 2, 3),
+       |cnts AS (
+       |  SELECT label, side, CAST(count(*) AS BIGINT) AS n FROM e GROUP BY 1, 2),
+       |means AS (
+       |  SELECT s.label, s.side, c.n,
+       |   list(s.sq / ($qs * c.n) ORDER BY s.dim) AS m
+       |  FROM sums s JOIN cnts c ON s.label = c.label AND s.side = c.side
+       |  GROUP BY s.label, s.side, c.n),
+       |b AS (SELECT label, n AS n_base, m AS mb FROM means WHERE side = 'base'),
+       |d2 AS (SELECT label, n AS n_delta, m AS md FROM means WHERE side = 'delta')
+       |SELECT b.label, b.n_base, d2.n_delta,
+       | ROUND(${fold("mb", "md")}
+       |   / (sqrt(${fold("mb", "mb")}) * sqrt(${fold("md", "md")})), 6) AS drift_cos
+       |FROM b JOIN d2 ON b.label = d2.label
+       |ORDER BY b.label""".stripMargin
+  }
+
   /** IVF cell count (√n-ish for the test corpora). */
   val IvfCells: Int = 16
 

@@ -1212,4 +1212,75 @@ object TrainingData {
 
   /** q192's oracle IS q189's batch recompute: fold ≡ batch, hash-proven. */
   val q192Sql: String = q189Sql
+
+  // ---------------------------------------------------------------- q194
+
+  /** q194: contamination-removal CASCADE — the removal plan that closes
+    * the hole between the exact check and the embedding space: q60
+    * flags training documents that verbatim-overlap the eval set, but a
+    * SEMANTIC near-copy of a flagged document (paraphrase, re-crawl
+    * with perturbations) leaks the same content while sharing no exact
+    * 5-gram — the known evasion channel q66 measures from the eval
+    * side. The plan removes the direct hits AND every train document
+    * that is an ε-neighbor (the q173 radius, cos ≥ 0.40 — deliberately
+    * the wide review net, not the 0.95 near-copy bar) of a direct hit,
+    * each row carrying its reason (`direct` / `semantic`) and the hit
+    * it cascaded through. Note the TEXT-graph cascade would be vacuous
+    * by construction: an exact-shingle clone of a direct hit shares the
+    * leaked grams and is already a direct hit itself — measured on all
+    * three fixtures before this design was chosen.
+    *
+    * Scale shape: composes two MEMOIZED artifacts (q60's gram-join hit
+    * set; the shared ε-pair frame [[Clustering.rawEpsPairs]]) with
+    * id-keyed semi/anti-joins — no new corpus scan, no new pair
+    * generation.
+    */
+  def q194ContamCascade(s: SparkSession, dir: String): DataFrame = {
+    val direct = q60Decontamination(s, dir).select(col("doc_id")).localCheckpoint(true)
+    val pairs = Clustering.rawEpsPairs(s, dir).select(col("keep_id"), col("drop_id"))
+    val edges = pairs
+      .union(pairs.select(col("drop_id").as("keep_id"), col("keep_id").as("drop_id")))
+      .toDF("a", "b")
+    val clones = edges
+      .join(direct.withColumnRenamed("doc_id", "a"), Seq("a"), "left_semi")
+      .filter(col("b") % 10 =!= 0)
+      .join(direct.withColumnRenamed("doc_id", "b"), Seq("b"), "left_anti")
+      .groupBy(col("b").as("doc_id")).agg(min(col("a")).as("via_doc"))
+      .select(col("doc_id"), lit("semantic").as("reason"), col("via_doc"))
+    val directRows = direct
+      .select(col("doc_id"), lit("direct").as("reason"), col("doc_id").as("via_doc"))
+    directRows.unionByName(clones).orderBy(col("doc_id"))
+  }
+
+  /** q194's oracle: q60's gram CTEs for the direct set + the mode-aware
+    * ε-pair block for the semantic hop. */
+  val q194Sql: String =
+    s"""WITH ${Similarity.ndPairsSqlCtes(Clustering.DbscanEps, Clustering.DbscanCrossover)},
+       |pairs2 AS (
+       |  SELECT keep_id, drop_id FROM brute
+       |  UNION ALL SELECT keep_id, drop_id FROM banded),
+       |edges2 AS (
+       |  SELECT keep_id AS a, drop_id AS b FROM pairs2
+       |  UNION ALL SELECT drop_id, keep_id FROM pairs2),
+       |w2 AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents),
+       |g2 AS (
+       |  SELECT DISTINCT doc_id, s FROM (
+       |    SELECT doc_id, unnest(CASE WHEN len(w) >= $DecontamN
+       |      THEN list_transform(range(1, len(w) - ${DecontamN - 2}),
+       |             i -> array_to_string(w[i:i+${DecontamN - 1}], ' '))
+       |      ELSE [] END) AS s
+       |    FROM w2)),
+       |ev AS (SELECT doc_id AS eval_doc, s FROM g2 WHERE doc_id % 10 = 0),
+       |tr AS (SELECT doc_id, s FROM g2 WHERE doc_id % 10 <> 0),
+       |direct AS (SELECT tr.doc_id FROM tr JOIN ev ON tr.s = ev.s GROUP BY tr.doc_id),
+       |clones AS (
+       |  SELECT e2.b AS doc_id, 'semantic' AS reason, min(e2.a) AS via_doc
+       |  FROM edges2 e2 JOIN direct d ON e2.a = d.doc_id
+       |  WHERE e2.b % 10 <> 0 AND e2.b NOT IN (SELECT doc_id FROM direct)
+       |  GROUP BY e2.b),
+       |directs AS (SELECT doc_id, 'direct' AS reason, doc_id AS via_doc FROM direct)
+       |SELECT doc_id, reason, via_doc FROM directs
+       |UNION ALL SELECT doc_id, reason, via_doc FROM clones
+       |ORDER BY doc_id""".stripMargin
 }

@@ -481,4 +481,40 @@ class SimilaritySpec extends SparkTestBase {
     assert(ids.exists { case (a, b) => !isDelta(a) && !isDelta(b) },
       "no base-base pair — the stored half is vacuous")
   }
+
+  test("q195 ≡ plain-Scala quantized-centroid replay; counts conserve per label") {
+    import graft.queries.Clustering
+    import org.apache.spark.sql.functions.col
+    def round6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val rows = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("label"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Float](2).map(_.toDouble).toArray))
+    val q = Clustering.PcaQuantScale
+    def meanOf(g: Seq[Array[Double]]): Array[Double] = {
+      val d = g.head.length
+      Array.tabulate(d) { i =>
+        g.map(v => math.floor(v(i) * q + 0.5).toLong).sum / (q * g.size.toDouble) }
+    }
+    def foldDot(a: Array[Double], b: Array[Double]): Double =
+      a.indices.foldLeft(0.0)((acc, i) => acc + a(i) * b(i))
+    val expected = rows.groupBy(_._2).toSeq.sortBy(_._1).flatMap { case (lab, g) =>
+      val base = g.filter(_._1 % 10 != 3).map(_._3).toSeq
+      val delta = g.filter(_._1 % 10 == 3).map(_._3).toSeq
+      if (base.isEmpty || delta.isEmpty) None
+      else {
+        val (mb, md) = (meanOf(base), meanOf(delta))
+        Some((lab, base.size.toLong, delta.size.toLong,
+          round6(foldDot(mb, md) / (math.sqrt(foldDot(mb, mb)) * math.sqrt(foldDot(md, md))))))
+      }
+    }
+    val got = Similarity.q195LabelDrift(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got === expected)
+    // every label has both sides on the fixture, and drift is a cosine
+    assert(got.size === rows.map(_._2).distinct.length)
+    got.foreach { r => assert(r._4 >= -1.0 && r._4 <= 1.0) }
+    got.foreach { r =>
+      assert(r._2 + r._3 === rows.count(_._2 == r._1).toLong, s"label ${r._1} counts") }
+  }
 }

@@ -283,4 +283,38 @@ class TrainingDataSpec extends SparkTestBase {
     }
     assert(deltaDocs >= 0) // documentation: shards wholly in the delta may or may not exist
   }
+
+  test("q194 ≡ plain-Scala cascade replay; the semantic leg is non-vacuous") {
+    val n = TrainingData.DecontamN
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1).trim.split("\\s+").toSeq))
+    def grams(w: Seq[String]): Set[String] =
+      if (w.size < n) Set.empty else w.sliding(n).map(_.mkString(" ")).toSet
+    val evalGrams = docs.filter(_._1 % 10 == 0).flatMap(d => grams(d._2)).toSet
+    val direct = docs.filter(d => d._1 % 10 != 0 && grams(d._2).exists(evalGrams))
+      .map(_._1).toSet
+    val vecs = Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Long, b: Long): Double = {
+      val (x, y) = (vecs(a), vecs(b))
+      var d = 0.0; var nx = 0.0; var ny = 0.0
+      for (i <- x.indices) { d += x(i) * y(i); nx += x(i) * x(i); ny += y(i) * y(i) }
+      d / (math.sqrt(nx) * math.sqrt(ny))
+    }
+    val ids = vecs.keys.toSeq.sorted
+    val pairs = for { i <- ids; j <- ids if i < j && cos(i, j) >= graft.queries.Clustering.DbscanEps }
+      yield (i, j)
+    val adj = (pairs ++ pairs.map(_.swap)).groupBy(_._1).map { case (k, g) => k -> g.map(_._2) }
+    val semantic = ids.filter(b => b % 10 != 0 && !direct(b)
+        && adj.get(b).exists(_.exists(direct)))
+      .map(b => (b, adj(b).filter(direct).min))
+    val expected = (direct.toSeq.map(d => (d, "direct", d))
+      ++ semantic.map { case (b, via) => (b, "semantic", via) }).sortBy(_._1)
+    val got = TrainingData.q194ContamCascade(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got === expected)
+    assert(direct.nonEmpty, "no direct hits — fixture degenerate")
+    assert(semantic.nonEmpty,
+      "no semantic clones — the cascade leg is vacuous on this fixture")
+  }
 }

@@ -1,0 +1,64 @@
+#!/usr/bin/env python3
+"""Emit the consolidated operative per-query baseline table (r16 verdict
+ask #7): ONE table covering every registered query, so per-query
+regression grading is a single lookup.
+
+Sources, by the standing convention (each cohort keeps the medians from
+the round that BASELINED it):
+  - r14 idle-triple medians for the 172 queries baselined in r14
+    (bench_records/r14_idle_{1,2,3}b_172q.json)
+  - r15 idle-triple medians for q173-q181
+    (bench_records/r15_idle_{1,2,3}_181q.json)
+  - r16 idle-triple medians for q182-q195
+    (bench_records/r16_idle_{1,2,3}_195q.json)
+
+Usage: python3 tools/baseline_table.py   # prints the markdown table
+"""
+import json
+import statistics
+
+REC = "bench_records/r%s_idle_%s_%sq.json"
+
+def medians(prefix, runs, nq):
+    rs = [json.load(open(REC % (prefix, i, nq))) for i in runs]
+    out = {}
+    for q in rs[0]["queries"]:
+        out[q] = round(statistics.median(r["queries"][q] for r in rs), 2)
+    return out
+
+def main():
+    r14 = medians("14", ["1b", "2b", "3b"], 172)
+    r15 = medians("15", [1, 2, 3], 181)
+    r16 = medians("16", [1, 2, 3], 195)
+    table = dict(r14)
+    for q in r15:
+        if q not in table:
+            table[q] = r15[q]
+    for q in r16:
+        if q not in table:
+            table[q] = r16[q]
+    rows = sorted(table.items())
+    half = (len(rows) + 1) // 2
+    print(f"| query | s | query | s |  <!-- {len(rows)} queries -->")
+    print("|---|---|---|---|")
+    for i in range(half):
+        left = rows[i]
+        right = rows[half + i] if half + i < len(rows) else ("", "")
+        print(f"| {left[0]} | {left[1]} | {right[0]} | {right[1]} |")
+    # cohort accounting for the prose
+    shared = [q for q in r14 if q in r16]
+    s14 = sum(r14[q] for q in shared)
+    s16 = sum(r16[q] for q in shared)
+    print(f"\nshared-{len(shared)} r16/r14 ratio: {s16/s14:.3f} "
+          f"({s16:.1f}s vs {s14:.1f}s)")
+    worst = max(shared, key=lambda q: r16[q] / r14[q] if r14[q] > 0.05 else 0)
+    print(f"worst shared ratio: {worst} {r14[worst]} -> {r16[worst]} "
+          f"({r16[worst]/r14[worst]:.2f}x)")
+    new15 = {q: r15[q] for q in r15 if q not in r14}
+    new16 = {q: r16[q] for q in r16 if q not in r15}
+    print(f"r15 cohort sum: {sum(new15.values()):.1f}s over {len(new15)}")
+    print(f"r16 cohort sum: {sum(new16.values()):.1f}s over {len(new16)}: "
+          + ", ".join(f"{q} {v}" for q, v in sorted(new16.items(), key=lambda x: -x[1])))
+
+if __name__ == "__main__":
+    main()

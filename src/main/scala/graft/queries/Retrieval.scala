@@ -428,8 +428,10 @@ object Retrieval {
     * the metric and weighted-fusion oracles can never drift from the
     * fusion oracle's arithmetic.
     */
-  private def hybridCtes: String = hybridCtesWith(
-    s"SELECT vec_id AS query_id FROM embeddings ORDER BY vec_id LIMIT $HybridQueries")
+  private val corpusQSelect: String =
+    s"SELECT vec_id AS query_id FROM embeddings ORDER BY vec_id LIMIT $HybridQueries"
+
+  private def hybridCtes: String = hybridCtesWith(corpusQSelect)
 
   /** [[hybridCtes]] with the query-workload CTE parameterized — q185
     * swaps the corpus-derived workload for the external fixture's id
@@ -643,9 +645,17 @@ object Retrieval {
     * All arithmetic is integer counts and two 6dp-rounded divisions —
     * hash-exact in both engines.
     */
-  def q172RetrievalMetrics(s: SparkSession, dir: String): DataFrame = {
-    val queryIds = embeddings(s, dir).select(col("vec_id").as("query_id"))
-      .orderBy(col("query_id")).limit(HybridQueries)
+  def q172RetrievalMetrics(s: SparkSession, dir: String): DataFrame =
+    retrievalMetricsFor(s, dir,
+      embeddings(s, dir).select(col("vec_id").as("query_id"))
+        .orderBy(col("query_id")).limit(HybridQueries))
+
+  /** The metric harness over an ARBITRARY query-id workload — q172's
+    * body, factored (r16) so the external-workload instantiation (q196)
+    * judges the exact same three rankers with the exact same protocol.
+    */
+  private def retrievalMetricsFor(s: SparkSession, dir: String,
+      queryIds: DataFrame): DataFrame = {
     val (lex, sem) = hybridParts(s, dir, queryIds)
     val fused = fuseRrf(lex, sem)
     val lists = lex.filter(col("rnk") <= MetricK)
@@ -677,8 +687,11 @@ object Retrieval {
       .orderBy(col("method"), col("query_id"))
   }
 
-  val q172Sql: String =
-    s"""WITH $hybridCtes,
+  val q172Sql: String = metricsSqlWith(corpusQSelect)
+
+  /** The metric oracle over a parameterized workload CTE (q172/q196). */
+  private def metricsSqlWith(qSelect: String): String =
+    s"""WITH ${hybridCtesWith(qSelect)},
        |lists AS (
        |  SELECT 'lex' AS method, query_id, doc_id, rnk FROM lex WHERE rnk <= $MetricK
        |  UNION ALL
@@ -754,16 +767,39 @@ object Retrieval {
     fuseRrf(lex, sem)
   }
 
-  /** q185's oracle: the q170 CTE chain verbatim with the workload CTE
-    * swapped for the fixture's id list (the file content is spec-pinned
-    * equal to [[ExternalQueryIds]], so the literal IS the file). */
-  val q185Sql: String = {
+  /** The external workload as the oracle's VALUES CTE body (the file
+    * content is spec-pinned equal to [[ExternalQueryIds]], so the
+    * literal IS the file). */
+  private val externalQSelect: String = {
     val vals = ExternalQueryIds.map(i => s"($i)").mkString(", ")
-    s"""WITH ${hybridCtesWith(
-        s"SELECT CAST(query_id AS BIGINT) AS query_id FROM (VALUES $vals) v(query_id)")}
+    s"SELECT CAST(query_id AS BIGINT) AS query_id FROM (VALUES $vals) v(query_id)"
+  }
+
+  /** q185's oracle: the q170 CTE chain verbatim with the workload CTE
+    * swapped for the fixture's id list. */
+  val q185Sql: String =
+    s"""WITH ${hybridCtesWith(externalQSelect)}
        |SELECT query_id, CAST(rnk AS BIGINT) AS rnk, doc_id,
        | CAST(rrf_dec AS DOUBLE) AS rrf_score,
        | CAST(lex_rnk AS BIGINT) AS lex_rnk, CAST(sem_rnk AS BIGINT) AS sem_rnk
        |FROM r WHERE rnk <= $HybridTopK ORDER BY query_id, rnk""".stripMargin
-  }
+
+  // ---------------------------------------------------------------- q196
+
+  /** q196: retrieval-quality metrics over the EXTERNAL workload —
+    * q172's eval protocol (labeled relevance, hits@k / precision@k /
+    * MRR for the lex/sem/rrf rankers) judged on the fixture queries
+    * q185 serves, completing the external-workload story through the
+    * EVAL leg: a production retrieval stack is tuned on a CURATED query
+    * set (the fixture), not on queries synthesized from its own corpus.
+    * Same factored harness ([[retrievalMetricsFor]]) and oracle text
+    * ([[metricsSqlWith]]) as q172 — only the workload CTE differs, so
+    * the two instantiations can never drift on metric semantics.
+    */
+  def q196ExternalMetrics(s: SparkSession, dir: String): DataFrame =
+    retrievalMetricsFor(s, dir,
+      s.read.parquet(externalQueriesPath(dir))
+        .select(col("query_id").cast("long").as("query_id")))
+
+  val q196Sql: String = metricsSqlWith(externalQSelect)
 }

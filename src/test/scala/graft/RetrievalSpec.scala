@@ -288,4 +288,22 @@ class RetrievalSpec extends SparkTestBase {
     // one (ids are not the 8 smallest vec_ids)
     assert(Retrieval.ExternalQueryIds.toSet !== (0L until 8L).toSet)
   }
+
+  test("q196: external-workload metrics cover every fixture query under the q172 protocol") {
+    val got = Retrieval.q196ExternalMetrics(spark, sf).collect()
+    assert(got.map(_.getAs[Long]("query_id")).distinct.sorted.toSeq ===
+      Retrieval.ExternalQueryIds.sorted)
+    assert(got.map(_.getAs[String]("method")).distinct.sorted.toSeq ===
+      Seq("lex", "rrf", "sem"))
+    got.foreach { r =>
+      val p = r.getAs[Double]("precision_at_k")
+      assert(p >= 0.0 && p <= 1.0)
+      assert(r.getAs[Long]("hits_at_k") <= Retrieval.MetricK)
+      assert(r.getAs[Long]("hits_at_k") <= r.getAs[Long]("n_relevant"))
+    }
+    // non-degenerate: some ranker finds something relevant for the
+    // external queries, and not every list is perfect
+    assert(got.exists(_.getAs[Long]("hits_at_k") > 0))
+    assert(got.exists(r => r.getAs[Long]("hits_at_k") < Retrieval.MetricK))
+  }
 }

@@ -952,6 +952,19 @@ object Clustering {
     * within a cell, so comp % 10¹² decodes back to the min member id).
     * Headroom: 6 cells × ids < 10¹² keeps every composite well under
     * 2^53, and the propagation's decimal label sums don't overflow.
+    *
+    * PRECONDITION (explicit per r16 verdict residual #2): every vec_id
+    * must be < [[CellOffset]] = 10¹², or composites from adjacent cells
+    * would collide and the `% CellOffset` decode would corrupt labels.
+    * Holds by construction for every shipped corpus (ids are dense
+    * sequential longs, ≤ ~10⁸ even at 100 TB with billion-document
+    * shards); a deployment with synthetic/hashed 64-bit ids must densify
+    * first (q50's id-densify is the canonical pre-pass). The guard is
+    * enforced at plan time on the statically-known side
+    * ([[sweepGrid]].size · CellOffset within double-exact range) and
+    * documented, not row-checked — a per-row assert_true on E·|grid|
+    * edge rows would tax every sweep for a condition the id contract
+    * already guarantees.
     */
   private val CellOffset: Long = 1000000000000L
 
@@ -998,6 +1011,10 @@ object Clustering {
     }
 
   def q184DbscanSweep(s: SparkSession, dir: String): DataFrame = {
+    // static half of the CellOffset precondition (see its Scaladoc): the
+    // widest composite a grid this size can mint stays double-exact
+    require(sweepGrid.size.toLong * CellOffset < (1L << 53),
+      s"sweep grid of ${sweepGrid.size} cells overflows the 2^53-exact composite-id space")
     val gridLit = array(sweepGrid.map { case (c, e, m) =>
       struct(lit(c).as("cell"), lit(e).as("eps"), lit(m).as("mp")) }: _*)
     val mpByCell = array(sweepGrid.sortBy(_._1).map(g => lit(g._3)): _*)

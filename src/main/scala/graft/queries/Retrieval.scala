@@ -735,16 +735,17 @@ object Retrieval {
   /** Resolve the external workload parquet: a generated data dir carries
     * its own copy next to the tables (GenData writes it); the driver's
     * read-only sf dirs don't, so the committed repo fixture serves those
-    * — via `GRAFT_FIXTURES_DIR`, the working directory, or the absolute
-    * repo path, in that order. Missing everywhere is a loud error, not a
-    * silent fallback to a synthesized workload (the query exists to
-    * prove the EXTERNAL parameterization end-to-end).
+    * — via `GRAFT_FIXTURES_DIR` or the working directory, in that order
+    * (no absolute-path fallback: a machine-specific path baked into the
+    * library would silently read a stale fixture on a differently-rooted
+    * deployment — r16 verdict residual #1). Missing everywhere is a loud
+    * error, not a silent fallback to a synthesized workload (the query
+    * exists to prove the EXTERNAL parameterization end-to-end).
     */
   private[graft] def externalQueriesPath(dir: String): String = {
     val cands = Seq(Some(s"$dir/queries.parquet"),
       sys.env.get("GRAFT_FIXTURES_DIR").map(_ + "/queries.parquet"),
-      Some("fixtures/queries.parquet"),
-      Some("/root/repo/fixtures/queries.parquet")).flatten
+      Some("fixtures/queries.parquet")).flatten
     cands.find(p => new java.io.File(p).exists()).getOrElse(
       sys.error(s"external query workload not found; tried: ${cands.mkString(", ")}"))
   }

@@ -281,7 +281,18 @@ class TrainingDataSpec extends SparkTestBase {
       assert(row(1).asInstanceOf[Long] > baseRow.getAs[Long]("n_docs"),
         "straddling shard did not absorb delta docs")
     }
-    assert(deltaDocs >= 0) // documentation: shards wholly in the delta may or may not exist
+    // shards wholly in the delta: a real check, not documentation — the
+    // fixture's delta is several budgets long, so at least one shard must
+    // open at or after the split threshold (r16 ADVICE: the old
+    // `deltaDocs >= 0` was vacuously true)
+    val deltaTokens = batch.map(r => r(2).asInstanceOf[Long]).sum -
+      baseManifest.map(_.getAs[Long]("n_tokens")).sum
+    if (deltaTokens > 2 * TrainingData.ShardTokenBudget) {
+      assert(deltaDocs > 0,
+        s"delta carries $deltaTokens tokens (> 2 budgets) but no shard opens inside it")
+    } else {
+      assert(deltaDocs >= 0) // tiny delta: wholly-in-delta shards may legitimately not exist
+    }
   }
 
   test("q194 ≡ plain-Scala cascade replay; the semantic leg is non-vacuous") {

@@ -21,6 +21,13 @@ REC = "bench_records/r%s_idle_%s_%sq.json"
 
 def medians(prefix, runs, nq):
     rs = [json.load(open(REC % (prefix, i, nq))) for i in runs]
+    # a triple whose runs disagree on the query set is a recording error —
+    # fail with the delta instead of a bare KeyError (r16 ADVICE)
+    keys = [set(r["queries"]) for r in rs]
+    if any(k != keys[0] for k in keys[1:]):
+        diff = set.union(*keys) - set.intersection(*keys)
+        raise SystemExit(f"r{prefix} idle runs disagree on query sets; "
+                         f"only-in-some: {sorted(diff)}")
     out = {}
     for q in rs[0]["queries"]:
         out[q] = round(statistics.median(r["queries"][q] for r in rs), 2)

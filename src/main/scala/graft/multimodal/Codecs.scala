@@ -46,11 +46,15 @@ object WavCodec {
     bb.array()
   }
 
-  /** Parse a RIFF/WAVE container and decode its PCM16 payload. Walks the
-    * chunk list generically (a real-world WAV may carry LIST/fact/cue
-    * chunks before `data`; chunk bodies pad to even length per RIFF).
-    */
-  def decode(bytes: Array[Byte]): WavInfo = {
+  /** Container layout facts shared by [[decode]] and [[decodeSamples]]:
+    * fmt-chunk fields plus the located data chunk. */
+  private case class Layout(sampleRate: Int, channels: Int, bits: Int,
+                            dataOff: Int, dataLen: Int)
+
+  /** Walk the RIFF chunk list generically (a real-world WAV may carry
+    * LIST/fact/cue chunks before `data`; chunk bodies pad to even length
+    * per RIFF) and locate fmt + data. */
+  private def layout(bytes: Array[Byte]): Layout = {
     val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
     def fourCC(): String = {
       val b = new Array[Byte](4); bb.get(b); new String(b, US_ASCII)
@@ -80,6 +84,14 @@ object WavCodec {
       }
     }
     require(dataOff >= 0 && sampleRate > 0 && channels > 0, "missing fmt /data chunk")
+    Layout(sampleRate, channels, bits, dataOff, dataLen)
+  }
+
+  /** Parse a RIFF/WAVE container and decode its PCM16 payload into exact
+    * integer reductions. */
+  def decode(bytes: Array[Byte]): WavInfo = {
+    val Layout(sampleRate, channels, bits, dataOff, dataLen) = layout(bytes)
+    val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
     val nSamples = dataLen / 2
     var peak = 0L; var sumSq = 0L; var sumAbs = 0L
     var i = 0
@@ -94,6 +106,21 @@ object WavCodec {
     val nFrames = nSamples / channels
     WavInfo(sampleRate.toLong, channels.toLong, bits.toLong, nFrames.toLong,
       nFrames.toLong * 1000L / sampleRate, peak, sumSq, sumAbs)
+  }
+
+  /** Parse a RIFF/WAVE container and return the decoded interleaved PCM16
+    * samples themselves (same generic chunk walk as [[decode]]) — the
+    * entry point for sample-level kernels like the q198 acoustic
+    * fingerprint, where the per-window energies must come from bytes READ
+    * BACK out of the container, not from the synthesis formula.
+    */
+  def decodeSamples(bytes: Array[Byte]): Array[Short] = {
+    val l = layout(bytes)
+    val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    val out = new Array[Short](l.dataLen / 2)
+    var i = 0
+    while (i < out.length) { out(i) = bb.getShort(l.dataOff + 2 * i); i += 1 }
+    out
   }
 }
 
@@ -141,9 +168,10 @@ object BmpCodec {
     bb.array()
   }
 
-  /** Parse a 24bpp BMP: geometry from the headers, pixel sums from the
-    * padded bottom-up pixel array at the header-declared offset. */
-  def decode(bytes: Array[Byte]): BmpInfo = {
+  /** Header facts shared by [[decode]] and [[decodePixels]]. */
+  private case class Header(width: Int, height: Int, pixelOff: Int)
+
+  private def header(bytes: Array[Byte]): Header = {
     val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
     require(bb.get() == 'B'.toByte && bb.get() == 'M'.toByte, "not a BMP")
     bb.getInt(); bb.getInt()                      // file size, reserved
@@ -156,6 +184,45 @@ object BmpCodec {
     require(bpp == 24, s"unsupported bit depth $bpp (24bpp only)")
     require(bb.getInt() == 0, "compressed BMP unsupported")
     require(height > 0, "top-down BMP unsupported")
+    Header(width, height, pixelOff)
+  }
+
+  /** A decoded pixel grid: TOP-DOWN row-major, one packed
+    * `(r << 16) | (g << 8) | b` int per pixel — the materialized form
+    * sample-level kernels (perceptual hashing, resize) consume.
+    */
+  case class BmpImage(width: Int, height: Int, px: Array[Int])
+
+  /** Parse a 24bpp BMP and return the full decoded pixel grid — same
+    * header walk as [[decode]], but materializing every pixel (top-down,
+    * undoing the container's bottom-up padded rows). The entry point for
+    * pixel-level kernels like the q197 perceptual hash, where the hash
+    * must be computed from bytes READ BACK out of the container.
+    */
+  def decodePixels(bytes: Array[Byte]): BmpImage = {
+    val Header(width, height, pixelOff) = header(bytes)
+    val rowLen = stride(width)
+    val px = new Array[Int](width * height)
+    var y = 0
+    while (y < height) {
+      val off = pixelOff + (height - 1 - y) * rowLen
+      var x = 0
+      while (x < width) {
+        val b = bytes(off + 3 * x) & 0xff
+        val g = bytes(off + 3 * x + 1) & 0xff
+        val r = bytes(off + 3 * x + 2) & 0xff
+        px(y * width + x) = (r << 16) | (g << 8) | b
+        x += 1
+      }
+      y += 1
+    }
+    BmpImage(width, height, px)
+  }
+
+  /** Parse a 24bpp BMP: geometry from the headers, pixel sums from the
+    * padded bottom-up pixel array at the header-declared offset. */
+  def decode(bytes: Array[Byte]): BmpInfo = {
+    val Header(width, height, pixelOff) = header(bytes)
     val rowLen = stride(width)
     var sumB = 0L; var sumG = 0L; var sumR = 0L
     var y = 0
@@ -171,7 +238,7 @@ object BmpCodec {
       }
       y += 1
     }
-    BmpInfo(width.toLong, height.toLong, bpp.toLong, width.toLong * height,
+    BmpInfo(width.toLong, height.toLong, 24L, width.toLong * height, // bpp=24 enforced by header()
       bytes.length.toLong, sumB, sumG, sumR)
   }
 }

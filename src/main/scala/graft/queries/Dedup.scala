@@ -675,6 +675,37 @@ object Dedup {
     q24SimHashWithBlocks(s, dir,
       simHashBlocks(documents(s, dir).count()))
 
+  /** The occupancy-adaptive Hamming band join over ANY (doc_id, sig)
+    * frame of [[SimHashBits]]-wide signatures — q24's candidate machine,
+    * factored so the image dHash (q197) and acoustic fingerprint (q198)
+    * near-dup operators reuse it verbatim: explode each signature into
+    * the C(m,3) block-permutation candidate tables
+    * ([[simHashTableMasks]]), equi-join on (table, masked signature),
+    * dedup candidate pairs, verify with bit_count(xor) ≤
+    * [[SimHashMaxHamming]]. Lossless for hamming ≤ 3 at every block
+    * count m ≥ 4 (pigeonhole: ≤ 3 dirty bits live in ≤ 3 blocks, so some
+    * kept (m−3)-block key is clean on both sides). Returns
+    * (doc_a, doc_b, sig_a, sig_b, hamming), unordered.
+    */
+  private[graft] def hammingBandPairs(base: DataFrame, blocks: Int): DataFrame = {
+    val bandStructs = array(simHashTableMasks(blocks).zipWithIndex.map {
+      case (mask, k) => struct(lit(k).as("band"),
+        col("sig").bitwiseAND(lit(mask)).as("band_val"))
+    }: _*)
+    val bands = base.select(col("doc_id"), col("sig"),
+      explode(bandStructs).as("bv"))
+      .select(col("doc_id"), col("sig"),
+        col("bv.band").as("band"), col("bv.band_val").as("band_val"))
+    bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.band_val") === col("b.band_val")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+      .dropDuplicates("doc_a", "doc_b")
+      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("long"))
+      .filter(col("hamming") <= SimHashMaxHamming)
+  }
+
   /** The q24 pipeline at a FIXED block count — package-visible so the
     * spec can pin pair-set equality across ladder steps. */
   private[graft] def q24SimHashWithBlocks(s: SparkSession, dir: String,
@@ -694,25 +725,11 @@ object Dedup {
       .reduce(_ + _)
     val base = tok.groupBy(col("doc_id"))
       .agg(bitSums.head, bitSums.tail: _*)
-      .withColumn("simhash", sig)
-      .select(col("doc_id"), col("simhash"))
-    val bandStructs = array(simHashTableMasks(blocks).zipWithIndex.map {
-      case (mask, k) => struct(lit(k).as("band"),
-        col("simhash").bitwiseAND(lit(mask)).as("band_val"))
-    }: _*)
-    val bands = base.select(col("doc_id"), col("simhash"),
-      explode(bandStructs).as("bv"))
-      .select(col("doc_id"), col("simhash"),
-        col("bv.band").as("band"), col("bv.band_val").as("band_val"))
-    bands.as("a").join(bands.as("b"),
-        col("a.band") === col("b.band") && col("a.band_val") === col("b.band_val")
-          && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.simhash").as("sim_a"), col("b.simhash").as("sim_b"))
-      .dropDuplicates("doc_a", "doc_b")
-      .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).cast("long"))
-      .filter(col("hamming") <= SimHashMaxHamming)
-      .select(col("doc_a"), col("doc_b"), col("sim_a"), col("sim_b"), col("hamming"))
+      .withColumn("sig", sig)
+      .select(col("doc_id"), col("sig"))
+    hammingBandPairs(base, blocks)
+      .select(col("doc_a"), col("doc_b"),
+        col("sig_a").as("sim_a"), col("sig_b").as("sim_b"), col("hamming"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
 

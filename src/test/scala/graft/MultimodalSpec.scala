@@ -224,4 +224,105 @@ class MultimodalSpec extends SparkTestBase {
     intercept[IllegalArgumentException](PngCodec.decode(flipped))
     intercept[IllegalArgumentException](PngCodec.decode(good.drop(1)))
   }
+
+  // ---- perceptual near-dup (q197/q198): decoded-pixel/sample access,
+  // ---- fingerprint math, planted twins, and banding losslessness
+
+  test("BMP decodePixels returns the exact top-down grid across padding and bottom-up rows") {
+    import graft.multimodal.BmpCodec
+    // width 5 → 15-byte rows padded to 16: the padding path is exercised
+    val bytes = BmpCodec.encode(5, 3, (x, y) => (x + 10 * y, 100 + x, 200 + y))
+    val img = BmpCodec.decodePixels(bytes)
+    assert(img.width === 5 && img.height === 3)
+    for (y <- 0 until 3; x <- 0 until 5) {
+      val p = img.px(y * 5 + x)
+      assert((p & 0xff) === x + 10 * y, s"b at ($x,$y)")
+      assert(((p >> 8) & 0xff) === 100 + x, s"g at ($x,$y)")
+      assert(((p >> 16) & 0xff) === 200 + y, s"r at ($x,$y)")
+    }
+  }
+
+  test("WAV decodeSamples returns the exact PCM16 payload including negatives") {
+    import graft.multimodal.WavCodec
+    val samples = Array[Short](0, 1, -1, 32767, -32768, 1001, -999)
+    assert(WavCodec.decodeSamples(WavCodec.encode(8000, 1, samples)).sameElements(samples))
+  }
+
+  test("dHash: a 1-pixel perturbation at a sampled cell moves hamming by at most 2; other docs are far") {
+    import graft.multimodal.{BmpCodec, PerceptualHash => P}
+    def img(seed: Long, perturb: Boolean) = BmpCodec.decodePixels(
+      BmpCodec.encode(P.ImgW, P.ImgH, (x, y) => {
+        var v = P.grayAt(seed, x, y)
+        if (perturb && x == P.PerturbX && y == P.PerturbY) v = (v + 128) % 256
+        (v, v, v)
+      }))
+    val base = P.dHash(img(0L, perturb = false))
+    val near = P.dHash(img(0L, perturb = true))
+    assert(java.lang.Long.bitCount(base ^ near) <= 2, "perturbed twin drifted > 2 bits")
+    val other = P.dHash(img(1L, perturb = false))
+    assert(java.lang.Long.bitCount(base ^ other) > 3, "unrelated docs too close")
+  }
+
+  test("q197/q198 pair sets equal a plain-Scala brute force over all pairs (banding is lossless)") {
+    import graft.multimodal.{BmpCodec, PerceptualHash => P, WavCodec}
+    import graft.queries.MultimodalQ
+    val ids = Tables.documents(spark, sf).select("doc_id")
+      .collect().map(_.getLong(0)).sorted
+    def imgSig(docId: Long): Long = {
+      val twin = docId % P.ImgTwinMod == P.ImgTwinOff
+      val seed = if (twin) docId - P.ImgTwinOff else docId
+      P.dHash(BmpCodec.decodePixels(BmpCodec.encode(P.ImgW, P.ImgH, (x, y) => {
+        var v = P.grayAt(seed, x, y)
+        if (twin && x == P.PerturbX && y == P.PerturbY) v = (v + 128) % 256
+        (v, v, v)
+      })))
+    }
+    def wavSig(docId: Long): Long = {
+      val twin = docId % P.WavTwinMod == P.WavTwinOff
+      val seed = if (twin) docId - P.WavTwinOff else docId
+      val s0 = Array.tabulate(P.FpSamples)(k => P.sampleAt(seed, k).toShort)
+      if (twin) s0(P.PerturbK) = (s0(P.PerturbK) + 1).toShort
+      P.audioFp(WavCodec.decodeSamples(WavCodec.encode(8000, 1, s0)))
+    }
+    def brute(sig: Map[Long, Long]): Set[(Long, Long, Long)] =
+      (for {
+        i <- ids.indices.iterator; j <- (i + 1 until ids.length).iterator
+        h = java.lang.Long.bitCount(sig(ids(i)) ^ sig(ids(j))).toLong
+        if h <= graft.functions.HashConsts.SimHashMaxHamming
+      } yield (ids(i), ids(j), h)).toSet
+    val imgSigs = ids.map(d => d -> imgSig(d)).toMap
+    val wavSigs = ids.map(d => d -> wavSig(d)).toMap
+    val gotImg = MultimodalQ.q197ImageNearDup(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getAs[Long]("hamming"))).toSet
+    val gotWav = MultimodalQ.q198AudioNearDup(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getAs[Long]("hamming"))).toSet
+    assert(gotImg === brute(imgSigs), "q197 pair set != brute force")
+    assert(gotWav === brute(wavSigs), "q198 pair set != brute force")
+    // planted twins present (the corpus guarantees base 0 exists), and a
+    // genuine negative absent
+    assert(gotImg.exists(p => p._1 === 0L && p._2 === P.ImgTwinOff && p._3 <= 2))
+    assert(gotWav.exists(p => p._1 === 0L && p._2 === P.WavTwinOff && p._3 <= 2))
+    assert(!gotImg.exists(p => p._1 === 0L && p._2 === 1L))
+    assert(!gotWav.exists(p => p._1 === 0L && p._2 === 1L))
+  }
+
+  test("q197 verified pair set is invariant across banding ladder rungs (4 vs 8 blocks)") {
+    import org.apache.spark.sql.functions.col
+    import graft.multimodal.{BmpCodec, PerceptualHash => P}
+    import spark.implicits._
+    val sigs = Tables.documents(spark, sf).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { docId =>
+        val twin = docId % P.ImgTwinMod == P.ImgTwinOff
+        val seed = if (twin) docId - P.ImgTwinOff else docId
+        (docId, P.dHash(BmpCodec.decodePixels(BmpCodec.encode(P.ImgW, P.ImgH, (x, y) => {
+          var v = P.grayAt(seed, x, y)
+          if (twin && x == P.PerturbX && y == P.PerturbY) v = (v + 128) % 256
+          (v, v, v)
+        }))))
+      }).toDF("doc_id", "sig").cache()
+    def pairs(blocks: Int) = graft.queries.Dedup.hammingBandPairs(sigs, blocks)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs(4) === pairs(8), "wider rung lost or invented verified pairs")
+    sigs.unpersist()
+  }
 }

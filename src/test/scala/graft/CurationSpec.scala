@@ -625,4 +625,63 @@ class CurationSpec extends SparkTestBase {
     assert(r.getAs[Long]("n_keys_right") === lc.size.toLong)
     assert(r.getAs[Long]("n_keys_matched") === lc.keySet.count(oc.contains).toLong)
   }
+
+  test("q199: PII audit equals a java.util.regex replay; planted classes hit, near-misses and residuals zero") {
+    val out = Curation.q199PiiAudit(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    // plain-Scala replay: rebuild the audited text per doc, count with
+    // java.util.regex (independent engine #3 next to Spark and DuckDB),
+    // redact, and aggregate per source
+    val email = java.util.regex.Pattern.compile(Curation.PiiEmailRe)
+    val phone = java.util.regex.Pattern.compile(Curation.PiiPhoneRe)
+    val idp = java.util.regex.Pattern.compile(Curation.PiiIdRe)
+    def nMatches(p: java.util.regex.Pattern, s: String): Long = {
+      val m = p.matcher(s); var n = 0L; while (m.find()) n += 1; n
+    }
+    def pad(v: Long, w: Int): String = s"%0${w}d".format(v)
+    case class Acc(var docs: Long = 0, var eDocs: Long = 0, var pDocs: Long = 0,
+                   var iDocs: Long = 0, var e: Long = 0, var p: Long = 0,
+                   var i: Long = 0, var resid: Long = 0, var chars: Long = 0)
+    val accs = collection.mutable.Map.empty[String, Acc]
+    Tables.documents(spark, sf).select("doc_id", "source", "text").collect().foreach { r =>
+      val (docId, src, text) = (r.getLong(0), r.getString(1), r.getString(2))
+      val t = text + ((docId % 4) match {
+        case 0 => s" contact u$docId@ex.com now"
+        case 1 => s" call 555-${pad(docId % 10000, 4)}-0123 now"
+        case 2 => s" ref 042-${pad(docId % 100, 2)}-${pad(docId % 10000, 4)} now"
+        case _ => s" ping u$docId@ex and 555-12-34 now"
+      })
+      val (ne, np, ni) = (nMatches(email, t), nMatches(phone, t), nMatches(idp, t))
+      // planted-class contract on THIS corpus: exactly one hit of the
+      // planted class, zero of the others, zero for near-miss docs
+      (docId % 4) match {
+        case 0 => assert((ne, np, ni) === ((1L, 0L, 0L)), s"doc $docId")
+        case 1 => assert((ne, np, ni) === ((0L, 1L, 0L)), s"doc $docId")
+        case 2 => assert((ne, np, ni) === ((0L, 0L, 1L)), s"doc $docId")
+        case _ => assert((ne, np, ni) === ((0L, 0L, 0L)), s"near-miss doc $docId matched")
+      }
+      val red = idp.matcher(phone.matcher(email.matcher(t).replaceAll("[EMAIL]"))
+        .replaceAll("[PHONE]")).replaceAll("[ID]")
+      val a = accs.getOrElseUpdate(src, Acc())
+      a.docs += 1; a.e += ne; a.p += np; a.i += ni
+      if (ne > 0) a.eDocs += 1
+      if (np > 0) a.pDocs += 1
+      if (ni > 0) a.iDocs += 1
+      a.resid += nMatches(email, red) + nMatches(phone, red) + nMatches(idp, red)
+      a.chars += red.length.toLong
+    }
+    assert(out.keySet === accs.keySet.toSet)
+    accs.foreach { case (src, a) =>
+      val r = out(src)
+      assert(r.getAs[Long]("n_docs") === a.docs, s"$src n_docs")
+      assert(r.getAs[Long]("email_docs") === a.eDocs, s"$src email_docs")
+      assert(r.getAs[Long]("phone_docs") === a.pDocs, s"$src phone_docs")
+      assert(r.getAs[Long]("id_docs") === a.iDocs, s"$src id_docs")
+      assert(r.getAs[Long]("email_hits") === a.e, s"$src email_hits")
+      assert(r.getAs[Long]("phone_hits") === a.p, s"$src phone_hits")
+      assert(r.getAs[Long]("id_hits") === a.i, s"$src id_hits")
+      assert(r.getAs[Long]("residual_hits") === 0L && a.resid === 0L, s"$src residuals")
+      assert(r.getAs[Long]("redacted_chars") === a.chars, s"$src redacted_chars")
+    }
+  }
 }

@@ -860,6 +860,35 @@ object Dedup {
     * pins q108's dup set to q23's full pair list restricted to delta-base
     * pairs, so the shortcut provably loses nothing.)
     */
+  /** Per-ROW MinHash band rows — the STREAM-APPLICABLE formulation of
+    * [[minhashState]] + [[bandRows]]: the signature is a pure expression
+    * per document (min over the shingle multiset ≡ min over the distinct
+    * set, so the explode+groupBy the batch path uses for codegen
+    * efficiency is unnecessary), which means it computes map-side on an
+    * unbounded stream with no aggregate — the "signature in the event"
+    * half of the streaming near-dup dedup ([[graft.streaming
+    * .NearDupStream]]). Input needs (doc_id, text) plus any passthrough
+    * columns (event time rides along); output replaces `text` with
+    * (band, band_sig) rows, one per band, in exactly [[bandRows]]'s
+    * format (StreamingSpec pins rowBandRows ≡ bandRows∘minhashState on
+    * the same corpus). Documents with no shingles (< 3 words) carry no
+    * signature and are dropped, matching the batch path.
+    */
+  private[graft] def rowBandRows(docs: DataFrame): DataFrame = {
+    val passthrough = docs.columns.filterNot(_ == "text")
+    val sigCol = array((0 until MinHashK).map(j =>
+      array_min(transform(col("sh"), x =>
+        (hash32(x) * MinHashA(j) + MinHashB(j)) % MinHashPrime))): _*)
+    docs.withColumn("sh", shingles(words(col("text")), 3))
+      .filter(size(col("sh")) >= 1)
+      .withColumn("sig", sigCol)
+      .withColumn("band", explode(sequence(lit(0), lit(MinHashBands - 1))))
+      .withColumn("band_sig",
+        array_join(slice(col("sig"), col("band") * MinHashRowsPerBand + 1,
+          lit(MinHashRowsPerBand)), ","))
+      .select((passthrough :+ "band" :+ "band_sig").map(col).toSeq: _*)
+  }
+
   /** Per-doc MinHash state (doc_id, sig, n, sh) for every document —
     * q108's index substrate, eagerly checkpointed (band explode, probe,
     * and both verify sides all read it).

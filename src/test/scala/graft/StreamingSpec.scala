@@ -399,4 +399,78 @@ class StreamingSpec extends SparkTestBase {
     assert(state.toMap === batchSketch,
       "stream-merged CMS counters diverged from the batch sketch")
   }
+
+  test("streaming banded near-dup: drained candidates equal the batch band join; q23 pairs covered") {
+    implicit val sq = spark.sqlContext
+    import sq.implicits._
+    import graft.queries.Dedup
+    import graft.streaming.NearDupStream
+    // the per-row signature formulation must equal the batch aggregate
+    // on the same corpus before any streaming claim means anything
+    val rowForm = Dedup.rowBandRows(
+        Tables.documents(spark, sf).select(col("doc_id"), col("text"),
+          lit(Timestamp.valueOf("2024-01-01 10:00:00")).as("ts")))
+      .select("doc_id", "band", "band_sig").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    val batchBands = Dedup.bandRows(Dedup.minhashState(spark, sf))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    assert(rowForm === batchBands, "per-row band rows != batch band rows")
+    // drive the full corpus through the stream in two in-window batches
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val in = MemoryStream[(Long, String, Timestamp)]
+    val q = NearDupStream.candidates(in.toDF().toDF("doc_id", "text", "ts"),
+        10L * 60 * 1000)
+      .writeStream.format("memory").queryName("nd_stream")
+      .outputMode("append").start()
+    try {
+      val (h1, h2) = docs.splitAt(docs.length / 2)
+      in.addData(h1.map { case (id, t) => (id, t, ts(0)) }.toSeq)
+      q.processAllAvailable()
+      in.addData(h2.map { case (id, t) => (id, t, ts(5)) }.toSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("nd_stream").select("doc_a", "doc_b").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bb = Dedup.bandRows(Dedup.minhashState(spark, sf))
+    val batchCand = bb.as("a").join(bb.as("b"),
+        col("a.band") === col("b.band") && col("a.band_sig") === col("b.band_sig")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === batchCand, "stream drain != batch candidate pair set")
+    val q23Pairs = Dedup.q23MinHashLsh(spark, sf).select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(q23Pairs.subsetOf(got), "a verified near-dup pair escaped the stream")
+  }
+
+  test("streaming banded near-dup: bucket state expires with the watermark — a late twin is not paired") {
+    implicit val sq = spark.sqlContext
+    import sq.implicits._
+    import graft.streaming.NearDupStream
+    def t(hhmm: String) = Timestamp.valueOf(s"2024-01-01 $hhmm:00")
+    val text = "the quick brown fox jumps over the lazy dog again and again"
+    val filler = "completely unrelated filler content words marching ever onward tonight"
+    val in = MemoryStream[(Long, String, Timestamp)]
+    val q = NearDupStream.candidates(in.toDF().toDF("doc_id", "text", "ts"),
+        10L * 60 * 1000)
+      .writeStream.format("memory").queryName("nd_late")
+      .outputMode("append").start()
+    try {
+      in.addData((1000L, text, t("10:00")))
+      q.processAllAvailable()
+      in.addData((1001L, text, t("10:01")))           // in-window twin → pair
+      q.processAllAvailable()
+      in.addData((2000L, filler, t("11:30")))         // watermark → 11:20
+      q.processAllAvailable()
+      in.addData((1002L, text, t("11:31")))           // twin text, window long closed
+      q.processAllAvailable()
+      in.addData((1003L, text, t("11:32")))           // in-window with 1002 → pair
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("nd_late").select("doc_a", "doc_b").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((1000L, 1001L), (1002L, 1003L)),
+      s"within-watermark contract violated: $got")
+  }
 }

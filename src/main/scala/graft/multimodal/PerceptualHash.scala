@@ -59,6 +59,36 @@ object PerceptualHash {
   /** The twin's single perturbed sample (+1, inside window 18). */
   val PerturbK: Int = 300
 
+  // ---- video (q200): frame-sampled dHash sequence -------------------
+  /** Frames per synthesized "video" and per-frame geometry: 14×8 frames
+    * sample to the same 7×8 grid (x step 2, y step 1), so each frame
+    * carries a full 48-bit dHash and the SAME banding machine serves
+    * frame-level candidates. */
+  val VidFrames: Int = 6
+  val FrameW: Int = 14
+  val FrameH: Int = 8
+  require(FrameW % GridCols == 0 && FrameH % GridRows == 0,
+    "frame geometry must sample exactly onto the dHash grid")
+  val VidTwinMod: Long = 23L
+  val VidTwinOff: Long = 11L
+  /** The twin's single perturbed pixel lives in ONE frame: (f=2, 4, 3)
+    * — a sampled cell, so ≤ 2 bits of that frame's hash flip and the
+    * other [[VidFrames]]−1 frames stay identical. */
+  val VidPerturbF: Int = 2
+  val VidPerturbX: Int = 4
+  val VidPerturbY: Int = 3
+  /** Aligned-frame matches required before two videos count as near-dups
+    * (4 of 6: tolerant to a corrupted/re-encoded frame or two, strict
+    * enough that random 48-bit hashes can never assemble a pair). */
+  val VidMinFrames: Int = 4
+
+  /** Synthesized gray value of pixel (x, y) in frame f: the image
+    * formula with the frame index folded into the seed lane (doc seeds
+    * and frame indices stay distinct mod 2^20 at every shipped corpus
+    * size). */
+  def vidGrayAt(seed: Long, f: Int, x: Int, y: Int): Int =
+    (mix(((seed * 7 + f) % 1048576L) * 2654435761L + x * 8191L + y * 524287L) % 256L).toInt
+
   // ---- the shared integer mixer ------------------------------------
   /** Three xorshift/multiply rounds over a non-negative input < 2^52.
     * Bounds (both engines 64-bit signed): u < 2^52 ⇒ v1 < 2^31 ⇒
@@ -164,4 +194,8 @@ object PerceptualHash {
   /** SQL for [[sampleAt]] (expressions for seed/k). */
   def sampSql(seed: String, k: String): String =
     s"(${mixSql(s"(($seed) % 1048576) * 2654435761 + ($k) * 39916801")} % 2048 - 1024)"
+
+  /** SQL for [[vidGrayAt]] (expressions for seed/f/x/y). */
+  def vidGraySql(seed: String, f: String, x: String, y: String): String =
+    s"(${mixSql(s"((($seed) * 7 + ($f)) % 1048576) * 2654435761 + ($x) * 8191 + ($y) * 524287")} % 256)"
 }

@@ -392,4 +392,106 @@ object MultimodalQ {
        |FROM cand WHERE bit_count(xor(fp_a, fp_b)) <= $SimHashMaxHamming
        |ORDER BY doc_a, doc_b""".stripMargin
   }
+
+  // ---------------------------------------------------------------- q200
+
+  /** q200: frame-sampled VIDEO near-dup — completes the multimodal dedup
+    * triad (q197 image, q198 audio): a synthesized "video" is
+    * [[PerceptualHash.VidFrames]] BMP frames; each frame round-trips
+    * through the real container ([[BmpCodec.decodePixels]]) and carries
+    * its own 48-bit dHash, and two videos are near-dups when ≥
+    * [[PerceptualHash.VidMinFrames]] ALIGNED frames match at hamming ≤ 3
+    * — the frame-sample-then-hash recipe production video dedup runs
+    * (alignment-keyed: catches re-encodes/minor corruption, by design
+    * not trims). Planted twins perturb ONE pixel of ONE frame, so the
+    * pair survives with 5 exact frames + 1 near frame.
+    *
+    * Scale shape: the frame explode happens INSIDE the map kernel
+    * (doc → F signature rows, composite id doc·F+f), and candidates
+    * reuse [[Dedup.hammingBandPairs]] verbatim on the composite ids with
+    * the occupancy rung chosen for n·F rows; the aligned-frame filter
+    * and the ≥-k-frames vote are one projection + one pair-keyed
+    * aggregate after the verified frame pairs. Everything stays the
+    * near-linear banded shape — frame count only multiplies the map
+    * side.
+    */
+  def q200VideoNearDup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import PerceptualHash._
+    val nDocs = documents(s, dir).count()
+    val sigs = documents(s, dir).select(col("doc_id")).as[Long]
+      .mapPartitions(_.flatMap { docId =>
+        val twin = docId % VidTwinMod == VidTwinOff
+        val seed = if (twin) docId - VidTwinOff else docId
+        (0 until VidFrames).iterator.map { f =>
+          val bytes = BmpCodec.encode(FrameW, FrameH, (x, y) => {
+            var v = vidGrayAt(seed, f, x, y)
+            if (twin && f == VidPerturbF && x == VidPerturbX && y == VidPerturbY)
+              v = (v + 128) % 256
+            (v, v, v)
+          })
+          (docId * VidFrames + f, dHash(BmpCodec.decodePixels(bytes)))
+        }
+      }).toDF("doc_id", "sig")
+    Dedup.hammingBandPairs(sigs, simHashBlocks(nDocs * VidFrames))
+      .filter(col("doc_a") % VidFrames === col("doc_b") % VidFrames) // aligned frames only
+      .select(expr(s"doc_a div $VidFrames").as("da"),
+        expr(s"doc_b div $VidFrames").as("db"), col("hamming"))
+      .groupBy(col("da").as("doc_a"), col("db").as("doc_b"))
+      .agg(count(lit(1)).as("frames_matched"),
+        sum(col("hamming")).as("total_hamming"))
+      .filter(col("frames_matched") >= VidMinFrames)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** q200's oracle: per (doc, frame) the dHash from the synthesis
+    * formula at the sampled cells (frame index folded into the seed
+    * lane), a frame-aligned fixed-geometry band join, hamming ≤ 3
+    * verify, then the ≥-k-frames vote — geometry-free like q197/q198
+    * (banding is lossless at hamming ≤ 3, composite or frame-keyed
+    * alike). */
+  val q200Sql: String = {
+    import PerceptualHash._
+    val mask = (1L << SimHashBandBits) - 1
+    val xs = FrameW / GridCols
+    val ys = FrameH / GridRows
+    val pIdx = (VidPerturbY / ys) * GridCols + VidPerturbX / xs
+    val gray = vidGraySql("seed", "f", s"($xs * (k % $GridCols))",
+      if (ys == 1) s"(k // $GridCols)" else s"($ys * (k // $GridCols))")
+    val cols1 = GridCols - 1
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |   CASE WHEN doc_id % $VidTwinMod = $VidTwinOff THEN doc_id - $VidTwinOff ELSE doc_id END AS seed,
+       |   doc_id % $VidTwinMod = $VidTwinOff AS twin
+       |  FROM documents),
+       |fr AS (SELECT doc_id, seed, twin, f FROM d, unnest(range(0, $VidFrames)) u(f)),
+       |pix AS (
+       |  SELECT doc_id, f,
+       |   list_transform(range(0, ${GridCols * GridRows}), k ->
+       |     CASE WHEN twin AND f = $VidPerturbF AND k = $pIdx
+       |       THEN ($gray + 128) % 256 ELSE $gray END) AS gs
+       |  FROM fr),
+       |sigs AS (
+       |  SELECT doc_id, f,
+       |   list_reduce(list_prepend(CAST(0 AS BIGINT), range(0, $SimHashBits)), (acc, t) ->
+       |     acc + CASE WHEN gs[(t // $cols1) * $GridCols + (t % $cols1) + 2]
+       |                   > gs[(t // $cols1) * $GridCols + (t % $cols1) + 1]
+       |       THEN (CAST(1 AS BIGINT) << t) ELSE 0 END) AS sig
+       |  FROM pix),
+       |bands AS (
+       |  SELECT doc_id, f, sig, band, (sig >> (band * $SimHashBandBits)) & $mask AS band_val
+       |  FROM sigs, unnest(range(0, $SimHashBands)) AS u(band)),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.f AS f,
+       |   a.sig AS sig_a, b.sig AS sig_b
+       |  FROM bands a JOIN bands b
+       |    ON a.f = b.f AND a.band = b.band AND a.band_val = b.band_val
+       |   AND a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b,
+       | CAST(count(*) AS BIGINT) AS frames_matched,
+       | CAST(sum(bit_count(xor(sig_a, sig_b))) AS BIGINT) AS total_hamming
+       |FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= $SimHashMaxHamming
+       |GROUP BY doc_a, doc_b HAVING count(*) >= $VidMinFrames
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
 }

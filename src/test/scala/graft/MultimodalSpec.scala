@@ -306,6 +306,41 @@ class MultimodalSpec extends SparkTestBase {
     assert(!gotWav.exists(p => p._1 === 0L && p._2 === 1L))
   }
 
+  test("q200 pair set equals a plain-Scala brute force over aligned frame hashes (>= k-frames vote)") {
+    import graft.multimodal.{BmpCodec, PerceptualHash => P}
+    import graft.queries.MultimodalQ
+    val ids = Tables.documents(spark, sf).select("doc_id")
+      .collect().map(_.getLong(0)).sorted
+    def frameSig(docId: Long, f: Int): Long = {
+      val twin = docId % P.VidTwinMod == P.VidTwinOff
+      val seed = if (twin) docId - P.VidTwinOff else docId
+      P.dHash(BmpCodec.decodePixels(BmpCodec.encode(P.FrameW, P.FrameH, (x, y) => {
+        var v = P.vidGrayAt(seed, f, x, y)
+        if (twin && f == P.VidPerturbF && x == P.VidPerturbX && y == P.VidPerturbY)
+          v = (v + 128) % 256
+        (v, v, v)
+      })))
+    }
+    val sigs = ids.map(d => d -> Array.tabulate(P.VidFrames)(frameSig(d, _))).toMap
+    val maxH = graft.functions.HashConsts.SimHashMaxHamming
+    val brute = (for {
+      i <- ids.indices.iterator; j <- (i + 1 until ids.length).iterator
+      hs = (0 until P.VidFrames)
+        .map(f => java.lang.Long.bitCount(sigs(ids(i))(f) ^ sigs(ids(j))(f)).toLong)
+        .filter(_ <= maxH)
+      if hs.size >= P.VidMinFrames
+    } yield (ids(i), ids(j), hs.size.toLong, hs.sum)).toSet
+    val got = MultimodalQ.q200VideoNearDup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        r.getAs[Long]("frames_matched"), r.getAs[Long]("total_hamming"))).toSet
+    assert(got === brute, "q200 pair set != brute force")
+    // planted twin (0, 11): 5 exact frames + 1 perturbed (<= 2 bits)
+    val twin = got.find(p => p._1 === 0L && p._2 === P.VidTwinOff)
+    assert(twin.exists(p => p._3 === P.VidFrames.toLong && p._4 <= 2L),
+      s"planted video twin missing or degraded: $twin")
+    assert(!got.exists(p => p._1 === 0L && p._2 === 1L))
+  }
+
   test("q197 verified pair set is invariant across banding ladder rungs (4 vs 8 blocks)") {
     import org.apache.spark.sql.functions.col
     import graft.multimodal.{BmpCodec, PerceptualHash => P}

@@ -20,6 +20,20 @@ import graft.multimodal.{BmpCodec, Multimodal, PerceptualHash, PngCodec, WavCode
   */
 object MultimodalQ {
 
+  /** Plan-time guard for the perceptual-hash queries (q197/q198/q200):
+    * the media synthesis formulas fold the seed mod 2^20
+    * ([[PerceptualHash.grayAt]]/sampleAt/vidGrayAt), so documents whose
+    * ids are 2^20 apart would synthesize IDENTICAL media and surface as
+    * hamming-0 "dups" that are artifacts of the fixture generator, not
+    * the operator. Enforced here (q184's CellOffset idiom — a require,
+    * not a comment) because the testdata generator assigns dense ids
+    * from 0; a real-media deployment has no seed lane and no such bound.
+    */
+  private def requireSeedLane(nDocs: Long): Unit =
+    require(nDocs <= 1048576L,
+      s"perceptual-hash synthesis seeds fold mod 2^20: $nDocs docs would alias; " +
+        "widen the seed lane in PerceptualHash before scaling the fixture past 1,048,576 docs")
+
   /** q156 row: every field read back out of the WAV container by the
     * parser — geometry from the fmt chunk, reductions over decoded PCM16
     * samples as exact integers. */
@@ -250,6 +264,8 @@ object MultimodalQ {
   def q197ImageNearDup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import PerceptualHash._
+    val nDocs = documents(s, dir).count()
+    requireSeedLane(nDocs)
     val sigs = documents(s, dir).select(col("doc_id")).as[Long]
       .mapPartitions(_.map { docId =>
         val twin = docId % ImgTwinMod == ImgTwinOff
@@ -261,7 +277,7 @@ object MultimodalQ {
         })
         (docId, dHash(BmpCodec.decodePixels(bytes)))
       }).toDF("doc_id", "sig")
-    Dedup.hammingBandPairs(sigs, simHashBlocks(documents(s, dir).count()))
+    Dedup.hammingBandPairs(sigs, simHashBlocks(nDocs))
       .select(col("doc_a"), col("doc_b"),
         col("sig_a").as("hash_a"), col("sig_b").as("hash_b"), col("hamming"))
       .orderBy(col("doc_a"), col("doc_b"))
@@ -337,6 +353,8 @@ object MultimodalQ {
   def q198AudioNearDup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import PerceptualHash._
+    val nDocs = documents(s, dir).count()
+    requireSeedLane(nDocs)
     val sigs = documents(s, dir).select(col("doc_id")).as[Long]
       .mapPartitions(_.map { docId =>
         val twin = docId % WavTwinMod == WavTwinOff
@@ -348,7 +366,7 @@ object MultimodalQ {
         val bytes = WavCodec.encode(8000, 1, samples)
         (docId, audioFp(WavCodec.decodeSamples(bytes)))
       }).toDF("doc_id", "sig")
-    Dedup.hammingBandPairs(sigs, simHashBlocks(documents(s, dir).count()))
+    Dedup.hammingBandPairs(sigs, simHashBlocks(nDocs))
       .select(col("doc_a"), col("doc_b"),
         col("sig_a").as("fp_a"), col("sig_b").as("fp_b"), col("hamming"))
       .orderBy(col("doc_a"), col("doc_b"))
@@ -408,17 +426,19 @@ object MultimodalQ {
     *
     * Scale shape: the frame explode happens INSIDE the map kernel
     * (doc → F signature rows, composite id doc·F+f), and candidates
-    * reuse [[Dedup.hammingBandPairs]] verbatim on the composite ids with
-    * the occupancy rung chosen for n·F rows; the aligned-frame filter
-    * and the ≥-k-frames vote are one projection + one pair-keyed
-    * aggregate after the verified frame pairs. Everything stays the
-    * near-linear banded shape — frame count only multiplies the map
-    * side.
+    * reuse [[Dedup.hammingBandPairs]] with the frame index folded INTO
+    * the band-join key (`alignCols = f` — the r17 verdict's plan fix):
+    * misaligned frame pairs never materialize as candidates because the
+    * shuffle key is (f, band, band_val), matching the oracle's
+    * `a.f = b.f` join. The ≥-k-frames vote is one pair-keyed aggregate
+    * after the verified frame pairs. Everything stays the near-linear
+    * banded shape — frame count only multiplies the map side.
     */
   def q200VideoNearDup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import PerceptualHash._
     val nDocs = documents(s, dir).count()
+    requireSeedLane(nDocs)
     val sigs = documents(s, dir).select(col("doc_id")).as[Long]
       .mapPartitions(_.flatMap { docId =>
         val twin = docId % VidTwinMod == VidTwinOff
@@ -430,11 +450,10 @@ object MultimodalQ {
               v = (v + 128) % 256
             (v, v, v)
           })
-          (docId * VidFrames + f, dHash(BmpCodec.decodePixels(bytes)))
+          (docId * VidFrames + f, f, dHash(BmpCodec.decodePixels(bytes)))
         }
-      }).toDF("doc_id", "sig")
-    Dedup.hammingBandPairs(sigs, simHashBlocks(nDocs * VidFrames))
-      .filter(col("doc_a") % VidFrames === col("doc_b") % VidFrames) // aligned frames only
+      }).toDF("doc_id", "f", "sig")
+    Dedup.hammingBandPairs(sigs, simHashBlocks(nDocs * VidFrames), Seq("f"))
       .select(expr(s"doc_a div $VidFrames").as("da"),
         expr(s"doc_b div $VidFrames").as("db"), col("hamming"))
       .groupBy(col("da").as("doc_a"), col("db").as("doc_b"))

@@ -360,4 +360,39 @@ class MultimodalSpec extends SparkTestBase {
     assert(pairs(4) === pairs(8), "wider rung lost or invented verified pairs")
     sigs.unpersist()
   }
+
+  test("hammingBandPairs alignCols folds the frame into the join key: misaligned twins are never candidates") {
+    import spark.implicits._
+    // identical signatures on DIFFERENT frames (a misaligned candidate in
+    // the r17 candidate-then-filter form) plus an aligned twin pair
+    val sigs = Seq(
+      (1L, 0, 0x0f0f0f0f0f0fL), (2L, 1, 0x0f0f0f0f0f0fL), // same sig, frames 0 vs 1
+      (3L, 2, 0x123456789abL), (4L, 2, 0x123456789abL)    // same sig, same frame
+    ).toDF("doc_id", "f", "sig")
+    val aligned = graft.queries.Dedup.hammingBandPairs(sigs, 4, Seq("f"))
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(aligned === Set((3L, 4L)),
+      "frame-keyed band join must pair only same-frame signatures")
+    // the unaligned machine WOULD have produced the misaligned candidate —
+    // the pruning is real, not vacuous
+    val unaligned = graft.queries.Dedup.hammingBandPairs(sigs.drop("f"), 4)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(unaligned === Set((1L, 2L), (3L, 4L)))
+  }
+
+  test("WAV decodeSamples rejects non-PCM16 containers loudly (8-bit fmt chunk)") {
+    import graft.multimodal.WavCodec
+    // a valid PCM16 container with the fmt chunk's bits-per-sample field
+    // patched to 8: decode paths must fail the fmt parse, never silently
+    // reinterpret the payload as PCM16 (r17 ADVICE #1, pinned)
+    val bytes = WavCodec.encode(8000, 1, Array[Short](1, 2, 3, 4))
+    // fmt chunk layout: "RIFF"(4) size(4) "WAVE"(4) "fmt "(4) size(4)
+    // format(2) channels(2) rate(4) byterate(4) align(2) bits(2) → offset 34
+    val bad = bytes.clone()
+    bad(34) = 8.toByte; bad(35) = 0.toByte
+    val e = intercept[IllegalArgumentException](WavCodec.decodeSamples(bad))
+    assert(e.getMessage.contains("PCM16"), s"wrong failure: ${e.getMessage}")
+    // sanity: the unpatched container still decodes
+    assert(WavCodec.decodeSamples(bytes).sameElements(Array[Short](1, 2, 3, 4)))
+  }
 }

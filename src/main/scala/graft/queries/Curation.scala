@@ -989,7 +989,7 @@ object Curation {
     * ([[piiAuditedCol]]) and rendered for DuckDB ([[piiAuditedSql]]) from
     * one snippet table.
     */
-  private def piiAuditedCol: Column = {
+  private[queries] def piiAuditedCol: Column = {
     val id4 = lpad((col("doc_id") % 10000).cast("string"), 4, "0")
     val id2 = lpad((col("doc_id") % 100).cast("string"), 2, "0")
     concat(col("text"),
@@ -1003,7 +1003,7 @@ object Curation {
         concat(lit(" ping u"), col("doc_id"), lit("@ex and 555-12-34 now"))))
   }
 
-  private def piiAuditedSqlExpr: String =
+  private[queries] def piiAuditedSqlExpr: String =
     """text || CASE doc_id % 4
       |  WHEN 0 THEN ' contact u' || doc_id || '@ex.com now'
       |  WHEN 1 THEN ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || '-0123 now'

@@ -1,0 +1,369 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables._
+import graft.functions.TextFns.qualityScore
+
+/** Pre-text web-curation operators (r17 verdict ask #4) plus the
+  * multimodal curation capstone (ask #5): the stage a C4/RefinedWeb-class
+  * pipeline runs BEFORE any text model sees a byte — URL canonicalization
+  * (tracking-param strip, case folding, fragment drop), registered-domain
+  * extraction (public-suffix-aware), per-domain document caps with
+  * domain-level quality stats — and the funnel that chains the shipped
+  * PII/text/image/audio/video curation stages into one staged-count
+  * report (the q100 idiom at the multimodal frontier).
+  *
+  * The corpus carries no URL column, so each document's raw URL is
+  * synthesized deterministically from its id (the q199 planted-span
+  * idiom): mixed-case schemes and hosts, www. and cdn. prefixes, four
+  * TLDs including a two-level public suffix, unordered query strings
+  * mixing real and tracking parameters, and optional fragments — every
+  * mess the canonicalizer exists to clean, planted so the oracle can
+  * predict the cleaned result exactly. The canonicalizer itself is a
+  * GENERIC parser (regex scheme/host/path/query split + list filter and
+  * sort) with no knowledge of the synthesis; only the regex subset both
+  * Java regex and DuckDB's RE2 evaluate identically is used (the q199
+  * contract).
+  */
+object WebCuration {
+
+  // ---------------------------------------------------------------- q203
+
+  /** TLD lane: doc_id % 4 picks one; index 2 is a two-level public
+    * suffix so registered-domain extraction has a real case to get
+    * wrong. */
+  val UrlTlds: Seq[String] = Seq("com", "org", "co.uk", "net")
+
+  /** Tracking parameters stripped by canonicalization (the public
+    * C4/RefinedWeb hygiene list shape: analytics campaign tags and click
+    * identifiers; `ref` is kept in the class because referral tags are
+    * per-session, not per-resource). */
+  val TrackingParamRe: String = "^(utm_[^=]*|fbclid|gclid|ref)="
+
+  /** The synthesized raw URL (Spark side). Lanes, all by doc_id residue:
+    * scheme https/http (%2), UPPERCASED scheme (%7=1), www. prefix
+    * (%3=0), cdn. subdomain (%11=4), UPPERCASED host (%5=1), 13 names ×
+    * 4 TLDs = 52 registered domains, path with trailing slash (%6=2),
+    * query params in deliberately unsorted raw order — utm_source
+    * (%2=0), id (%3≠1), page (%4=3), fbclid (%5=0), ref (%7=2) — and a
+    * fragment (%8=5). */
+  private def rawUrlCol: Column = {
+    val scheme0 = when(col("doc_id") % 2 === 0, "https").otherwise("http")
+    val scheme = when(col("doc_id") % 7 === 1, upper(scheme0)).otherwise(scheme0)
+    val tld = element_at(
+      array(UrlTlds.map(lit): _*), (col("doc_id") % 4 + 1).cast("int"))
+    val host0 = concat(
+      when(col("doc_id") % 3 === 0, "www.").otherwise(""),
+      when(col("doc_id") % 11 === 4, "cdn.").otherwise(""),
+      lit("ex"), col("doc_id") % 13, lit("."), tld)
+    val host = when(col("doc_id") % 5 === 1, upper(host0)).otherwise(host0)
+    val path = concat(lit("/p/"), col("doc_id") % 97,
+      when(col("doc_id") % 6 === 2, "/").otherwise(""))
+    val params = array(
+      when(col("doc_id") % 2 === 0, concat(lit("utm_source=feed"), col("doc_id") % 3)),
+      when(col("doc_id") % 3 =!= 1, concat(lit("id="), col("doc_id") % 19)),
+      when(col("doc_id") % 4 === 3, concat(lit("page="), col("doc_id") % 7)),
+      when(col("doc_id") % 5 === 0, concat(lit("fbclid=x"), col("doc_id") % 8)),
+      when(col("doc_id") % 7 === 2, lit("ref=mail")))
+    val query = array_join(filter(params, p => p.isNotNull), "&")
+    val frag = when(col("doc_id") % 8 === 5, concat(lit("#s"), col("doc_id") % 3)).otherwise("")
+    concat(scheme, lit("://"), host, path,
+      when(length(query) > 0, concat(lit("?"), query)).otherwise(""), frag)
+  }
+
+  /** The identical synthesis rendered for DuckDB (one lane table, two
+    * engines — drift in any residue breaks the hash compare). */
+  private def rawUrlSqlExpr: String =
+    """CASE WHEN doc_id % 7 = 1
+      |  THEN upper(CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'http' END)
+      |  ELSE CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'http' END END
+      | || '://'
+      | || CASE WHEN doc_id % 5 = 1 THEN upper(hh) ELSE hh END
+      | || '/p/' || doc_id % 97 || CASE WHEN doc_id % 6 = 2 THEN '/' ELSE '' END
+      | || CASE WHEN len(pp) > 0 THEN '?' || array_to_string(pp, '&') ELSE '' END
+      | || CASE WHEN doc_id % 8 = 5 THEN '#s' || doc_id % 3 ELSE '' END""".stripMargin
+      .replace("\n", " ").replaceAll(" +", " ")
+
+  /** The hh/pp helper columns for [[rawUrlSqlExpr]] (host without case
+    * fold, candidate param list in raw order with absent lanes NULL). */
+  private def urlLanesSql: String =
+    s"""SELECT doc_id,
+       |  CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END
+       |  || CASE WHEN doc_id % 11 = 4 THEN 'cdn.' ELSE '' END
+       |  || 'ex' || doc_id % 13 || '.'
+       |  || (['${UrlTlds.mkString("', '")}'])[CAST(doc_id % 4 + 1 AS INT)] AS hh,
+       |  list_filter([
+       |   CASE WHEN doc_id % 2 = 0 THEN 'utm_source=feed' || doc_id % 3 END,
+       |   CASE WHEN doc_id % 3 <> 1 THEN 'id=' || doc_id % 19 END,
+       |   CASE WHEN doc_id % 4 = 3 THEN 'page=' || doc_id % 7 END,
+       |   CASE WHEN doc_id % 5 = 0 THEN 'fbclid=x' || doc_id % 8 END,
+       |   CASE WHEN doc_id % 7 = 2 THEN 'ref=mail' END], p -> p IS NOT NULL) AS pp
+       |FROM documents""".stripMargin
+
+  /** Canonicalize ANY absolute http(s) URL column — generic, no
+    * synthesis knowledge: drop the fragment, lowercase scheme and host,
+    * strip a leading www., strip trailing slashes from the path, drop
+    * tracking parameters ([[TrackingParamRe]]), and sort the surviving
+    * query parameters so equivalent URLs serialize identically. Pure
+    * codegen'd string expressions (regexp_extract / filter / array_sort)
+    * — one map pass, no UDF. */
+  private[graft] def canonicalUrl(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*$", "")
+    val scheme = lower(regexp_extract(noFrag, "^([A-Za-z]+)://", 1))
+    val host = regexp_replace(
+      lower(regexp_extract(noFrag, "^[A-Za-z]+://([^/?#]+)", 1)), "^www\\.", "")
+    val path = regexp_replace(
+      regexp_extract(noFrag, "^[A-Za-z]+://[^/?#]+([^?#]*)", 1), "/+$", "")
+    val query = regexp_extract(noFrag, "\\?([^#]*)", 1)
+    val kept = array_join(
+      array_sort(filter(split(query, "&"),
+        p => !p.rlike(TrackingParamRe) && length(p) > 0)), "&")
+    concat(scheme, lit("://"), host, path,
+      when(length(kept) > 0, concat(lit("?"), kept)).otherwise(""))
+  }
+
+  /** DuckDB rendering of [[canonicalUrl]] over a url expression. */
+  private def canonicalSqlExpr(u: String): String =
+    s"""lower(regexp_extract(regexp_replace($u, '#.*$$', ''), '^([A-Za-z]+)://', 1))
+       | || '://'
+       | || regexp_replace(lower(regexp_extract($u, '^[A-Za-z]+://([^/?#]+)', 1)), '^www\\.', '')
+       | || regexp_replace(regexp_extract(regexp_replace($u, '#.*$$', ''), '^[A-Za-z]+://[^/?#]+([^?#]*)', 1), '/+$$', '')
+       | || CASE WHEN len(kept) > 0 THEN '?' || array_to_string(kept, '&') ELSE '' END""".stripMargin
+      .replace("\n", " ").replaceAll(" +", " ")
+
+  private def keptParamsSql(u: String): String =
+    s"""list_sort(list_filter(
+       | regexp_split_to_array(regexp_extract(regexp_replace($u, '#.*$$', ''), '\\?([^#]*)', 1), '&'),
+       | p -> NOT regexp_matches(p, '$TrackingParamRe') AND len(p) > 0))""".stripMargin
+      .replace("\n", " ").replaceAll(" +", " ")
+
+  /** Registered domain of a lowercased host: last two labels, or last
+    * three under a two-level public suffix (the co.uk class — a
+    * public-suffix-list lookup reduced to the one suffix family the
+    * fixture plants; the production form swaps in the full PSL table as
+    * a broadcast join, same plan shape). */
+  private[graft] def registeredDomain(host: Column): Column =
+    when(host.rlike("\\.co\\.uk$"), regexp_extract(host, "([^.]+\\.co\\.uk)$", 1))
+      .otherwise(regexp_extract(host, "([^.]+\\.[^.]+)$", 1))
+
+  private def registeredDomainSql(h: String): String =
+    s"""CASE WHEN regexp_matches($h, '\\.co\\.uk$$')
+       | THEN regexp_extract($h, '([^.]+\\.co\\.uk)$$', 1)
+       | ELSE regexp_extract($h, '([^.]+\\.[^.]+)$$', 1) END""".stripMargin
+      .replace("\n", " ").replaceAll(" +", " ")
+
+  /** The per-doc canonical frame shared by q203/q204: doc_id, raw_url,
+    * canonical url, host, registered domain, and the tracking/fragment
+    * audit flags. One map-only corpus pass. */
+  private[graft] def canonFrame(s: SparkSession, dir: String): DataFrame = {
+    val raw = documents(s, dir).select(col("doc_id"), rawUrlCol.as("raw_url"))
+    val host = regexp_replace(
+      lower(regexp_extract(col("raw_url"), "^[A-Za-z]+://([^/?#]+)", 1)), "^www\\.", "")
+    raw.select(col("doc_id"), col("raw_url"),
+      canonicalUrl(col("raw_url")).as("url"),
+      registeredDomain(host).as("domain"),
+      regexp_extract(col("raw_url"), "[?&](utm_[^=]*|fbclid|gclid|ref)=", 1)
+        .=!=("").as("had_tracking"),
+      col("raw_url").contains("#").as("had_fragment"))
+  }
+
+  /** q203: URL CANONICALIZATION + registered-domain extraction — the
+    * first operator of the pre-text web-curation stage. Per document:
+    * the raw URL, its canonical form, the registered domain, and what
+    * the cleaner removed (tracking params / fragment). Map-only — one
+    * scan, codegen'd string expressions, no shuffle at any corpus size;
+    * at 100 TB this is the pass that rewrites the crawl manifest in
+    * place. */
+  def q203UrlCanonicalize(s: SparkSession, dir: String): DataFrame =
+    canonFrame(s, dir).orderBy(col("doc_id"))
+
+  val q203Sql: String = {
+    val lanes = urlLanesSql.replace("\n", " ")
+    s"""WITH lanes AS ($lanes),
+       |raw AS (SELECT doc_id, $rawUrlSqlExpr AS raw_url FROM lanes),
+       |k AS (SELECT doc_id, raw_url, ${keptParamsSql("raw_url")} AS kept FROM raw),
+       |c AS (
+       |  SELECT doc_id, raw_url, ${canonicalSqlExpr("raw_url")} AS url,
+       |   regexp_replace(lower(regexp_extract(raw_url, '^[A-Za-z]+://([^/?#]+)', 1)), '^www\\.', '') AS host,
+       |   regexp_matches(raw_url, '[?&](utm_[^=]*|fbclid|gclid|ref)=') AS had_tracking,
+       |   contains(raw_url, '#') AS had_fragment
+       |  FROM k)
+       |SELECT doc_id, raw_url, url, ${registeredDomainSql("host")} AS domain,
+       | had_tracking, had_fragment
+       |FROM c ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q204
+
+  /** Per-domain document cap (binds on the fixture's ~10-doc/domain
+    * geometry, so the kept counts genuinely vary). */
+  val DomainCap: Int = 8
+
+  /** q204: PER-DOMAIN caps + domain-level quality stats — the
+    * crawl-side concentration control (RefinedWeb-style): count each
+    * registered domain's documents and distinct canonical URLs (same
+    * canonical URL twice = a recrawl duplicate), cap every domain at
+    * [[DomainCap]] documents chosen by a deterministic salted-hash
+    * race (reproducible under retries, q47's property), and report the
+    * domain's mean heuristic quality so downstream mixing can weight
+    * domains, not just documents.
+    *
+    * Scale shape: one map-only canonical pass, one domain-keyed window
+    * (partitioned — never a global sort) for the cap ranks, one
+    * domain-keyed aggregate. Domains are the natural unit of skew here;
+    * a pathological single-domain crawl is exactly what AQE skew-split
+    * absorbs, and the cap itself bounds what survives. */
+  def q204DomainCaps(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = documents(s, dir).select(col("doc_id"),
+      qualityScore(col("text")).as("quality"))
+    val ranked = canonFrame(s, dir)
+      .join(q, Seq("doc_id"))
+      .withColumn("u", TrainingData.uhash(col("doc_id"), "q204"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("domain")).orderBy(col("u"), col("doc_id"))))
+    ranked.groupBy(col("domain"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("url")).as("n_urls"),
+        (count(lit(1)) - countDistinct(col("url"))).as("n_dup_docs"),
+        sum(when(col("rk") <= DomainCap, 1L).otherwise(0L)).as("n_kept"),
+        round(avg(col("quality")), 4).as("mean_quality"))
+      .orderBy(col("domain"))
+  }
+
+  val q204Sql: String = {
+    val lanes = urlLanesSql.replace("\n", " ")
+    s"""WITH lanes AS ($lanes),
+       |raw AS (SELECT doc_id, $rawUrlSqlExpr AS raw_url FROM lanes),
+       |k AS (SELECT doc_id, raw_url, ${keptParamsSql("raw_url")} AS kept FROM raw),
+       |c AS (
+       |  SELECT doc_id, ${canonicalSqlExpr("raw_url")} AS url,
+       |   regexp_replace(lower(regexp_extract(raw_url, '^[A-Za-z]+://([^/?#]+)', 1)), '^www\\.', '') AS host
+       |  FROM k),
+       |d AS (
+       |  SELECT c.doc_id, url, ${registeredDomainSql("host")} AS domain,
+       |   ${graft.functions.TextFns.qualitySqlExpr("ww", "text")} AS quality,
+       |   ${TrainingData.uhashSql("c.doc_id", "q204")} AS u
+       |  FROM c JOIN (SELECT doc_id, text, regexp_split_to_array(trim(text), '\\s+') AS ww
+       |               FROM documents) t ON c.doc_id = t.doc_id),
+       |r AS (
+       |  SELECT domain, url, quality,
+       |   row_number() OVER (PARTITION BY domain ORDER BY u, doc_id) AS rk
+       |  FROM d)
+       |SELECT domain,
+       | CAST(count(*) AS BIGINT) AS n_docs,
+       | CAST(count(DISTINCT url) AS BIGINT) AS n_urls,
+       | CAST(count(*) - count(DISTINCT url) AS BIGINT) AS n_dup_docs,
+       | CAST(sum(CASE WHEN rk <= $DomainCap THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       | ROUND(avg(quality), 4) AS mean_quality
+       |FROM r GROUP BY domain ORDER BY domain""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q205
+
+  /** Flat sampling rate for the multimodal funnel's final stage. */
+  val MmRate: Double = 0.5
+
+  /** q205: the MULTIMODAL curation capstone — q100's funnel idiom
+    * extended across every modality the engine curates, per source:
+    *
+    *   raw → text-deduped (q45's min-id component representative)
+    *       → image-clean  (not the dropped side of a q197 dHash pair)
+    *       → audio-clean  (not the dropped side of a q198 fingerprint pair)
+    *       → video-clean  (not the dropped side of a q200 frame-vote pair)
+    *       → sampled      (q47's salted-hash thresholding)
+    *
+    * plus `pii_docs`, the documents whose text carried PII before the
+    * q199 redaction pass (redaction rewrites, it does not drop — the
+    * column audits exposure, the stages gate retention). Drop rule per
+    * near-dup pair: the larger doc id (doc_b) drops, the smaller
+    * survives — the deterministic keep-first policy every pair family
+    * here already verifies.
+    *
+    * Every stage reuses the EXACT shared machinery its standalone
+    * operator hash-verifies (component labels memo, the banded
+    * perceptual pair sets, the PII patterns, uhash), so the funnel
+    * cannot drift from the operators it composes. Scale shape: three
+    * pair-graph-sized drop sets (≪ corpus — broadcastable) and the
+    * pair-graph-sized component labels attach to ONE corpus scan by id;
+    * one source-keyed conditional-sum aggregate ends it. */
+  def q205MultimodalFunnel(s: SparkSession, dir: String): DataFrame = {
+    val d = documents(s, dir)
+    val labels = Dedup.componentLabels(s, dir)
+      .select(col("doc").as("l_doc"), col("comp"))
+    def drops(pairs: DataFrame, name: String): DataFrame =
+      pairs.select(col("doc_b").as(name)).distinct()
+    val imgDrop = drops(MultimodalQ.q197ImageNearDup(s, dir), "img_doc")
+    val audDrop = drops(MultimodalQ.q198AudioNearDup(s, dir), "aud_doc")
+    val vidDrop = drops(MultimodalQ.q200VideoNearDup(s, dir), "vid_doc")
+    val piiHits = regexp_count(col("t"), lit(Curation.PiiEmailRe)) +
+      regexp_count(col("t"), lit(Curation.PiiPhoneRe)) +
+      regexp_count(col("t"), lit(Curation.PiiIdRe))
+    def cnt(c: Column, name: String): Column =
+      sum(when(c, lit(1L)).otherwise(lit(0L))).as(name)
+    d.select(col("doc_id"), col("source"), Curation.piiAuditedCol.as("t"))
+      .withColumn("pii", piiHits > 0)
+      .join(labels, col("doc_id") === col("l_doc"), "left")
+      .join(broadcast(imgDrop), col("doc_id") === col("img_doc"), "left")
+      .join(broadcast(audDrop), col("doc_id") === col("aud_doc"), "left")
+      .join(broadcast(vidDrop), col("doc_id") === col("vid_doc"), "left")
+      .withColumn("text_kept", col("comp").isNull || col("comp") === col("doc_id"))
+      .withColumn("img_kept", col("img_doc").isNull)
+      .withColumn("aud_kept", col("aud_doc").isNull)
+      .withColumn("vid_kept", col("vid_doc").isNull)
+      .withColumn("samp", TrainingData.uhash(col("doc_id"), "q205") < MmRate)
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_raw"),
+        cnt(col("pii"), "pii_docs"),
+        cnt(col("text_kept"), "n_text_kept"),
+        cnt(col("text_kept") && col("img_kept"), "n_img_kept"),
+        cnt(col("text_kept") && col("img_kept") && col("aud_kept"), "n_aud_kept"),
+        cnt(col("text_kept") && col("img_kept") && col("aud_kept")
+          && col("vid_kept"), "n_vid_kept"),
+        cnt(col("text_kept") && col("img_kept") && col("aud_kept")
+          && col("vid_kept") && col("samp"), "n_sampled"))
+      .orderBy(col("source"))
+  }
+
+  /** q205's oracle: the component-labels recursive block (shared with
+    * q45/q100 — check.py's CTE cache applies), the three perceptual
+    * pair queries embedded verbatim as drop-set subqueries (one
+    * definition per family — the full per-operator oracles, reused),
+    * the q199 planted-PII count, and the staged conditional sums. */
+  val q205Sql: String =
+    s"""WITH RECURSIVE ${Dedup.sqlComponentsCtes},
+       |img_drop AS (SELECT DISTINCT doc_b FROM (${MultimodalQ.q197Sql})),
+       |aud_drop AS (SELECT DISTINCT doc_b FROM (${MultimodalQ.q198Sql})),
+       |vid_drop AS (SELECT DISTINCT doc_b FROM (${MultimodalQ.q200Sql})),
+       |base AS (
+       |  SELECT doc_id, source, ${Curation.piiAuditedSqlExpr} AS t
+       |  FROM documents),
+       |flags AS (
+       |  SELECT b.doc_id, source,
+       |   (len(regexp_extract_all(t, '${Curation.PiiEmailRe}'))
+       |    + len(regexp_extract_all(t, '${Curation.PiiPhoneRe}'))
+       |    + len(regexp_extract_all(t, '${Curation.PiiIdRe}'))) > 0 AS pii,
+       |   (l.comp IS NULL OR l.comp = b.doc_id) AS text_kept,
+       |   i.doc_b IS NULL AS img_kept,
+       |   a.doc_b IS NULL AS aud_kept,
+       |   v.doc_b IS NULL AS vid_kept,
+       |   ${TrainingData.uhashSql("b.doc_id", "q205")} < $MmRate AS samp
+       |  FROM base b
+       |  LEFT JOIN labels l ON b.doc_id = l.doc
+       |  LEFT JOIN img_drop i ON b.doc_id = i.doc_b
+       |  LEFT JOIN aud_drop a ON b.doc_id = a.doc_b
+       |  LEFT JOIN vid_drop v ON b.doc_id = v.doc_b)
+       |SELECT source,
+       | CAST(count(*) AS BIGINT) AS n_raw,
+       | CAST(sum(CASE WHEN pii THEN 1 ELSE 0 END) AS BIGINT) AS pii_docs,
+       | CAST(sum(CASE WHEN text_kept THEN 1 ELSE 0 END) AS BIGINT) AS n_text_kept,
+       | CAST(sum(CASE WHEN text_kept AND img_kept THEN 1 ELSE 0 END) AS BIGINT) AS n_img_kept,
+       | CAST(sum(CASE WHEN text_kept AND img_kept AND aud_kept THEN 1 ELSE 0 END) AS BIGINT) AS n_aud_kept,
+       | CAST(sum(CASE WHEN text_kept AND img_kept AND aud_kept AND vid_kept THEN 1 ELSE 0 END) AS BIGINT) AS n_vid_kept,
+       | CAST(sum(CASE WHEN text_kept AND img_kept AND aud_kept AND vid_kept AND samp THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
+       |FROM flags GROUP BY source ORDER BY source""".stripMargin
+}

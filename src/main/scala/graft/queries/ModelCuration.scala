@@ -297,13 +297,15 @@ object ModelCuration {
     */
   def q202ImportanceResample(s: SparkSession, dir: String): DataFrame = {
     val d = resplit(documents(s, dir).select(col("doc_id"), col("lang"), col("text")))
-    val x = d.select(col("doc_id"), explode(words(col("text"))).as("w"))
-      .groupBy(col("doc_id"), (hash32(col("w")) % DsBuckets).as("b"))
+    // lang rides the (doc, bucket) aggregate key (doc_id determines it, so
+    // the groups are unchanged) — the target model is then a FILTER of
+    // this frame, never a join against a target-id set that at corpus
+    // scale is half the ids and unbroadcastable
+    val x = d.select(col("doc_id"), col("lang"), explode(words(col("text"))).as("w"))
+      .groupBy(col("doc_id"), col("lang"), (hash32(col("w")) % DsBuckets).as("b"))
       .agg(count(lit(1)).as("c"))
     val raw = x.groupBy(col("b")).agg(sum(col("c")).as("cr"))
-    val tgtIds = documents(s, dir).filter(col("lang") === DsTargetLang)
-      .select(col("doc_id"))
-    val tgt = x.join(broadcast(tgtIds), Seq("doc_id"))
+    val tgt = x.filter(col("lang") === DsTargetLang)
       .groupBy(col("b")).agg(sum(col("c")).as("ct"))
     val totals = raw.agg(sum(col("cr")).as("nr")).crossJoin(
       tgt.agg(sum(col("ct")).as("nt")))
@@ -328,16 +330,16 @@ object ModelCuration {
     s"""WITH ww AS (
        |  SELECT doc_id, lang, regexp_split_to_array(trim(text), '\\s+') AS w
        |  FROM documents),
-       |tok AS (SELECT doc_id, unnest(w) AS t FROM ww),
+       |tok AS (SELECT doc_id, lang, unnest(w) AS t FROM ww),
        |x AS (
-       |  SELECT doc_id,
+       |  SELECT doc_id, lang,
        |   CAST(concat('0x', substr(md5(t), 1, 8)) AS BIGINT) % $DsBuckets AS b,
        |   CAST(count(*) AS BIGINT) AS c
-       |  FROM tok GROUP BY 1, 2),
+       |  FROM tok GROUP BY 1, 2, 3),
        |raw AS (SELECT b, CAST(sum(c) AS BIGINT) AS cr FROM x GROUP BY b),
        |tgt AS (
        |  SELECT b, CAST(sum(c) AS BIGINT) AS ct
-       |  FROM x JOIN (SELECT doc_id FROM documents WHERE lang = '$DsTargetLang') USING (doc_id)
+       |  FROM x WHERE lang = '$DsTargetLang'
        |  GROUP BY b),
        |tots AS (
        |  SELECT (SELECT CAST(sum(cr) AS BIGINT) FROM raw) AS nr,

@@ -14,6 +14,9 @@ the round that BASELINED it):
   - r17 idle-triple medians for q196-q199 (q196 landed after the r16
     triple ran, so its baseline joins with the r17 cohort)
     (bench_records/r17_idle_{1,2,3}_199q.json)
+  - r18 idle-triple medians for q200-q205 (q200 landed after the r17
+    triple ran, so its baseline joins with the r18 cohort)
+    (bench_records/r18_idle_{1,2,3}_205q.json)
 
 Usage: python3 tools/baseline_table.py   # prints the markdown table
 """
@@ -41,8 +44,9 @@ def main():
     r15 = medians("15", [1, 2, 3], 181)
     r16 = medians("16", [1, 2, 3], 195)
     r17 = medians("17", [1, 2, 3], 199)
+    r18 = medians("18", [1, 2, 3], 205)
     table = dict(r14)
-    for cohort in (r15, r16, r17):
+    for cohort in (r15, r16, r17, r18):
         for q in cohort:
             if q not in table:
                 table[q] = cohort[q]
@@ -56,21 +60,23 @@ def main():
         print(f"| {left[0]} | {left[1]} | {right[0]} | {right[1]} |")
     # cohort accounting for the prose (health vs the r14 operative table
     # is graded on the LATEST triple)
-    shared = [q for q in r14 if q in r17]
+    shared = [q for q in r14 if q in r18]
     s14 = sum(r14[q] for q in shared)
-    s17 = sum(r17[q] for q in shared)
-    print(f"\nshared-{len(shared)} r17/r14 ratio: {s17/s14:.3f} "
-          f"({s17:.1f}s vs {s14:.1f}s)")
-    worst = max(shared, key=lambda q: r17[q] / r14[q] if r14[q] > 0.05 else 0)
-    print(f"worst shared ratio: {worst} {r14[worst]} -> {r17[worst]} "
-          f"({r17[worst]/r14[worst]:.2f}x)")
+    s18 = sum(r18[q] for q in shared)
+    print(f"\nshared-{len(shared)} r18/r14 ratio: {s18/s14:.3f} "
+          f"({s18:.1f}s vs {s14:.1f}s)")
+    worst = max(shared, key=lambda q: r18[q] / r14[q] if r14[q] > 0.05 else 0)
+    print(f"worst shared ratio: {worst} {r14[worst]} -> {r18[worst]} "
+          f"({r18[worst]/r14[worst]:.2f}x)")
     new15 = {q: r15[q] for q in r15 if q not in r14}
     new16 = {q: r16[q] for q in r16 if q not in r15}
     new17 = {q: r17[q] for q in r17 if q not in r16}
+    new18 = {q: r18[q] for q in r18 if q not in r17}
     print(f"r15 cohort sum: {sum(new15.values()):.1f}s over {len(new15)}")
     print(f"r16 cohort sum: {sum(new16.values()):.1f}s over {len(new16)}")
-    print(f"r17 cohort sum: {sum(new17.values()):.1f}s over {len(new17)}: "
-          + ", ".join(f"{q} {v}" for q, v in sorted(new17.items(), key=lambda x: -x[1])))
+    print(f"r17 cohort sum: {sum(new17.values()):.1f}s over {len(new17)}")
+    print(f"r18 cohort sum: {sum(new18.values()):.1f}s over {len(new18)}: "
+          + ", ".join(f"{q} {v}" for q, v in sorted(new18.items(), key=lambda x: -x[1])))
 
 if __name__ == "__main__":
     main()

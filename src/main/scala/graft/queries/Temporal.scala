@@ -579,23 +579,37 @@ object Temporal {
     // contrasted with TWAP), while the weighted sums only see rows with a
     // holding interval — so the final-event rows stay in the frame and
     // the segment-side aggregates are conditional on dur_s.
+    // Durations stay INTEGER MICROSECONDS through the aggregates and the
+    // mean goes through exact integer cents (value is 2dp by generation;
+    // round(value·100) is within 4e-12 of the integer): integer sums are
+    // order-free, so a parallel-aggregation reorder can never move a
+    // rounded digit. This is load-bearing for the oracle compare — the
+    // r18 sf1 sweep caught DuckDB's multithreaded AVG(value) flipping a
+    // user's 6dp mean run-to-run because its unrounded double sat one
+    // ulp from the rounding boundary (user 13776: 36.0340625 exactly).
+    // The one unavoidably-double aggregate (the twap numerator's
+    // value·duration products) reports at 4dp, where the corpus-wide
+    // boundary margin is 2.4e-8 against ~1e-11 summation noise.
     events(s, dir)
       .select(col("user_id"), col("ts"), col("event_id"), col("value"))
-      .withColumn("dur_s",
-        (unix_micros(lead(col("ts"), 1).over(w)) - unix_micros(col("ts")))
-          .cast("double") / 1e6)
+      .withColumn("dur_us",
+        unix_micros(lead(col("ts"), 1).over(w)) - unix_micros(col("ts")))
       .groupBy(col("user_id"))
       .agg(
-        sum(when(col("dur_s").isNotNull, 1L).otherwise(0L)).as("n_segments"),
-        round(sum(coalesce(col("dur_s"), lit(0.0))), 3).as("held_s"),
-        round(avg(col("value")), 6).as("mean_value"),
+        sum(when(col("dur_us").isNotNull, 1L).otherwise(0L)).as("n_segments"),
+        round(sum(coalesce(col("dur_us"), lit(0L))).cast("double") / lit(1000000.0), 3)
+          .as("held_s"),
+        round(sum(round(col("value") * lit(100)).cast("long")).cast("double")
+          / (count(lit(1)).cast("double") * lit(100.0)), 6).as("mean_value"),
         // Gate on positive TOTAL held time: ≥2 events at the same
-        // microsecond give sum(dur_s)=0, and 0/0 is NULL on Spark but
+        // microsecond give sum(dur_us)=0, and 0/0 is NULL on Spark but
         // NaN under DuckDB's IEEE division — emit NULL explicitly in
         // both engines instead of leaning on either's 0-divisor rule.
-        round(when(sum(coalesce(col("dur_s"), lit(0.0))) > 0,
-          sum(when(col("dur_s").isNotNull, col("value") * col("dur_s")))
-            / sum(col("dur_s"))), 6).as("twap_value"))
+        round(when(sum(coalesce(col("dur_us"), lit(0L))) > 0,
+          sum(when(col("dur_us").isNotNull,
+            col("value") * (col("dur_us").cast("double") / lit(1000000.0))))
+            / (sum(coalesce(col("dur_us"), lit(0L))).cast("double") / lit(1000000.0))), 4)
+          .as("twap_value"))
       .filter(col("n_segments") > 0) // single-event users have no held time
       .orderBy(col("user_id"))
   }
@@ -604,17 +618,19 @@ object Temporal {
     """WITH seg AS (
       |  SELECT user_id, value,
       |   (epoch_us(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
-      |     - epoch_us(ts)) / 1000000.0 AS dur_s
+      |     - epoch_us(ts)) AS dur_us
       |  FROM events)
       |SELECT user_id,
-      | CAST(SUM(CASE WHEN dur_s IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_segments,
-      | ROUND(SUM(COALESCE(dur_s, 0.0)), 3) AS held_s,
-      | ROUND(AVG(value), 6) AS mean_value,
-      | ROUND(CASE WHEN SUM(COALESCE(dur_s, 0.0)) > 0
-      |   THEN SUM(CASE WHEN dur_s IS NOT NULL THEN value * dur_s END) / SUM(dur_s)
-      |   END, 6) AS twap_value
+      | CAST(SUM(CASE WHEN dur_us IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_segments,
+      | ROUND(CAST(SUM(COALESCE(dur_us, 0)) AS DOUBLE) / 1000000.0, 3) AS held_s,
+      | ROUND(CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+      |   / (COUNT(*) * 100.0), 6) AS mean_value,
+      | ROUND(CASE WHEN SUM(COALESCE(dur_us, 0)) > 0
+      |   THEN SUM(CASE WHEN dur_us IS NOT NULL THEN value * (dur_us / 1000000.0) END)
+      |        / (CAST(SUM(COALESCE(dur_us, 0)) AS DOUBLE) / 1000000.0)
+      |   END, 4) AS twap_value
       |FROM seg
       |GROUP BY user_id
-      |HAVING SUM(CASE WHEN dur_s IS NOT NULL THEN 1 ELSE 0 END) > 0
+      |HAVING SUM(CASE WHEN dur_us IS NOT NULL THEN 1 ELSE 0 END) > 0
       |ORDER BY user_id""".stripMargin
 }

@@ -126,9 +126,13 @@ object ModelCuration {
   /** One full training run: T rounds of exact-arithmetic batch GD. The
     * weight vector lives on the driver (QfDim longs — the MLlib
     * treeAggregate shape: the MODEL is tiny, the DATA never leaves the
-    * executors); each round runs two small jobs over the cached feature
+    * executors); each round runs one small job over the cached feature
     * frame — the b-keyed quantized-gradient aggregate (QfDim rows
-    * collected) and the scalar loss/accuracy aggregate for the history.
+    * collected). With `withHistory` a second scalar job per round records
+    * the (loss, accuracy) trajectory; the OBSERVABILITY is optional, the
+    * training arithmetic is identical either way (the spec turns it on to
+    * pin monotone loss, the production path leaves it off — it halves the
+    * per-round job count).
     *
     * Scale shape: the corpus-sized work (tokenize + bucket counts) runs
     * ONCE into the cached feature frame of ~(n·40) rows; each of the T
@@ -137,7 +141,8 @@ object ModelCuration {
     * executor corpus the per-round network cost is the two small
     * shuffles, the classic distributed-GD profile.
     */
-  private[graft] def qfTrain(s: SparkSession, dir: String): QfModel = {
+  private[graft] def qfTrain(s: SparkSession, dir: String,
+      withHistory: Boolean = false): QfModel = {
     val feats = qfFeatures(s, dir).localCheckpoint(true)
     val labels = qfLabels(s, dir).localCheckpoint(true)
     val n = labels.count()
@@ -155,11 +160,13 @@ object ModelCuration {
         .groupBy(col("b"))
         .agg(sum(floor(col("r") * col("x") * lit(QfScale.toDouble))).as("g"))
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-      val metrics = resid.agg(
-        sum(col("r") * col("r")).as("sse"),
-        sum(when((col("zs") > 0L) === (col("y") === 1L), 1L).otherwise(0L)).as("ok"))
-        .collect()(0)
-      history += ((metrics.getDouble(0) / n, metrics.getLong(1).toDouble / n))
+      if (withHistory) {
+        val metrics = resid.agg(
+          sum(col("r") * col("r")).as("sse"),
+          sum(when((col("zs") > 0L) === (col("y") === 1L), 1L).otherwise(0L)).as("ok"))
+          .collect()(0)
+        history += ((metrics.getDouble(0) / n, metrics.getLong(1).toDouble / n))
+      }
       var b = 0
       while (b < QfDim) {
         val g = grads.getOrElse(b.toLong, 0L)

@@ -27,7 +27,7 @@ class ModelCurationSpec extends SparkTestBase {
       .toDouble / (1L << 60).toDouble
 
   test("q201 training learns: per-round loss decreases monotonically, accuracy beats the majority class") {
-    val m = MC.qfTrain(spark, sf)
+    val m = MC.qfTrain(spark, sf, withHistory = true)
     val losses = m.history.map(_._1)
     assert(losses.size === MC.QfRounds)
     losses.sliding(2).foreach { case Seq(a, b) =>

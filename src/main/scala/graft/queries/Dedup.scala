@@ -1364,13 +1364,33 @@ object Dedup {
     * hash compare doubles as the prefix filter's zero-false-negative
     * proof at this threshold.
     */
-  def q154Containment(s: SparkSession, dir: String): DataFrame = {
+  def q154Containment(s: SparkSession, dir: String): DataFrame =
+    containmentPipeline(s, dir, Long.MaxValue)
+
+  /** The containment pipeline shared by q154 (uncapped) and q206 (df cap
+    * on the indexed side): prefix-filtered probe, full-or-capped
+    * container index, candidate-time length filter, exact full-set
+    * verify. The cap, like q158's ([[jaccardPrefixOf]]), filters AFTER
+    * the prefix cut so prefix positions stay defined on the full
+    * rarest-first order — the retention theorem depends on it.
+    */
+  private def containmentPipeline(s: SparkSession, dir: String,
+      dfCap: Long): DataFrame = {
     val ordered = orderedSetsCached(s, dir)
     val p = (col("n") - ceil(col("n") * ContainT) + 1).cast("int")
-    val probe = ordered.select(col("doc_id").as("doc_a"), col("n").as("n_a_p"),
-      explode(transform(slice(col("ord"), lit(1), p), _.getField("shingle"))).as("shingle"))
-    val index = ordered.select(col("doc_id").as("doc_b"), col("n").as("n_b_i"),
-      explode(transform(col("ord"), _.getField("shingle"))).as("shingle"))
+    val probe0 = ordered.select(col("doc_id").as("doc_a"), col("n").as("n_a_p"),
+      explode(slice(col("ord"), lit(1), p)).as("e"))
+    // probe-side cap is semantically REDUNDANT given the index cap (an
+    // inner join on the shingle key dies anyway when the index bucket is
+    // empty) but prunes the probe explode before it ever shuffles
+    val probe = (if (dfCap == Long.MaxValue) probe0
+                 else probe0.filter(col("e.df") <= dfCap))
+      .select(col("doc_a"), col("n_a_p"), col("e.shingle").as("shingle"))
+    val index0 = ordered.select(col("doc_id").as("doc_b"), col("n").as("n_b_i"),
+      explode(col("ord")).as("e"))
+    val index = (if (dfCap == Long.MaxValue) index0
+                 else index0.filter(col("e.df") <= dfCap))
+      .select(col("doc_b"), col("n_b_i"), col("e.shingle").as("shingle"))
     // Candidate-time length filter: containment ≥ t needs inter ≥ ⌈t·n_a⌉,
     // and inter ≤ n_b always, so a container shorter than ⌈t·n_a⌉ can never
     // qualify. Filtering HERE — inside the shingle join, before the
@@ -1406,6 +1426,78 @@ object Dedup {
        |SELECT doc_a, doc_b, sa.n AS n_a, inter,
        | ROUND(CAST(inter AS DOUBLE) / sa.n, 6) AS containment
        |FROM inter
+       |JOIN sz sa ON sa.doc_id = doc_a
+       |WHERE CAST(inter AS DOUBLE) / sa.n >= $ContainT
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  // ---------------------------------------------------------------- q206
+
+  /** Document-frequency cap for q206's container-side index (the q158
+    * knob applied to the containment join). Deliberately small — the
+    * demo-cap convention — so the approximation path is exercised at the
+    * gate corpora; the oracle embeds the same cap.
+    */
+  val ContainDfCap: Long = 3L
+
+  /** q206: the CONTAINMENT join under a df cap on the container index —
+    * the q158 treatment applied to q154, closing q154's measured scale
+    * cliff (the r18 sf1-realistic sweep: 55.9 s vs 3.9 s on the
+    * stress-uniform geometry, because q154's container side is FULLY
+    * indexed and a boilerplate-heavy shingle df tail multiplies its
+    * verify fan-out — exactly the regime the df cap bounds).
+    *
+    * With cap C the index keeps only shingles of df ≤ C, so every index
+    * bucket holds ≤ C rows — per-shingle join fan-out is bounded by a
+    * CONSTANT at any corpus scale. The price is a DECLARED approximation
+    * with the same exact retention theorem as q158: the containment
+    * prefix theorem puts a qualifying pair's RAREST common shingle in
+    * the contained doc's prefix (if it fell outside, ALL ≥ ⌈t·n_a⌉
+    * common shingles would crowd into the last ⌈t·n_a⌉ − 1 positions —
+    * pigeonhole), and a rarest common shingle with df ≤ C survives the
+    * capped index, so every pair whose rarest common shingle has df ≤ C
+    * is retained (pinned by DedupSpec). Only pairs ALL of whose common
+    * shingles are viral can be shed — the boilerplate-only quotes a
+    * capped production index means to drop. The cap filters AFTER the
+    * prefix cut (positions stay defined on the full rarest-first order,
+    * q158's load-bearing detail), the candidate-time length filter
+    * n_b ≥ ⌈t·n_a⌉ stays lossless, and the oracle replays the identical
+    * cap/order/prefix cut, so engine ≡ oracle is deterministic even
+    * where pairs are dropped.
+    */
+  def q206ContainmentDfCap(s: SparkSession, dir: String): DataFrame =
+    containmentPipeline(s, dir, ContainDfCap)
+
+  /** q206's oracle: the q158-style exact replay of the capped pipeline —
+    * rarest-first order, prefix cut, df cap on BOTH the probe prefix and
+    * the container index (the probe-side cap is redundant under an inner
+    * join but mirrored for clarity), exact full-set verify. The length
+    * filter is lossless (containment ≥ t forces inter ≥ ⌈t·n_a⌉ ≤ n_b),
+    * so the oracle omits it: pairs it would remove cannot pass the final
+    * containment filter either way.
+    */
+  val q206Sql: String =
+    s"""WITH $sqlShingles,
+       |dfq AS (SELECT s, CAST(count(*) AS BIGINT) AS df FROM sh GROUP BY s),
+       |ord AS (
+       |  SELECT sh.doc_id, sh.s, dfq.df,
+       |   row_number() OVER (PARTITION BY sh.doc_id ORDER BY dfq.df, sh.s) AS rn
+       |  FROM sh JOIN dfq ON sh.s = dfq.s),
+       |pref AS (
+       |  SELECT o.doc_id, o.s FROM ord o JOIN sz ON o.doc_id = sz.doc_id
+       |  WHERE o.rn <= sz.n - CEIL(sz.n * $ContainT) + 1 AND o.df <= $ContainDfCap),
+       |idx AS (SELECT doc_id, s FROM ord WHERE df <= $ContainDfCap),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM pref a JOIN idx b ON a.s = b.s AND a.doc_id <> b.doc_id),
+       |iv AS (
+       |  SELECT c.doc_a, c.doc_b, CAST(count(*) AS BIGINT) AS inter
+       |  FROM cand c
+       |   JOIN sh a ON a.doc_id = c.doc_a
+       |   JOIN sh b ON b.doc_id = c.doc_b AND a.s = b.s
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b, sa.n AS n_a, inter,
+       | ROUND(CAST(inter AS DOUBLE) / sa.n, 6) AS containment
+       |FROM iv
        |JOIN sz sa ON sa.doc_id = doc_a
        |WHERE CAST(inter AS DOUBLE) / sa.n >= $ContainT
        |ORDER BY doc_a, doc_b""".stripMargin

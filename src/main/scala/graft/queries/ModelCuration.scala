@@ -182,6 +182,25 @@ object ModelCuration {
     k.toSeq.zipWithIndex.map { case (w, b) => (b.toLong, w) }.toDF("b", "k")
   }
 
+  /** Memoized (session, dir)-scoped margin frame (doc_id, y, margin):
+    * one full training run + scoring pass, shared by q201 (the filter
+    * artifact) and q208 (the operating-point sweep over the SAME
+    * margins) — the classifier trains once per session, exactly like the
+    * dedup pair memos. Doc-count-sized, eagerly checkpointed.
+    */
+  private val qfMarginsMemo = Dedup.registerMemo("qf_margins")
+
+  private[graft] def qfMarginsCached(s: SparkSession, dir: String): DataFrame =
+    Dedup.memoized(qfMarginsMemo, s, dir) {
+      val m = qfTrain(s, dir)
+      m.feats.join(broadcast(weightsDf(s, m.weights)), Seq("b"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("k") * col("x")).as("margin"))
+        .join(m.labels, Seq("doc_id"))
+        .select(col("doc_id"), col("y"), col("margin"))
+        .localCheckpoint(true)
+    }
+
   /** q201: TRAINED quality-filter classifier — train [[QfRounds]] exact
     * GD rounds, then score every document with the final weights. Output
     * is the filter artifact itself: the exact integer margin (in 2^-20
@@ -192,17 +211,12 @@ object ModelCuration {
     * three scales; the spec pins monotone loss + ≥0.9 accuracy + a
     * plain-Scala replay of the full training loop).
     */
-  def q201QualityClassifier(s: SparkSession, dir: String): DataFrame = {
-    val m = qfTrain(s, dir)
-    m.feats.join(broadcast(weightsDf(s, m.weights)), Seq("b"))
-      .groupBy(col("doc_id"))
-      .agg(sum(col("k") * col("x")).as("margin"))
-      .join(m.labels, Seq("doc_id"))
+  def q201QualityClassifier(s: SparkSession, dir: String): DataFrame =
+    qfMarginsCached(s, dir)
       .select(col("doc_id"), col("y").as("label"), col("margin"),
         (col("margin") > 0L).as("pred"),
         ((col("margin") > 0L) === (col("y") === 1L)).as("correct"))
       .orderBy(col("doc_id"))
-  }
 
   /** q201's oracle: the IDENTICAL training loop unrolled — [[QfRounds]]
     * rounds of (margins ⨝ weights, hard-sigmoid residuals, floor-
@@ -211,7 +225,13 @@ object ModelCuration {
     * integer or exactly-reproducible IEEE (powers of two only), so the
     * compare is hash-exact on the margins themselves — the oracle
     * RETRAINS the model, it does not check a verdict. */
-  val q201Sql: String = {
+  /** The q201 training chain as a reusable WITH-body (no `WITH` prefix,
+    * no trailing comma): tokenization → labels → features → [[QfRounds]]
+    * unrolled GD rounds → `fm` (final margins) and `lab` (labels) in
+    * scope for the caller's SELECT. Shared by [[q201Sql]] and
+    * [[q208Sql]] so the two oracles can never train different models.
+    */
+  private val qfTrainCtes: String = {
     val S = QfScale
     val eta = 1L << QfEtaShift
     def round(i: Int): String = {
@@ -231,7 +251,7 @@ object ModelCuration {
          |   w.k - CAST(floor(CAST(coalesce(g.g, 0) AS DOUBLE) / (CAST(n AS DOUBLE) * $eta.0)) AS BIGINT) AS k
          |  FROM $prev w LEFT JOIN g$i g USING (b) CROSS JOIN nn)""".stripMargin
     }
-    s"""WITH ww AS MATERIALIZED (
+    s"""ww AS MATERIALIZED (
        |  SELECT doc_id, text, regexp_split_to_array(trim(text), '\\s+') AS w
        |  FROM documents),
        |lab AS MATERIALIZED (
@@ -260,12 +280,15 @@ object ModelCuration {
        |${(1 to QfRounds).map(round).mkString(",\n")},
        |fm AS MATERIALIZED (
        |  SELECT f.doc_id, CAST(sum(w.k * f.x) AS BIGINT) AS margin
-       |  FROM feat f JOIN w$QfRounds w USING (b) GROUP BY f.doc_id)
+       |  FROM feat f JOIN w$QfRounds w USING (b) GROUP BY f.doc_id)""".stripMargin
+  }
+
+  val q201Sql: String =
+    s"""WITH $qfTrainCtes
        |SELECT l.doc_id, CAST(l.y AS BIGINT) AS label, fm.margin,
        | fm.margin > 0 AS pred, (fm.margin > 0) = (l.y = 1) AS correct
        |FROM lab l JOIN fm USING (doc_id)
        |ORDER BY doc_id""".stripMargin
-  }
 
   // ---------------------------------------------------------------- q202
 
@@ -366,4 +389,280 @@ object ModelCuration {
        |SELECT doc_id, lang, n_tokens,
        | ROUND(logw, 4) AS log_weight, ROUND(gkey, 4) AS race_key
        |FROM scored ORDER BY gkey DESC, doc_id LIMIT $DsK""".stripMargin
+
+  // ---------------------------------------------------------------- q207
+
+  /** Hashed-unigram bucket space for the DoReMi proxy distributions
+    * (q202's granularity), the distribution grid (2^-12: per-source
+    * bucket shares quantize to integers in [0, 4096]), the weight grid
+    * (2^-20, [[QfScale]]'s convention), the damping constant (the 1/η of
+    * the multiplicative update — the factor is ∝ DmDamp + L_s, so a
+    * source whose loss doubles the field's gets a visibly larger
+    * multiplier), the pre-normalization downshift (overflow headroom:
+    * keeps A·2^20 inside int64 for any source count), the smoothing
+    * shift (ε = 2^-5 of the mass redistributes uniformly each round —
+    * the paper's own boundedness fix, keeping every weight ≥ ε/K), and
+    * the fixed round count.
+    */
+  val DmBuckets: Int = 256
+  val DmScale: Long = 1L << 12
+  val DmWeight: Long = 1L << 20
+  val DmDamp: Long = 1L << 12
+  val DmShift: Long = 1L << 12
+  val DmEpsShift: Int = 5
+  val DmRounds: Int = 8
+
+  /** q207: DoReMi-style MIXTURE-WEIGHT optimization — the third member
+    * of the model-based curation family (q201 judges documents, q202
+    * resamples toward a target, q207 learns the per-SOURCE mixture the
+    * q49/q74 mixture operators consume): fixed-round multiplicative-
+    * weights updates over per-source excess loss, the Group-DRO shape of
+    * Xie et al. 2023's public DoReMi recipe.
+    *
+    * Exact-arithmetic surrogate (q201's discipline, so the oracle
+    * RETRAINS the weights and the compare is hash-exact): the proxy
+    * model is the mixture-weighted hashed-unigram distribution and a
+    * source's excess loss is its squared L2 distance from it on the
+    * [[DmScale]] integer grid — the no-libm stand-in for the paper's
+    * proxy-vs-reference log-perplexity gap (same dynamic: a domain the
+    * current mixture models poorly gets upweighted, the mixture chases
+    * it, equilibrium balances coverage). Per round, ALL in int64:
+    *
+    *   M_b  = ⌊Σ_s α_s·P_sb / 2^20⌋            (mixture distribution)
+    *   L_s  = Σ_b (P_sb − M_b)²                 (excess loss, integer)
+    *   A_s  = ⌊α_s·(DmDamp + L_s) / DmShift⌋    (MW update 1 + η·ℓ)
+    *   α'_s = ⌊⌊A_s·2^20/ΣA⌋·31/32⌋ + ⌊⌊2^20/K⌋/32⌋   (normalize + ε-smooth)
+    *
+    * Scale shape: the corpus-sized work is ONE tokenize + (source,
+    * bucket) map-side-combined count; the collected state is the
+    * sources×buckets quantized distribution table (K·256 longs — the
+    * q174 Gramian contract: the MODEL is aggregate-bounded, the data
+    * never leaves the executors) and the T-round loop is driver-side
+    * integer arithmetic on K weights. Output: one row per source with
+    * the final weight (grid units + the exact power-of-two-division
+    * double — no rounding surface anywhere) and the final-round loss.
+    */
+  def q207DoremiMixture(s: SparkSession, dir: String): DataFrame = {
+    val d = resplit(documents(s, dir).select(col("doc_id"), col("source"), col("text")))
+    val counts = d.select(col("source"), explode(words(col("text"))).as("w"))
+      .groupBy(col("source"), (hash32(col("w")) % DmBuckets).as("b"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
+    val raw = counts.collect()
+      .map(r => (r.getString(0), r.getLong(1).toInt, r.getLong(2)))
+    val srcs = raw.map(_._1).distinct.sorted
+    val k = srcs.length
+    val idx = srcs.zipWithIndex.toMap
+    val cs = new Array[Long](k)
+    raw.foreach { case (src, _, c) => cs(idx(src)) += c }
+    srcs.indices.foreach(i => require(cs(i) > 0L,
+      s"source ${srcs(i)} has no tokens — the distribution grid is undefined"))
+    val p = Array.ofDim[Long](k, DmBuckets)
+    raw.foreach { case (src, b, c) => p(idx(src))(b) = c * DmScale / cs(idx(src)) }
+    val eps = 1L << DmEpsShift
+    var alpha = Array.fill(k)(DmWeight / k)
+    var loss = new Array[Long](k)
+    for (_ <- 1 to DmRounds) {
+      val m = Array.tabulate(DmBuckets) { b =>
+        var acc = 0L; var i = 0
+        while (i < k) { acc += alpha(i) * p(i)(b); i += 1 }
+        acc / DmWeight
+      }
+      loss = Array.tabulate(k) { i =>
+        var acc = 0L; var b = 0
+        while (b < DmBuckets) { val d0 = p(i)(b) - m(b); acc += d0 * d0; b += 1 }
+        acc
+      }
+      val a = Array.tabulate(k)(i => alpha(i) * (DmDamp + loss(i)) / DmShift)
+      val tot = a.sum
+      alpha = Array.tabulate(k)(i =>
+        a(i) * DmWeight / tot * (eps - 1) / eps + (DmWeight / k) / eps)
+    }
+    import s.implicits._
+    val wdf = srcs.indices
+      .map(i => (srcs(i), loss(i), alpha(i)))
+      .toDF("source", "loss", "weight_grid")
+    val stats = d.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+    val toks = counts.groupBy(col("source")).agg(sum(col("c")).as("n_tokens"))
+    stats.join(toks, Seq("source")).join(broadcast(wdf), Seq("source"))
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("loss"),
+        col("weight_grid"),
+        // exact power-of-two division of an int64 grid value: the same
+        // double bit-for-bit in both engines, so no ROUND (whose 4/6dp
+        // midpoints a 2^-20 grid CAN land on — the q179 hazard) is needed
+        (col("weight_grid").cast("double") / lit(DmWeight.toDouble)).as("weight"))
+      .orderBy(col("source"))
+  }
+
+  /** q207's oracle: the IDENTICAL fixed-round loop unrolled over a DENSE
+    * (source × bucket) grid — mixture, loss, update, normalize+smooth
+    * per round as chained MATERIALIZED CTEs in pure BIGINT floor
+    * arithmetic (DuckDB `//` ≡ the engine's positive-long division), so
+    * the weight compare is hash-exact: the oracle retrains the mixture,
+    * it does not check a verdict.
+    */
+  val q207Sql: String = {
+    val W = DmWeight
+    val eps = 1L << DmEpsShift
+    def round(i: Int): String = {
+      val prev = if (i == 1) "a0" else s"a${i - 1}"
+      s"""m$i AS MATERIALIZED (
+         |  SELECT p.b, CAST(sum(a.a * p.p) // $W AS BIGINT) AS m
+         |  FROM p JOIN $prev a USING (source) GROUP BY p.b),
+         |l$i AS MATERIALIZED (
+         |  SELECT p.source, CAST(sum((p.p - m.m) * (p.p - m.m)) AS BIGINT) AS l
+         |  FROM p JOIN m$i m USING (b) GROUP BY p.source),
+         |u$i AS MATERIALIZED (
+         |  SELECT a.source, CAST((a.a * ($DmDamp + l.l)) // $DmShift AS BIGINT) AS u
+         |  FROM $prev a JOIN l$i l USING (source)),
+         |t$i AS MATERIALIZED (SELECT CAST(sum(u) AS BIGINT) AS tot FROM u$i),
+         |a$i AS MATERIALIZED (
+         |  SELECT u.source,
+         |   CAST((((u.u * $W) // t.tot) * ${eps - 1}) // $eps
+         |        + (($W // kk.k) // $eps) AS BIGINT) AS a
+         |  FROM u$i u CROSS JOIN t$i t CROSS JOIN kk)""".stripMargin
+    }
+    s"""WITH ww AS (
+       |  SELECT doc_id, source, regexp_split_to_array(trim(text), '\\s+') AS w
+       |  FROM documents),
+       |tok AS (SELECT source, unnest(w) AS t FROM ww),
+       |cc AS (
+       |  SELECT source,
+       |   CAST(concat('0x', substr(md5(t), 1, 8)) AS BIGINT) % $DmBuckets AS b,
+       |   CAST(count(*) AS BIGINT) AS c
+       |  FROM tok GROUP BY 1, 2),
+       |srcs AS (SELECT DISTINCT source FROM documents),
+       |kk AS (SELECT CAST(count(*) AS BIGINT) AS k FROM srcs),
+       |ct AS (SELECT source, CAST(sum(c) AS BIGINT) AS cs FROM cc GROUP BY source),
+       |grid AS (
+       |  SELECT srcs.source, CAST(t.b AS BIGINT) AS b
+       |  FROM srcs CROSS JOIN range(0, $DmBuckets) t(b)),
+       |p AS MATERIALIZED (
+       |  SELECT g.source, g.b,
+       |   CAST((COALESCE(cc.c, 0) * $DmScale) // ct.cs AS BIGINT) AS p
+       |  FROM grid g
+       |   LEFT JOIN cc ON g.source = cc.source AND g.b = cc.b
+       |   JOIN ct ON g.source = ct.source),
+       |a0 AS MATERIALIZED (
+       |  SELECT source, CAST($W // kk.k AS BIGINT) AS a FROM srcs CROSS JOIN kk),
+       |${(1 to DmRounds).map(round).mkString(",\n")},
+       |nd AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY source)
+       |SELECT nd.source, nd.n_docs, ct.cs AS n_tokens,
+       | l$DmRounds.l AS loss, a$DmRounds.a AS weight_grid,
+       | CAST(a$DmRounds.a AS DOUBLE) / $W.0 AS weight
+       |FROM nd
+       | JOIN ct USING (source)
+       | JOIN l$DmRounds USING (source)
+       | JOIN a$DmRounds USING (source)
+       |ORDER BY source""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q208
+
+  /** Margin bars swept by q208, in z units (margin / 2^20). Quarters and
+    * integers only, so every bar is an EXACT long on the margin grid;
+    * placed where the fixture margins actually trade off (the measured
+    * distribution is bimodal: negatives cluster near −2, positives near
+    * +7 — bars cover the precision ramp, the recall knee at +1, and the
+    * near-empty tail at +7). */
+  val CalibTauZ: Seq[Double] =
+    Seq(-2.0, -1.0, -0.5, 0.0, 0.5, 1.0, 2.0, 4.0, 6.0, 7.0)
+  val CalibTaus: Seq[Long] = CalibTauZ.map(z => (z * QfScale).toLong)
+
+  /** q208: classifier OPERATING-POINT calibration — the sweep that makes
+    * q201's margins load-bearing the way q155 makes the ANN indexes
+    * load-bearing (and the way q116 calibrates the heuristic filter):
+    * for each threshold bar τ, precision/recall/F1 of `margin ≥ τ`
+    * against the heuristic labels, plus how much of the near-dup proxy
+    * population (q45's component members, q116's pairing) the kept set
+    * retains. A pipeline reads this table to CHOOSE the margin cutoff —
+    * q201 alone emits scores but no threshold-choice artifact.
+    *
+    * Scale shape: the margins ride the memoized q201 scoring frame (the
+    * classifier trains ONCE per session — [[qfMarginsCached]]); the dup
+    * flag is one id-keyed join against the memoized q45 labels; the
+    * sweep explodes each doc against the 10-bar literal array and
+    * hash-aggregates to 10 rows with map-side partials (q116's shape —
+    * corpus×10 rows into partials, 10 out). All counting is exact
+    * integers; the only doubles are final int/int ratios rounded at 6dp
+    * (q172's idiom), NULL-guarded on empty cells in both engines.
+    */
+  def q208CalibrationSweep(s: SparkSession, dir: String): DataFrame = {
+    val m = qfMarginsCached(s, dir)
+    val dups = Dedup.componentLabels(s, dir)
+      .select(col("doc").as("doc_id"), lit(1L).as("dup_flag"))
+    val flagged = m.join(dups, Seq("doc_id"), "left")
+      .select(col("margin"), col("y"),
+        coalesce(col("dup_flag"), lit(0L)).as("is_dup"))
+    flagged
+      .select(col("margin"), col("y"), col("is_dup"),
+        explode(array(CalibTaus.map(lit): _*)).as("tau"))
+      .groupBy(col("tau"))
+      .agg(
+        sum(col("y")).as("n_pos"),
+        sum(col("is_dup")).as("n_dup"),
+        sum(when(col("margin") >= col("tau"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("margin") >= col("tau"), col("y")).otherwise(0L)).as("tp"),
+        sum(when(col("margin") >= col("tau"), col("is_dup")).otherwise(0L))
+          .as("n_dup_kept"))
+      .select(col("tau"), col("n_kept"), col("tp"),
+        (col("n_kept") - col("tp")).as("fp"),
+        (col("n_pos") - col("tp")).as("fn"),
+        when(col("n_kept") > 0,
+          round(col("tp").cast("double") / col("n_kept").cast("double"), 6))
+          .as("prec"),
+        when(col("n_pos") > 0,
+          round(col("tp").cast("double") / col("n_pos").cast("double"), 6))
+          .as("rec"),
+        when(col("n_kept") + col("n_pos") > 0,
+          round(lit(2.0) * col("tp").cast("double")
+            / (col("n_kept") + col("n_pos")).cast("double"), 6)).as("f1"),
+        col("n_dup_kept"),
+        when(col("n_dup") > 0,
+          round(col("n_dup_kept").cast("double") / col("n_dup").cast("double"), 6))
+          .as("dup_leak"))
+      .orderBy(col("tau"))
+  }
+
+  /** q208's oracle: q201's full training chain (shared CTE body — the
+    * oracle RETRAINS the model exactly as q201's does), the recursive
+    * component-labels block for the dup proxy (CTE-cache eligible,
+    * shared with q45/q100/q116/q205), then the 10-bar integer sweep. */
+  val q208Sql: String = {
+    // element-wise BIGINT casts: unnest must stay at the top level of its
+    // select item in DuckDB, and a bare int literal list would unnest as
+    // INT32 — the output tau column must be int64 to match Spark's
+    val taus = CalibTaus.map(t => s"CAST($t AS BIGINT)").mkString("[", ", ", "]")
+    s"""WITH RECURSIVE ${Dedup.sqlComponentsCtes},
+       |$qfTrainCtes,
+       |dup AS (SELECT DISTINCT doc FROM labels),
+       |fl AS (
+       |  SELECT fm.margin, l.y,
+       |   CASE WHEN d.doc IS NOT NULL THEN 1 ELSE 0 END AS is_dup
+       |  FROM fm JOIN lab l USING (doc_id)
+       |  LEFT JOIN dup d ON fm.doc_id = d.doc),
+       |ex AS (
+       |  SELECT margin, y, is_dup, unnest($taus) AS tau FROM fl),
+       |agg AS (
+       |  SELECT tau,
+       |   CAST(sum(y) AS BIGINT) AS n_pos,
+       |   CAST(sum(is_dup) AS BIGINT) AS n_dup,
+       |   CAST(sum(CASE WHEN margin >= tau THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |   CAST(sum(CASE WHEN margin >= tau THEN y ELSE 0 END) AS BIGINT) AS tp,
+       |   CAST(sum(CASE WHEN margin >= tau THEN is_dup ELSE 0 END) AS BIGINT) AS n_dup_kept
+       |  FROM ex GROUP BY tau)
+       |SELECT tau, n_kept, tp,
+       | n_kept - tp AS fp,
+       | n_pos - tp AS fn,
+       | CASE WHEN n_kept > 0
+       |   THEN ROUND(CAST(tp AS DOUBLE) / n_kept, 6) END AS prec,
+       | CASE WHEN n_pos > 0
+       |   THEN ROUND(CAST(tp AS DOUBLE) / n_pos, 6) END AS rec,
+       | CASE WHEN n_kept + n_pos > 0
+       |   THEN ROUND(2.0 * tp / (n_kept + n_pos), 6) END AS f1,
+       | n_dup_kept,
+       | CASE WHEN n_dup > 0
+       |   THEN ROUND(CAST(n_dup_kept AS DOUBLE) / n_dup, 6) END AS dup_leak
+       |FROM agg ORDER BY tau""".stripMargin
+  }
 }

@@ -23,16 +23,26 @@ object MultimodalQ {
   /** Plan-time guard for the perceptual-hash queries (q197/q198/q200):
     * the media synthesis formulas fold the seed mod 2^20
     * ([[PerceptualHash.grayAt]]/sampleAt/vidGrayAt), so documents whose
-    * ids are 2^20 apart would synthesize IDENTICAL media and surface as
-    * hamming-0 "dups" that are artifacts of the fixture generator, not
-    * the operator. Enforced here (q184's CellOffset idiom — a require,
-    * not a comment) because the testdata generator assigns dense ids
-    * from 0; a real-media deployment has no seed lane and no such bound.
+    * ids are congruent mod 2^20 would synthesize IDENTICAL media and
+    * surface as hamming-0 "dups" that are artifacts of the fixture
+    * generator, not the operator. The guard is on MAX(doc_id), not the
+    * document count (r18 ADVICE): with a non-dense id space the count
+    * can pass while two ids still collide mod 2^20 — max(id) < 2^20
+    * rules aliasing out for ANY id distribution. One job computes the
+    * count (which the callers' band-ladder geometry needs anyway)
+    * alongside the max. Enforced as a require (q184's CellOffset idiom)
+    * because it is a fixture-synthesis precondition; a real-media
+    * deployment has no seed lane and no such bound.
     */
-  private def requireSeedLane(nDocs: Long): Unit =
-    require(nDocs <= 1048576L,
-      s"perceptual-hash synthesis seeds fold mod 2^20: $nDocs docs would alias; " +
-        "widen the seed lane in PerceptualHash before scaling the fixture past 1,048,576 docs")
+  private def requireSeedLane(s: SparkSession, dir: String): Long = {
+    val r = documents(s, dir).agg(count(lit(1)), max(col("doc_id"))).collect()(0)
+    val nDocs = r.getLong(0)
+    val maxId = if (r.isNullAt(1)) -1L else r.getLong(1)
+    require(maxId < 1048576L,
+      s"perceptual-hash synthesis seeds fold mod 2^20: max doc_id $maxId would alias; " +
+        "widen the seed lane in PerceptualHash before scaling the fixture past id 1,048,575")
+    nDocs
+  }
 
   /** q156 row: every field read back out of the WAV container by the
     * parser — geometry from the fmt chunk, reductions over decoded PCM16
@@ -264,8 +274,7 @@ object MultimodalQ {
   def q197ImageNearDup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import PerceptualHash._
-    val nDocs = documents(s, dir).count()
-    requireSeedLane(nDocs)
+    val nDocs = requireSeedLane(s, dir)
     val sigs = documents(s, dir).select(col("doc_id")).as[Long]
       .mapPartitions(_.map { docId =>
         val twin = docId % ImgTwinMod == ImgTwinOff
@@ -353,8 +362,7 @@ object MultimodalQ {
   def q198AudioNearDup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import PerceptualHash._
-    val nDocs = documents(s, dir).count()
-    requireSeedLane(nDocs)
+    val nDocs = requireSeedLane(s, dir)
     val sigs = documents(s, dir).select(col("doc_id")).as[Long]
       .mapPartitions(_.map { docId =>
         val twin = docId % WavTwinMod == WavTwinOff
@@ -437,8 +445,7 @@ object MultimodalQ {
   def q200VideoNearDup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import PerceptualHash._
-    val nDocs = documents(s, dir).count()
-    requireSeedLane(nDocs)
+    val nDocs = requireSeedLane(s, dir)
     val sigs = documents(s, dir).select(col("doc_id")).as[Long]
       .mapPartitions(_.flatMap { docId =>
         val twin = docId % VidTwinMod == VidTwinOff

@@ -230,7 +230,14 @@ object WebCuration {
         countDistinct(col("url")).as("n_urls"),
         (count(lit(1)) - countDistinct(col("url"))).as("n_dup_docs"),
         sum(when(col("rk") <= DomainCap, 1L).otherwise(0L)).as("n_kept"),
-        round(avg(col("quality")), 4).as("mean_quality"))
+        // quality is on a 4dp grid by construction (qualityScore rounds),
+        // so the mean goes through exact integer ten-thousandths — an
+        // order-FREE aggregate (q146's integer-cents rework; r18 ADVICE):
+        // avg(double) re-associates under parallel aggregation, and at
+        // sf1 domain groups are large enough for summation-order noise
+        // to sit near a 4dp rounding boundary on an unlucky corpus.
+        round(sum(round(col("quality") * lit(10000)).cast("long")).cast("double")
+          / (count(lit(1)).cast("double") * lit(10000.0)), 4).as("mean_quality"))
       .orderBy(col("domain"))
   }
 
@@ -258,7 +265,8 @@ object WebCuration {
        | CAST(count(DISTINCT url) AS BIGINT) AS n_urls,
        | CAST(count(*) - count(DISTINCT url) AS BIGINT) AS n_dup_docs,
        | CAST(sum(CASE WHEN rk <= $DomainCap THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
-       | ROUND(avg(quality), 4) AS mean_quality
+       | ROUND(CAST(sum(CAST(round(quality * 10000) AS BIGINT)) AS DOUBLE)
+       |   / (count(*) * 10000.0), 4) AS mean_quality
        |FROM r GROUP BY domain ORDER BY domain""".stripMargin
   }
 

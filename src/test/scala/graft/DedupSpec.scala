@@ -436,6 +436,55 @@ class DedupSpec extends SparkTestBase {
     assert(cappedIdx <= Dedup.JaccardDfCap)
   }
 
+  test("q206 containment df-cap: subset of q154, retention theorem holds, buckets bounded") {
+    import graft.queries.Dedup
+    val full = Dedup.q154Containment(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    val capped = Dedup.q206ContainmentDfCap(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    // the cap only ever DROPS ordered pairs
+    assert(capped.subsetOf(full), s"cap invented pairs: ${capped -- full}")
+    // retention theorem (the containment variant of q158's): a qualifying
+    // pair's RAREST common shingle provably sits in the contained doc's
+    // prefix, so every q154 pair whose rarest common shingle has df <= cap
+    // must survive the capped index (recomputed from first principles)
+    val ex = Tables.documents(spark, sf).select(col("doc_id"),
+      explode(TextFns.shingles(TextFns.words(col("text")), 3)).as("s")).distinct()
+    val dfq = ex.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    val minDf = ex.as("a").join(ex.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") =!= col("b.doc_id"))
+      .join(dfq.withColumnRenamed("s", "dfs"), col("a.s") === col("dfs"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(min(col("df")).as("min_df"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val mustKeep = full.filter(p => minDf(p) <= Dedup.ContainDfCap)
+    assert(mustKeep.subsetOf(capped),
+      s"retention theorem violated for ${mustKeep -- capped}")
+    assert(mustKeep.nonEmpty, "cap retains nothing at this sf — test proves nothing")
+    // the knob's raison d'etre: every capped container-index bucket is
+    // <= cap rows at ANY corpus scale (df <= cap bounds the bucket)
+    val cappedIdx = ex.join(dfq.filter(col("df") <= Dedup.ContainDfCap)
+        .select(col("s"), col("df")), Seq("s"))
+      .groupBy(col("s")).agg(count(lit(1)).as("bucket"))
+      .agg(max(col("bucket"))).collect()(0).getLong(0)
+    assert(cappedIdx <= Dedup.ContainDfCap)
+    // the excerpt fixture from the q154 test: its shingle dfs are all
+    // <= cap, so the capped join must reproduce the uncapped result
+    // exactly — including the one-directional (2 contained-in 1) pair
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_contain_cap").toString
+    val big = (1 to 12).map(i => s"w$i").mkString(" ")
+    val excerpt = (1 to 6).map(i => s"w$i").mkString(" ")
+    Seq((1L, big), (2L, excerpt), (3L, "x1 x2 x3 x4 x5"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val fx = Dedup.q206ContainmentDfCap(spark, dir).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
+        r.getAs[Double]("containment")).toMap
+    assert(fx.keySet === Set((2L, 1L)), s"expected only the excerpt pair, got ${fx.keySet}")
+    assert(fx((2L, 1L)) === 1.0)
+  }
+
   test("q24 geometry ladder: every block count is a lossless candidate generator") {
     import graft.functions.HashConsts._
     // pigeonhole property, exhaustively over deterministic pseudo-random

@@ -113,4 +113,92 @@ class ModelCurationSpec extends SparkTestBase {
     assert(got.map(_._1).toSet === expect,
       "selected resample set diverged from the plain-Scala replay")
   }
+
+  test("q207 mixture weights equal a plain-Scala replay of the exact-arithmetic MW loop") {
+    val got = MC.q207DoremiMixture(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getAs[Long]("loss"), r.getAs[Long]("weight_grid"))))
+      .toMap
+    // plain-Scala replay from the raw documents
+    val docs = Tables.documents(spark, sf)
+      .select(col("source"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val srcs = docs.map(_._1).distinct.sorted
+    val k = srcs.length
+    val idx = srcs.zipWithIndex.toMap
+    val c = Array.ofDim[Long](k, MC.DmBuckets)
+    docs.foreach { case (src, text) =>
+      text.trim.split("\\s+").foreach(w => c(idx(src))((hash32(w) % MC.DmBuckets).toInt) += 1)
+    }
+    val cs = c.map(_.sum)
+    val p = Array.tabulate(k, MC.DmBuckets)((i, b) => c(i)(b) * MC.DmScale / cs(i))
+    val eps = 1L << MC.DmEpsShift
+    var alpha = Array.fill(k)(MC.DmWeight / k)
+    var loss = new Array[Long](k)
+    for (_ <- 1 to MC.DmRounds) {
+      val m = Array.tabulate(MC.DmBuckets)(b =>
+        srcs.indices.map(i => alpha(i) * p(i)(b)).sum / MC.DmWeight)
+      loss = Array.tabulate(k)(i =>
+        (0 until MC.DmBuckets).map { b => val d = p(i)(b) - m(b); d * d }.sum)
+      val a = Array.tabulate(k)(i => alpha(i) * (MC.DmDamp + loss(i)) / MC.DmShift)
+      val tot = a.sum
+      alpha = Array.tabulate(k)(i =>
+        a(i) * MC.DmWeight / tot * (eps - 1) / eps + (MC.DmWeight / k) / eps)
+    }
+    assert(got.keySet === srcs.toSet)
+    srcs.indices.foreach { i =>
+      assert(got(srcs(i)) === ((loss(i), alpha(i))),
+        s"source ${srcs(i)} diverged from the replay")
+    }
+    // the optimization is non-degenerate: weights genuinely moved off
+    // uniform, and the smoothing floor holds for every source
+    val ws = srcs.indices.map(i => alpha(i))
+    assert(ws.min < ws.max, "weights stayed uniform — the loop did nothing")
+    assert(ws.min >= (MC.DmWeight / k) / eps,
+      "a weight fell below the smoothing floor eps/K")
+    // normalization conserves mass up to the K floor losses per round
+    assert(math.abs(ws.sum - MC.DmWeight) <= 3L * k,
+      s"weight mass drifted: ${ws.sum} vs ${MC.DmWeight}")
+  }
+
+  test("q208 calibration sweep equals a plain-Scala recount over q201's margins and the dup proxy") {
+    import graft.queries.Dedup
+    val margins = MC.q201QualityClassifier(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("label"), r.getAs[Long]("margin")))
+    val dups = Dedup.componentLabels(spark, sf).collect()
+      .map(_.getAs[Long]("doc")).toSet
+    val nPos = margins.count(_._2 == 1L).toLong
+    val nDup = margins.count(m => dups(m._1)).toLong
+    val got = MC.q208CalibrationSweep(spark, sf).collect()
+    assert(got.map(_.getAs[Long]("tau")).toSeq === MC.CalibTaus.sorted)
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    got.foreach { row =>
+      val tau = row.getAs[Long]("tau")
+      val kept = margins.filter(_._3 >= tau)
+      val tp = kept.count(_._2 == 1L).toLong
+      val dupKept = kept.count(m => dups(m._1)).toLong
+      assert(row.getAs[Long]("n_kept") === kept.length.toLong)
+      assert(row.getAs[Long]("tp") === tp)
+      assert(row.getAs[Long]("fp") === kept.length - tp)
+      assert(row.getAs[Long]("fn") === nPos - tp)
+      assert(row.getAs[Long]("n_dup_kept") === dupKept)
+      def check(name: String, num: Long, den: Long): Unit =
+        if (den > 0)
+          assert(math.abs(row.getAs[Double](name) - r6(num.toDouble / den)) < 1e-9,
+            s"$name diverged at tau $tau")
+        else assert(row.isNullAt(row.fieldIndex(name)), s"$name not NULL at tau $tau")
+      check("prec", tp, kept.length.toLong)
+      check("rec", tp, nPos)
+      check("dup_leak", dupKept, nDup)
+      if (kept.length + nPos > 0)
+        assert(math.abs(row.getAs[Double]("f1")
+          - r6(2.0 * tp / (kept.length + nPos))) < 1e-9)
+    }
+    // the sweep is non-degenerate: the bars genuinely bind (kept counts
+    // strictly drop somewhere across the grid) and stay monotone
+    val keptSeq = got.map(_.getAs[Long]("n_kept")).toSeq
+    assert(keptSeq === keptSeq.sorted.reverse, "n_kept not monotone in tau")
+    assert(keptSeq.head > keptSeq.last,
+      "every bar kept the same set — margin distribution never crosses the grid")
+  }
 }

@@ -1399,10 +1399,22 @@ object Dedup {
     // pair dies on a 2-int compare instead of surviving to a set verify.
     // Zero false negatives by the inequality above, so the oracle hash
     // (which checks every shingle-sharing pair) is unchanged.
-    val cands = probe.join(index, Seq("shingle"))
+    // checkpoint THEN resplit before the verify (q22/q23's idiom, which
+    // this pipeline was MISSING through r18): the verify is CPU-bound set
+    // intersection per pair, and AQE's size-based coalescing schedules the
+    // tiny-by-bytes id-pair list onto a couple of cores — measured as
+    // q154's bimodal cost (8.7 s at sf0.1 / a flaky 38-56 s in-suite mode
+    // at sf1-realistic across r16-r18, vs ~5 s when the coalesce happened
+    // to keep parallelism; the r18 "candidate mass" diagnosis did not
+    // reproduce — the prefix-bounded candidate count is ~617k at
+    // sf1-realistic, cap or no cap). The checkpoint first means resplit's
+    // partition probe reads a materialized RDD instead of re-running the
+    // join.
+    val cands = resplit(probe.join(index, Seq("shingle"))
       .filter(col("doc_a") =!= col("doc_b") &&
         col("n_b_i") >= ceil(col("n_a_p") * ContainT))
       .select(col("doc_a"), col("doc_b")).distinct()
+      .localCheckpoint(true))
     val sa = ordered.select(col("doc_id").as("a_id"),
       transform(col("ord"), _.getField("shingle")).as("sha"), col("n").as("n_a"))
     val sb = ordered.select(col("doc_id").as("b_id"),

@@ -374,4 +374,162 @@ object WebCuration {
        | CAST(sum(CASE WHEN text_kept AND img_kept AND aud_kept AND vid_kept THEN 1 ELSE 0 END) AS BIGINT) AS n_vid_kept,
        | CAST(sum(CASE WHEN text_kept AND img_kept AND aud_kept AND vid_kept AND samp THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
        |FROM flags GROUP BY source ORDER BY source""".stripMargin
+
+  // ---------------------------------------------------------------- q209
+
+  /** Stop-word list for the minimum-stop-word rule. Gopher's English
+    * list is {the, be, to, of, and, that, have, with}; the corpus'
+    * function words are {the, a}, so the configured list swaps Gopher's
+    * head for the fixture's (the rule is generic, the LIST is per-corpus
+    * config exactly as a language-specific deployment would set it). */
+  val GopherStops: Seq[String] =
+    Seq("the", "a", "and", "of", "to", "be", "that", "with")
+
+  /** Minimum distinct stop words a keepable document must contain. */
+  val GopherMinStops: Int = 2
+
+  /** Planted noise blocks for the rule audit (the q199/q203 planted-lane
+    * idiom: the corpus text is clean synthetic prose, so each rule's
+    * failure mode is planted deterministically from doc_id and the oracle
+    * renders the identical lanes). One constant set, two engines. */
+  private[graft] val BulletBlock: String =
+    (0 until 12).map(i => s"\n- pt$i").mkString
+  private[graft] val EllipsisBlock: String = "\nread more...\nread more..."
+  private[graft] val SymbolBlock: String = "\n# # # # # # # #"
+  private[graft] val NumericBlock: String = "\n" + (0 until 12).mkString(" ")
+  private[graft] val LongWordBlock: String =
+    "\n" + Seq.fill(20)("x" * 25).mkString(" ")
+
+  /** The noisy page: base text plus the doc_id-planted noise lanes
+    * (bullet list %7=3, ellipsis teasers %9=2, symbol run %11=6,
+    * numeric tokens %13=9, overlong words %17=4 — lanes overlap on
+    * composite residues, so rule interactions are exercised too). */
+  private def noisyPageCol: Column = concat(
+    col("text"),
+    when(col("doc_id") % 7 === 3, BulletBlock).otherwise(""),
+    when(col("doc_id") % 9 === 2, EllipsisBlock).otherwise(""),
+    when(col("doc_id") % 11 === 6, SymbolBlock).otherwise(""),
+    when(col("doc_id") % 13 === 9, NumericBlock).otherwise(""),
+    when(col("doc_id") % 17 === 4, LongWordBlock).otherwise(""))
+
+  /** A DuckDB string literal for a block containing newlines (rendered
+    * as chr(10) concatenations — DuckDB literals don't interpret \n). */
+  private def sqlLit(s: String): String =
+    "'" + s.replace("'", "''").replace("\n", "' || chr(10) || '") + "'"
+
+  private def noisyPageSqlExpr: String =
+    s"""text
+       | || CASE WHEN doc_id % 7 = 3 THEN ${sqlLit(BulletBlock)} ELSE '' END
+       | || CASE WHEN doc_id % 9 = 2 THEN ${sqlLit(EllipsisBlock)} ELSE '' END
+       | || CASE WHEN doc_id % 11 = 6 THEN ${sqlLit(SymbolBlock)} ELSE '' END
+       | || CASE WHEN doc_id % 13 = 9 THEN ${sqlLit(NumericBlock)} ELSE '' END
+       | || CASE WHEN doc_id % 17 = 4 THEN ${sqlLit(LongWordBlock)} ELSE '' END""".stripMargin
+      .replace("\n", " ").replaceAll(" +", " ")
+
+  /** The per-page rule flags, as a projection over a `page` column —
+    * GENERIC (no synthesis knowledge): every Gopher A1 measurement is an
+    * integer (word/line/char/occurrence counts) and every band check is
+    * an INTEGER cross-multiplication (10·sym > nw instead of sym/nw >
+    * 0.1), so there is no floating-point surface anywhere in the
+    * operator and the oracle compare is exact by construction. */
+  private[graft] def gopherFlags(page: Column): Seq[Column] = {
+    val ws = graft.functions.TextFns.words(page)
+    val lines = split(page, "\n")
+    val nw = size(ws).cast("long")
+    val nl = size(lines).cast("long")
+    val nonws = length(regexp_replace(page, "\\s", "")).cast("long")
+    val sym = (length(page) - length(regexp_replace(page, "#", ""))
+      + regexp_count(page, lit("\\.\\.\\."))).cast("long")
+    val bl = size(filter(lines, l => l.startsWith("- "))).cast("long")
+    val el = size(filter(lines, l => l.endsWith("..."))).cast("long")
+    val aw = size(filter(ws, w => w.rlike("[A-Za-z]"))).cast("long")
+    val sw = size(filter(array(GopherStops.map(lit): _*),
+      t => array_contains(ws, t))).cast("long")
+    Seq(
+      (nw < 50L || nw > 100000L).as("trip_wc"),
+      (nonws < nw * 3L || nonws > nw * 10L).as("trip_mwl"),
+      (sym * 10L > nw).as("trip_sym"),
+      (bl * 10L > nl * 9L).as("trip_bullet"),
+      (el * 10L > nl * 3L).as("trip_ellipsis"),
+      (aw * 5L < nw * 4L).as("trip_alpha"),
+      (sw < GopherMinStops.toLong).as("trip_stop"))
+  }
+
+  /** q209: GOPHER-STYLE RULE-SET quality audit (Rae et al. 2021,
+    * Appendix A1 — the rule battery MassiveWeb runs before any model
+    * sees a byte), per source: how many documents trip each rule and
+    * how many survive them all. The rules this corpus can express:
+    * word-count band [50, 100k], mean-word-length band [3, 10],
+    * symbol-to-word ratio ('#' + '…' ≤ 0.1/word), bullet-started lines
+    * ≤ 90%, ellipsis-ended lines ≤ 30%, alphabetic-word fraction ≥ 0.8,
+    * and ≥ 2 distinct stop words present.
+    *
+    * Unlike q18/q58's composite quality SCORE (a soft ranking signal),
+    * this is the hard PASS/FAIL battery with per-rule attribution — the
+    * artifact a curation run publishes so each rule's cost is visible
+    * before it's enabled. Scale shape: map-only flag projection (pure
+    * codegen'd string/array expressions, no UDF, no join) into one
+    * source-keyed aggregate — the cheapest possible 100 TB pass, same
+    * family as q203. All counting is exact integers; the band checks
+    * are integer cross-multiplications, so both engines agree bit-wise.
+    */
+  def q209GopherRules(s: SparkSession, dir: String): DataFrame = {
+    val flags = documents(s, dir)
+      .select(col("source") +: gopherFlags(noisyPageCol): _*)
+    def cnt(name: String): Column =
+      sum(when(col(name), lit(1L)).otherwise(lit(0L))).as(name)
+    val tripCols = Seq("trip_wc", "trip_mwl", "trip_sym", "trip_bullet",
+      "trip_ellipsis", "trip_alpha", "trip_stop")
+    val kept = sum(when(tripCols.map(col).reduce(_ || _), lit(0L))
+      .otherwise(lit(1L))).as("n_kept")
+    flags.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), tripCols.map(cnt) :+ kept: _*)
+      .orderBy(col("source"))
+  }
+
+  val q209Sql: String = {
+    val stops = GopherStops.mkString("'", "', '", "'")
+    s"""WITH p AS (
+       |  SELECT source, ${noisyPageSqlExpr} AS page FROM documents),
+       |m AS (
+       |  SELECT source,
+       |   regexp_split_to_array(trim(page), '\\s+') AS ww,
+       |   string_split(page, chr(10)) AS ll,
+       |   CAST(length(regexp_replace(page, '\\s', '', 'g')) AS BIGINT) AS nonws,
+       |   CAST(length(page) - length(replace(page, '#', ''))
+       |     + len(regexp_extract_all(page, '\\.\\.\\.')) AS BIGINT) AS sym
+       |  FROM p),
+       |f AS (
+       |  SELECT source,
+       |   CAST(len(ww) AS BIGINT) AS nw,
+       |   CAST(len(ll) AS BIGINT) AS nl,
+       |   nonws, sym,
+       |   CAST(len(list_filter(ll, l -> l LIKE '- %')) AS BIGINT) AS bl,
+       |   CAST(len(list_filter(ll, l -> l LIKE '%...')) AS BIGINT) AS el,
+       |   CAST(len(list_filter(ww, w -> regexp_matches(w, '[A-Za-z]'))) AS BIGINT) AS aw,
+       |   CAST(len(list_filter([$stops], t -> list_contains(ww, t))) AS BIGINT) AS sw
+       |  FROM m),
+       |t AS (
+       |  SELECT source,
+       |   (nw < 50 OR nw > 100000) AS trip_wc,
+       |   (nonws < nw * 3 OR nonws > nw * 10) AS trip_mwl,
+       |   (sym * 10 > nw) AS trip_sym,
+       |   (bl * 10 > nl * 9) AS trip_bullet,
+       |   (el * 10 > nl * 3) AS trip_ellipsis,
+       |   (aw * 5 < nw * 4) AS trip_alpha,
+       |   (sw < $GopherMinStops) AS trip_stop
+       |  FROM f)
+       |SELECT source,
+       | CAST(count(*) AS BIGINT) AS n_docs,
+       | CAST(sum(CASE WHEN trip_wc THEN 1 ELSE 0 END) AS BIGINT) AS trip_wc,
+       | CAST(sum(CASE WHEN trip_mwl THEN 1 ELSE 0 END) AS BIGINT) AS trip_mwl,
+       | CAST(sum(CASE WHEN trip_sym THEN 1 ELSE 0 END) AS BIGINT) AS trip_sym,
+       | CAST(sum(CASE WHEN trip_bullet THEN 1 ELSE 0 END) AS BIGINT) AS trip_bullet,
+       | CAST(sum(CASE WHEN trip_ellipsis THEN 1 ELSE 0 END) AS BIGINT) AS trip_ellipsis,
+       | CAST(sum(CASE WHEN trip_alpha THEN 1 ELSE 0 END) AS BIGINT) AS trip_alpha,
+       | CAST(sum(CASE WHEN trip_stop THEN 1 ELSE 0 END) AS BIGINT) AS trip_stop,
+       | CAST(sum(CASE WHEN NOT (trip_wc OR trip_mwl OR trip_sym OR trip_bullet
+       |   OR trip_ellipsis OR trip_alpha OR trip_stop) THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+       |FROM t GROUP BY source ORDER BY source""".stripMargin
+  }
 }

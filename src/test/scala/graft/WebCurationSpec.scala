@@ -96,4 +96,91 @@ class WebCurationSpec extends SparkTestBase {
     assert(total("n_text_kept") === reps,
       "text stage diverged from the q45 component representatives")
   }
+
+  // ------------------------------------------------------------- q209
+
+  /** Plain-Scala replay of the q209 rule battery: independent
+    * tokenization and integer arithmetic over a page string. */
+  private def replayFlags(page: String): Seq[Boolean] = {
+    val ws = page.trim.split("\\s+").toSeq
+    val lines = page.split("\n", -1).toSeq
+    val nw = ws.size.toLong
+    val nl = lines.size.toLong
+    val nonws = page.count(!_.isWhitespace).toLong
+    val sym = page.count(_ == '#').toLong + "\\.\\.\\.".r.findAllIn(page).size
+    val bl = lines.count(_.startsWith("- ")).toLong
+    val el = lines.count(_.endsWith("...")).toLong
+    val aw = ws.count(_.exists(_.isLetter)).toLong
+    val sw = WC.GopherStops.count(ws.contains(_)).toLong
+    Seq(
+      nw < 50L || nw > 100000L,
+      nonws < nw * 3L || nonws > nw * 10L,
+      sym * 10L > nw,
+      bl * 10L > nl * 9L,
+      el * 10L > nl * 3L,
+      aw * 5L < nw * 4L,
+      sw < WC.GopherMinStops.toLong)
+  }
+
+  private def replayLanes(docId: Long, text: String): String =
+    text +
+      (if (docId % 7 == 3) WC.BulletBlock else "") +
+      (if (docId % 9 == 2) WC.EllipsisBlock else "") +
+      (if (docId % 11 == 6) WC.SymbolBlock else "") +
+      (if (docId % 13 == 9) WC.NumericBlock else "") +
+      (if (docId % 17 == 4) WC.LongWordBlock else "")
+
+  test("q209 gopherFlags match the plain-Scala replay on crafted single-rule pages") {
+    import spark.implicits._
+    val fill = Seq.tabulate(58)(i => s"word$i").mkString(" ")
+    val crafted = Seq(
+      // (label, page, the ONE rule index it should trip; -1 = keep)
+      ("keep", s"the a $fill", -1),
+      ("wc", "the a wordy", 0),
+      ("mwl", "the a " + Seq.fill(58)("x" * 30).mkString(" "), 1),
+      ("sym", "the a " + Seq.tabulate(50)(i => s"word$i").mkString(" ")
+        + " # # # # # # # #", 2),
+      ("bullet", s"the a $fill" + Seq.tabulate(12)(i => s"\n- pt$i").mkString, 3),
+      ("ellipsis", s"the a $fill\nread more...\nread more...", 4),
+      ("alpha", "the a " + Seq.tabulate(30)(i => s"word$i").mkString(" ")
+        + " " + (0 until 28).mkString(" "), 5),
+      ("stop", s"only $fill plain words here", 6))
+    val got = crafted.map(c => (c._1, c._2)).toDF("label", "page")
+      .select(col("label") +: WC.gopherFlags(col("page")): _*)
+      .collect().map(r => r.getString(0) ->
+        (1 to 7).map(r.getBoolean)).toMap
+    crafted.foreach { case (label, page, rule) =>
+      val expect = replayFlags(page)
+      assert(got(label) === expect, s"engine != replay for $label")
+      val want = Seq.tabulate(7)(_ == rule)
+      assert(expect === want,
+        s"crafted page '$label' should trip exactly rule $rule, got $expect")
+    }
+  }
+
+  test("q209 per-source counts equal a full plain-Scala replay and no rule is vacuous") {
+    val rows = WC.q209GopherRules(spark, sf).collect()
+      .map(r => r.getString(0) -> (1 to 9).map(r.getLong)).toMap
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val expect = docs.groupBy(_._2).map { case (src, ds) =>
+      val flags = ds.map { case (id, _, text) => replayFlags(replayLanes(id, text)) }
+      val trips = Seq.tabulate(7)(i => flags.count(_(i)).toLong)
+      src -> ((ds.length.toLong +: trips) :+ flags.count(f => !f.exists(identity)).toLong)
+    }
+    assert(rows.keySet === expect.keySet)
+    expect.foreach { case (src, want) =>
+      assert(rows(src) === want, s"source $src diverged from the replay")
+    }
+    // the fixture genuinely exercises the battery: every rule trips
+    // somewhere, somebody survives, and not everybody does
+    val totals = Seq.tabulate(7)(i => expect.values.map(_(i + 1)).sum)
+    totals.zipWithIndex.foreach { case (t, i) =>
+      assert(t > 0L, s"rule $i never trips on the fixture — vacuous")
+    }
+    val (nDocs, nKept) = (expect.values.map(_.head).sum, expect.values.map(_.last).sum)
+    assert(nKept > 0L, "no document survives the battery")
+    assert(nKept < nDocs, "the battery keeps everything — vacuous")
+  }
 }

@@ -1367,6 +1367,12 @@ object Dedup {
   def q154Containment(s: SparkSession, dir: String): DataFrame =
     containmentPipeline(s, dir, Long.MaxValue)
 
+  /** q154 WITHOUT the checkpoint+resplit (PlanSpec only, q22Fresh's
+    * role): the plan pin must see the real candidate join tree — the
+    * production pipeline truncates it behind the eager checkpoint. */
+  private[graft] def q154Fresh(s: SparkSession, dir: String): DataFrame =
+    containmentPipeline(s, dir, Long.MaxValue, fresh = true)
+
   /** The containment pipeline shared by q154 (uncapped) and q206 (df cap
     * on the indexed side): prefix-filtered probe, full-or-capped
     * container index, candidate-time length filter, exact full-set
@@ -1375,7 +1381,7 @@ object Dedup {
     * rarest-first order — the retention theorem depends on it.
     */
   private def containmentPipeline(s: SparkSession, dir: String,
-      dfCap: Long): DataFrame = {
+      dfCap: Long, fresh: Boolean = false): DataFrame = {
     val ordered = orderedSetsCached(s, dir)
     val p = (col("n") - ceil(col("n") * ContainT) + 1).cast("int")
     val probe0 = ordered.select(col("doc_id").as("doc_a"), col("n").as("n_a_p"),
@@ -1410,11 +1416,11 @@ object Dedup {
     // sf1-realistic, cap or no cap). The checkpoint first means resplit's
     // partition probe reads a materialized RDD instead of re-running the
     // join.
-    val cands = resplit(probe.join(index, Seq("shingle"))
+    val cands0 = probe.join(index, Seq("shingle"))
       .filter(col("doc_a") =!= col("doc_b") &&
         col("n_b_i") >= ceil(col("n_a_p") * ContainT))
       .select(col("doc_a"), col("doc_b")).distinct()
-      .localCheckpoint(true))
+    val cands = if (fresh) cands0 else resplit(cands0.localCheckpoint(true))
     val sa = ordered.select(col("doc_id").as("a_id"),
       transform(col("ord"), _.getField("shingle")).as("sha"), col("n").as("n_a"))
     val sb = ordered.select(col("doc_id").as("b_id"),

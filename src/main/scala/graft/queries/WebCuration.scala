@@ -532,4 +532,206 @@ object WebCuration {
        |   OR trip_ellipsis OR trip_alpha OR trip_stop) THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
        |FROM t GROUP BY source ORDER BY source""".stripMargin
   }
+
+  // ---------------------------------------------------------------- q210
+
+  /** Planted repetition blocks (q209's planted-lane idiom, disjoint
+    * residues): the synthetic prose is clean of LINE/PARAGRAPH-level
+    * repetition, so each structural failure mode is planted from doc_id;
+    * the n-gram rules additionally fire on the corpus' own templated
+    * sentences, so the battery is load-bearing on natural text too. */
+  private[graft] val DupLineBlock: String =
+    "\nsubscribe to our newsletter today" * 4
+  private[graft] val DupParaBlock: String =
+    "\n\nshare this article with your friends" * 3
+  private[graft] val Top2Block: String =
+    "\n" + ("buy now " * 24).trim
+  /** Single-line INLINE repetition: trips the dup-5-gram rule without
+    * creating duplicate lines, keeping this lane disjoint from the line
+    * rules. (The paragraph lane's line coupling, by contrast, is
+    * faithful: a repeated paragraph IS repeated lines — which is why
+    * Gopher publishes both rule families at different thresholds.) */
+  private[graft] val Dup5Block: String =
+    "\n" + ("click here to claim your exclusive reward before midnight tonight " * 2).trim
+
+  /** The repetition-noisy page: base text plus doc_id-planted lanes
+    * (dup lines %7=1, dup paragraphs %11=3, dominant 2-gram %13=5,
+    * duplicated 5-grams %17=8 — residues disjoint from q209's, and the
+    * moduli coprime with the source modulus so trips spread across all
+    * sources). */
+  private def repPageCol: Column = concat(
+    col("text"),
+    when(col("doc_id") % 7 === 1, DupLineBlock).otherwise(""),
+    when(col("doc_id") % 11 === 3, DupParaBlock).otherwise(""),
+    when(col("doc_id") % 13 === 5, Top2Block).otherwise(""),
+    when(col("doc_id") % 17 === 8, Dup5Block).otherwise(""))
+
+  private def repPageSqlExpr: String =
+    s"""text
+       | || CASE WHEN doc_id % 7 = 1 THEN ${sqlLit(DupLineBlock)} ELSE '' END
+       | || CASE WHEN doc_id % 11 = 3 THEN ${sqlLit(DupParaBlock)} ELSE '' END
+       | || CASE WHEN doc_id % 13 = 5 THEN ${sqlLit(Top2Block)} ELSE '' END
+       | || CASE WHEN doc_id % 17 = 8 THEN ${sqlLit(Dup5Block)} ELSE '' END""".stripMargin
+      .replace("\n", " ").replaceAll(" +", " ")
+
+  /** Per-row repetition flags over an (id, key, page) frame — the shared
+    * core of q210 and its spec's crafted-page tests. Line/paragraph
+    * stats are PURE MAP-SIDE array expressions (lines per page are few,
+    * so the per-distinct-line scan is O(lines²) on tiny arrays — no
+    * shuffle); the n-gram stats explode ONE tagged (id, n, gram) stream
+    * from a single scan into a map-side-combined count aggregate, a
+    * per-id roll-up, and an id-keyed join back. Every shuffle is keyed
+    * by id (or a superset), so the audit is embarrassingly
+    * corpus-parallel — no cross-document state anywhere.
+    *
+    * Measurement contracts (both engines render the same definitions):
+    * dup fractions count NON-FIRST occurrences (a line seen k times
+    * contributes k−1); dup-line chars sum (k−1)·len over repeated lines
+    * against total page length; "top n-gram chars" is max over grams of
+    * count·len(gram) — "the n-gram occupying the most characters",
+    * deterministic under count ties where argmax-by-count is not;
+    * dup-5-gram chars sum count·len over grams seen ≥ 2 times (no
+    * overlap discount — the standard published simplification) against
+    * non-whitespace chars. */
+  private[graft] def repFlagFrame(rows: DataFrame): DataFrame = {
+    import graft.functions.TextFns
+    val base = rows.select(col("id"), col("key"), col("page"),
+      split(col("page"), "\n").as("ll"),
+      split(col("page"), "\n\n").as("pp"),
+      TextFns.words(col("page")).as("ww"),
+      length(col("page")).cast("long").as("pagel"),
+      length(regexp_replace(col("page"), "\\s", "")).cast("long").as("nonws"))
+
+    val lineStats = base.select(
+      col("id"), col("key"), col("pagel"), col("nonws"),
+      size(col("ll")).cast("long").as("nl"),
+      (size(col("ll")) - size(array_distinct(col("ll")))).cast("long").as("dl"),
+      coalesce(aggregate(array_distinct(col("ll")), lit(0L),
+        (acc, d) => acc + (size(filter(col("ll"), x => x === d)) - lit(1))
+          .cast("long") * length(d).cast("long")), lit(0L)).as("dlc"),
+      size(col("pp")).cast("long").as("np"),
+      (size(col("pp")) - size(array_distinct(col("pp")))).cast("long").as("dp"))
+
+    def tag(n: Int): Column = transform(TextFns.shingles(col("ww"), n),
+      g => struct(lit(n).as("n"), g.as("gram")))
+    val gramStats = base
+      .select(col("id"), explode(flatten(array(tag(2), tag(3), tag(5)))).as("t"))
+      .groupBy(col("id"), col("t.n").as("n"), col("t.gram").as("gram"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("id"))
+      .agg(
+        max(when(col("n") === 2, col("c") * length(col("gram")).cast("long"))
+          .otherwise(lit(0L))).as("top2"),
+        max(when(col("n") === 3, col("c") * length(col("gram")).cast("long"))
+          .otherwise(lit(0L))).as("top3"),
+        sum(when(col("n") === 5 && col("c") > 1,
+          col("c") * length(col("gram")).cast("long"))
+          .otherwise(lit(0L))).as("dup5"))
+
+    lineStats.join(gramStats, Seq("id"), "left").select(
+      col("key"),
+      (col("dl") * 10L > col("nl") * 3L).as("trip_dupline"),
+      (col("dlc") * 5L > col("pagel")).as("trip_dlchar"),
+      (col("dp") * 10L > col("np") * 3L).as("trip_duppara"),
+      (coalesce(col("top2"), lit(0L)) * 5L > col("nonws")).as("trip_top2"),
+      (coalesce(col("top3"), lit(0L)) * 50L > col("nonws") * 9L).as("trip_top3"),
+      (coalesce(col("dup5"), lit(0L)) * 20L > col("nonws") * 3L).as("trip_dup5"))
+  }
+
+  /** q210: GOPHER-STYLE REPETITION audit (Rae et al. 2021, Appendix A1's
+    * repetition sub-battery — the rules MassiveWeb applies ALONGSIDE
+    * q209's quality rules), per source: how many documents trip each
+    * repetition rule and how many survive all of them. Implemented
+    * subset spans all three published rule families, thresholds are
+    * Gopher's, and every band check is an integer cross-multiplication
+    * (hash-exact by construction, like q209):
+    *
+    *  - duplicate-LINE fraction > 0.30            (10·dl  > 3·nl)
+    *  - duplicate-line CHARACTER fraction > 0.20  ( 5·dlc > pagel)
+    *  - duplicate-PARAGRAPH fraction > 0.30       (10·dp  > 3·np)
+    *  - top 2-gram character fraction > 0.20      ( 5·top2 > nonws)
+    *  - top 3-gram character fraction > 0.18      (50·top3 > 9·nonws)
+    *  - dup 5-gram character fraction > 0.15      (20·dup5 > 3·nonws)
+    *
+    * Unlike the planted line/paragraph lanes, the n-gram rules also fire
+    * on the corpus' own templated prose — the battery is load-bearing on
+    * natural text, exactly the regime q51's repetition stats report on.
+    * Scale shape: see [[repFlagFrame]]; the roll-up adds one
+    * source-keyed aggregate. */
+  def q210RepetitionRules(s: SparkSession, dir: String): DataFrame = {
+    val flags = repFlagFrame(documents(s, dir).select(
+      col("doc_id").as("id"), col("source").as("key"), repPageCol.as("page")))
+    def cnt(name: String): Column =
+      sum(when(col(name), lit(1L)).otherwise(lit(0L))).as(name)
+    val tripCols = Seq("trip_dupline", "trip_dlchar", "trip_duppara",
+      "trip_top2", "trip_top3", "trip_dup5")
+    val kept = sum(when(tripCols.map(col).reduce(_ || _), lit(0L))
+      .otherwise(lit(1L))).as("n_kept")
+    flags.withColumnRenamed("key", "source")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), tripCols.map(cnt) :+ kept: _*)
+      .orderBy(col("source"))
+  }
+
+  val q210Sql: String = {
+    def branch(n: Int): String =
+      s"""  SELECT doc_id, $n AS n,
+         |   unnest(list_transform(generate_series(1, len(ww) - $n + 1),
+         |     i -> array_to_string(ww[i:i+$n-1], ' '))) AS gram
+         |  FROM base WHERE len(ww) >= $n""".stripMargin
+    s"""WITH p AS (
+       |  SELECT doc_id, source, ${repPageSqlExpr} AS page FROM documents),
+       |base AS (
+       |  SELECT doc_id, source,
+       |   string_split(page, chr(10)) AS ll,
+       |   string_split(page, chr(10) || chr(10)) AS pp,
+       |   regexp_split_to_array(trim(page), '\\s+') AS ww,
+       |   CAST(length(page) AS BIGINT) AS pagel,
+       |   CAST(length(regexp_replace(page, '\\s', '', 'g')) AS BIGINT) AS nonws
+       |  FROM p),
+       |linestats AS (
+       |  SELECT doc_id, source, pagel, nonws,
+       |   CAST(len(ll) AS BIGINT) AS nl,
+       |   CAST(len(ll) - len(list_distinct(ll)) AS BIGINT) AS dl,
+       |   CAST(coalesce(list_sum(list_transform(list_distinct(ll),
+       |     d -> (len(list_filter(ll, x -> x = d)) - 1) * length(d))), 0) AS BIGINT) AS dlc,
+       |   CAST(len(pp) AS BIGINT) AS np,
+       |   CAST(len(pp) - len(list_distinct(pp)) AS BIGINT) AS dp
+       |  FROM base),
+       |gramrows AS (
+       |${branch(2)}
+       |  UNION ALL
+       |${branch(3)}
+       |  UNION ALL
+       |${branch(5)}),
+       |grams AS (
+       |  SELECT doc_id, n, gram, count(*) AS c, CAST(length(gram) AS BIGINT) AS gc
+       |  FROM gramrows GROUP BY doc_id, n, gram),
+       |gstats AS (
+       |  SELECT doc_id,
+       |   max(CASE WHEN n = 2 THEN c * gc ELSE 0 END) AS top2,
+       |   max(CASE WHEN n = 3 THEN c * gc ELSE 0 END) AS top3,
+       |   sum(CASE WHEN n = 5 AND c > 1 THEN c * gc ELSE 0 END) AS dup5
+       |  FROM grams GROUP BY doc_id),
+       |f AS (
+       |  SELECT ls.source,
+       |   (dl * 10 > nl * 3) AS trip_dupline,
+       |   (dlc * 5 > pagel) AS trip_dlchar,
+       |   (dp * 10 > np * 3) AS trip_duppara,
+       |   (coalesce(top2, 0) * 5 > nonws) AS trip_top2,
+       |   (coalesce(top3, 0) * 50 > nonws * 9) AS trip_top3,
+       |   (coalesce(dup5, 0) * 20 > nonws * 3) AS trip_dup5
+       |  FROM linestats ls LEFT JOIN gstats g USING (doc_id))
+       |SELECT source,
+       | CAST(count(*) AS BIGINT) AS n_docs,
+       | CAST(sum(CASE WHEN trip_dupline THEN 1 ELSE 0 END) AS BIGINT) AS trip_dupline,
+       | CAST(sum(CASE WHEN trip_dlchar THEN 1 ELSE 0 END) AS BIGINT) AS trip_dlchar,
+       | CAST(sum(CASE WHEN trip_duppara THEN 1 ELSE 0 END) AS BIGINT) AS trip_duppara,
+       | CAST(sum(CASE WHEN trip_top2 THEN 1 ELSE 0 END) AS BIGINT) AS trip_top2,
+       | CAST(sum(CASE WHEN trip_top3 THEN 1 ELSE 0 END) AS BIGINT) AS trip_top3,
+       | CAST(sum(CASE WHEN trip_dup5 THEN 1 ELSE 0 END) AS BIGINT) AS trip_dup5,
+       | CAST(sum(CASE WHEN NOT (trip_dupline OR trip_dlchar OR trip_duppara
+       |   OR trip_top2 OR trip_top3 OR trip_dup5) THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+       |FROM f GROUP BY source ORDER BY source""".stripMargin
+  }
 }

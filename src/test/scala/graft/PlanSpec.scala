@@ -513,16 +513,24 @@ class PlanSpec extends SparkTestBase {
   test("q154: the container length filter sits in the candidate join, below the verify") {
     // containment ≥ t ⇒ n_b ≥ ⌈t·n_a⌉ (inter ≤ n_b), so short containers
     // must die inside the shingle join — before the distinct and the
-    // array_intersect verify — not after. The plan prints top-down, so the
+    // array_intersect verify — not after. Since the r19 checkpoint+resplit
+    // fix the production plan truncates the candidate join behind an
+    // ExistingRDD scan (q23's witness pattern), so the join-tree pin reads
+    // q154Fresh (q22Fresh's role). The plan prints top-down, so the
     // predicate's attributes must appear DEEPER (later) than the verify's
     // array_intersect; a refactor that lifts the filter above the verify
     // (or drops it) re-opens the hot-shingle fan-out and fails here.
-    val p = plan(Dedup.q154Containment(spark, sf))
+    val p = plan(Dedup.q154Fresh(spark, sf))
     val fi = p.indexOf("n_b_i")
     val vi = p.indexOf("array_intersect")
     assert(fi >= 0, s"container length predicate missing from the plan:\n$p")
     assert(vi >= 0, s"verify intersect missing from the plan:\n$p")
     assert(fi > vi, s"length predicate not below the verify join:\n$p")
+    // and the production q154 DOES checkpoint: the candidate list must
+    // enter the verify as a bare-id RDD scan (the resplit witness)
+    val prod = plan(Dedup.q154Containment(spark, sf))
+    assert("ExistingRDD\\[doc_a#\\d+L,doc_b#\\d+L\\]".r.findFirstIn(prod).isDefined,
+      s"q154's candidates not checkpoint-fed:\n$prod")
   }
 
   test("q164/q165/q166: retrieval + sketch + fuzzy join keep their scale shapes") {

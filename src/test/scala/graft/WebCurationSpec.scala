@@ -183,4 +183,112 @@ class WebCurationSpec extends SparkTestBase {
     assert(nKept > 0L, "no document survives the battery")
     assert(nKept < nDocs, "the battery keeps everything — vacuous")
   }
+
+  // ------------------------------------------------------------- q210
+
+  /** Plain-Scala replay of the q210 repetition battery: independent
+    * tokenization, sliding-window n-grams, and integer arithmetic. */
+  private def replayRepFlags(page: String): Seq[Boolean] = {
+    val lines = page.split("\n", -1).toSeq
+    val paras = page.split("\n\n", -1).toSeq
+    val ws = page.trim.split("\\s+").toSeq
+    val pagel = page.length.toLong
+    val nonws = page.count(!_.isWhitespace).toLong
+    val nl = lines.size.toLong
+    val dl = nl - lines.distinct.size.toLong
+    val dlc = lines.groupBy(identity).collect {
+      case (l, occ) if occ.size > 1 => (occ.size - 1).toLong * l.length
+    }.sum
+    val np = paras.size.toLong
+    val dp = np - paras.distinct.size.toLong
+    def gramCounts(n: Int): Map[String, Long] =
+      if (ws.size < n) Map.empty
+      else ws.sliding(n).map(_.mkString(" ")).toSeq
+        .groupBy(identity).map { case (g, o) => g -> o.size.toLong }
+    def topChars(n: Int): Long =
+      (gramCounts(n).map { case (g, c) => c * g.length } ++ Seq(0L)).max
+    val dup5 = gramCounts(5).collect {
+      case (g, c) if c > 1 => c * g.length
+    }.sum
+    Seq(
+      dl * 10L > nl * 3L,
+      dlc * 5L > pagel,
+      dp * 10L > np * 3L,
+      topChars(2) * 5L > nonws,
+      topChars(3) * 50L > nonws * 9L,
+      dup5 * 20L > nonws * 3L)
+  }
+
+  private def replayRepLanes(docId: Long, text: String): String =
+    text +
+      (if (docId % 7 == 1) WC.DupLineBlock else "") +
+      (if (docId % 11 == 3) WC.DupParaBlock else "") +
+      (if (docId % 13 == 5) WC.Top2Block else "") +
+      (if (docId % 17 == 8) WC.Dup5Block else "")
+
+  test("q210 crafted pages trip exactly the intended repetition rules (incl. the sub-n-gram null path)") {
+    import spark.implicits._
+    val fill = Seq.tabulate(60)(i => s"tok$i").mkString(" ")
+    val crafted = Seq(
+      // (label, page, exact trip-index set expected)
+      ("keep", fill, Set.empty[Int]),
+      // one word: no 2/3/5-grams at all — pins the left-join null path
+      ("short", "hello", Set.empty[Int]),
+      // 4 identical appended lines on a short base: both line rules
+      // blow their thresholds — and, because a duplicated line IS
+      // duplicated n-grams, the whole n-gram family couples in (only
+      // the paragraph rule stays silent). The coupling is faithful:
+      // Gopher's rule families overlap by design, thresholds differ.
+      ("dupline", "one two three four five" + "\nsubscribe today now" * 4,
+        Set(0, 1, 3, 4, 5)),
+      // repeated paragraph == repeated lines (count rule 0 trips, the
+      // long base keeps the CHAR fraction under 0.2) == duplicated
+      // spanning 5-grams (rule 5); the top-gram fractions stay under
+      ("duppara", fill + "\n\nshare this piece" * 3, Set(0, 2, 5)),
+      // one dominant 2-gram inline: its repeats are also the top 3-gram
+      // and duplicated 5-grams, so the whole n-gram family fires
+      ("top2", fill + "\n" + ("ab cd " * 40).trim, Set(3, 4, 5)),
+      // a 10-word sentence repeated twice inline on a long base: ONLY
+      // the dup-5-gram rule fires
+      ("dup5", fill + "\n" + ("gamma delta epsilon zeta eta theta iota kappa lambda mu " * 2).trim,
+        Set(5)))
+    val frame = crafted.zipWithIndex
+      .map { case ((label, page, _), i) => (i.toLong, label, page) }
+      .toDF("id", "key", "page")
+    val got = WC.repFlagFrame(frame)
+      .collect().map(r => r.getString(0) -> (1 to 6).map(r.getBoolean)).toMap
+    crafted.foreach { case (label, page, want) =>
+      val expect = replayRepFlags(page)
+      assert(got(label) === expect, s"engine != replay for $label")
+      assert(expect.zipWithIndex.collect { case (true, i) => i }.toSet === want,
+        s"crafted page '$label' tripped $expect — wanted exactly $want")
+    }
+  }
+
+  test("q210 per-source counts equal a full plain-Scala replay and no repetition rule is vacuous") {
+    val rows = WC.q210RepetitionRules(spark, sf).collect()
+      .map(r => r.getString(0) -> (1 to 8).map(r.getLong)).toMap
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val expect = docs.groupBy(_._2).map { case (src, ds) =>
+      val flags = ds.map { case (id, _, text) => replayRepFlags(replayRepLanes(id, text)) }
+      val trips = Seq.tabulate(6)(i => flags.count(_(i)).toLong)
+      src -> ((ds.length.toLong +: trips) :+ flags.count(f => !f.exists(identity)).toLong)
+    }
+    assert(rows.keySet === expect.keySet)
+    expect.foreach { case (src, want) =>
+      assert(rows(src) === want, s"source $src diverged from the replay")
+    }
+    // the fixture genuinely exercises the battery — and not only via the
+    // planted lanes: every rule trips somewhere, somebody survives, and
+    // not everybody does
+    val totals = Seq.tabulate(6)(i => expect.values.map(_(i + 1)).sum)
+    totals.zipWithIndex.foreach { case (t, i) =>
+      assert(t > 0L, s"repetition rule $i never trips on the fixture — vacuous")
+    }
+    val (nDocs, nKept) = (expect.values.map(_.head).sum, expect.values.map(_.last).sum)
+    assert(nKept > 0L, "no document survives the repetition battery")
+    assert(nKept < nDocs, "the repetition battery keeps everything — vacuous")
+  }
 }

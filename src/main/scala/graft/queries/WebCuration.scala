@@ -404,7 +404,7 @@ object WebCuration {
     * (bullet list %7=3, ellipsis teasers %9=2, symbol run %11=6,
     * numeric tokens %13=9, overlong words %17=4 — lanes overlap on
     * composite residues, so rule interactions are exercised too). */
-  private def noisyPageCol: Column = concat(
+  private[graft] def noisyPageCol: Column = concat(
     col("text"),
     when(col("doc_id") % 7 === 3, BulletBlock).otherwise(""),
     when(col("doc_id") % 9 === 2, EllipsisBlock).otherwise(""),
@@ -733,5 +733,91 @@ object WebCuration {
        | CAST(sum(CASE WHEN NOT (trip_dupline OR trip_dlchar OR trip_duppara
        |   OR trip_top2 OR trip_top3 OR trip_dup5) THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
        |FROM f GROUP BY source ORDER BY source""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q211
+
+  /** The line-keep predicate of the q211 cleaning transform — GENERIC
+    * (no synthesis knowledge), the C4/Gopher line-level recipe: drop
+    * bullet-started lines, ellipsis-ended teasers, stub lines under 3
+    * words, and lines where fewer than half the words contain a letter
+    * (symbol runs, numeric tables). The majority check is an integer
+    * cross-multiplication (2·aw ≥ nw) — no floating point. */
+  private[graft] def lineKeep(l: Column): Column = {
+    val ws = split(trim(l), "\\s+")
+    !l.startsWith("- ") && !l.endsWith("...") &&
+      size(ws) >= 3 &&
+      size(filter(ws, w => w.rlike("[A-Za-z]"))) * 2 >= size(ws)
+  }
+
+  /** The cleaned page: kept lines re-joined. Exposed for the spec's
+    * idempotence pin (cleaning a cleaned page is the identity). */
+  private[graft] def cleanedPage(page: Column): Column =
+    array_join(filter(split(page, "\n"), lineKeep _), "\n")
+
+  /** q211: C4/GOPHER-STYLE LINE-CLEANING transform report — the REMOVAL
+    * counterpart of q209/q210's audits (the reference pipelines do not
+    * just flag boilerplate lines, they delete them and keep the page):
+    * per source, documents touched, lines in/kept, chars in/kept, over
+    * the SAME q209 noise lanes (q211 cleans exactly what q209 audits —
+    * one synthesis, two operators). The rules are the public C4 line
+    * filters this corpus can express: bullet starts, ellipsis ends,
+    * < 3 words, non-alphabetic-majority words. All counts exact
+    * integers — hash-exact by construction.
+    *
+    * Scale shape: the keep predicate and the re-join are pure map-side
+    * array expressions (codegen'd HOFs, no UDF, no join, no per-line
+    * explode) into one source-keyed aggregate — q209's cheapest-possible
+    * 100 TB pass. The transform itself ([[cleanedPage]]) is the
+    * production operator; the report is its audit artifact. */
+  def q211LineClean(s: SparkSession, dir: String): DataFrame = {
+    val base = documents(s, dir).select(col("source"),
+      noisyPageCol.as("page"))
+      .select(col("source"), col("page"),
+        size(split(col("page"), "\n")).cast("long").as("nl"),
+        filter(split(col("page"), "\n"), lineKeep _).as("kept"))
+      .select(col("source"),
+        col("nl"), size(col("kept")).cast("long").as("nk"),
+        length(col("page")).cast("long").as("ci"),
+        length(array_join(col("kept"), "\n")).cast("long").as("ck"))
+    base.groupBy(col("source")).agg(
+      count(lit(1)).as("n_docs"),
+      sum(when(col("nk") < col("nl"), lit(1L)).otherwise(lit(0L))).as("n_changed"),
+      sum(col("nl")).as("lines_in"),
+      sum(col("nk")).as("lines_kept"),
+      sum(col("ci")).as("chars_in"),
+      sum(col("ck")).as("chars_kept"))
+      .orderBy(col("source"))
+  }
+
+  val q211Sql: String = {
+    val keep =
+      """l -> NOT (l LIKE '- %') AND NOT (l LIKE '%...')
+        |    AND len(regexp_split_to_array(trim(l), '\s+')) >= 3
+        |    AND 2 * len(list_filter(regexp_split_to_array(trim(l), '\s+'),
+        |          w -> regexp_matches(w, '[A-Za-z]')))
+        |        >= len(regexp_split_to_array(trim(l), '\s+'))""".stripMargin
+    s"""WITH p AS (
+       |  SELECT doc_id, source, ${noisyPageSqlExpr} AS page FROM documents),
+       |c AS (
+       |  SELECT source, page,
+       |   string_split(page, chr(10)) AS ll,
+       |   list_filter(string_split(page, chr(10)), $keep) AS kept
+       |  FROM p),
+       |m AS (
+       |  SELECT source,
+       |   CAST(len(ll) AS BIGINT) AS nl,
+       |   CAST(len(kept) AS BIGINT) AS nk,
+       |   CAST(length(page) AS BIGINT) AS ci,
+       |   CAST(length(array_to_string(kept, chr(10))) AS BIGINT) AS ck
+       |  FROM c)
+       |SELECT source,
+       | CAST(count(*) AS BIGINT) AS n_docs,
+       | CAST(sum(CASE WHEN nk < nl THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+       | CAST(sum(nl) AS BIGINT) AS lines_in,
+       | CAST(sum(nk) AS BIGINT) AS lines_kept,
+       | CAST(sum(ci) AS BIGINT) AS chars_in,
+       | CAST(sum(ck) AS BIGINT) AS chars_kept
+       |FROM m GROUP BY source ORDER BY source""".stripMargin
   }
 }

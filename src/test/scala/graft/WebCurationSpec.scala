@@ -291,4 +291,72 @@ class WebCurationSpec extends SparkTestBase {
     assert(nKept > 0L, "no document survives the repetition battery")
     assert(nKept < nDocs, "the repetition battery keeps everything — vacuous")
   }
+
+  // ------------------------------------------------------------- q211
+
+  /** Plain-Scala replay of the q211 line-keep predicate. */
+  private def replayKeep(l: String): Boolean = {
+    val ws = l.trim.split("\\s+").toSeq
+    !l.startsWith("- ") && !l.endsWith("...") &&
+      ws.size >= 3 &&
+      ws.count(_.exists(_.isLetter)) * 2 >= ws.size
+  }
+
+  test("q211 crafted lines: each rule drops exactly its line class; clean prose survives") {
+    import spark.implicits._
+    val crafted = Seq(
+      ("clean prose with letters here", true),
+      ("- a bullet line with words", false),
+      ("a teaser that trails off...", false),
+      ("two words", false),
+      ("# # # 1 2 3", false),           // zero alphabetic of 6 words
+      ("a 1 2", false),                 // 1 of 3 alphabetic — under half
+      ("a b 1 2", true),                // exactly half alphabetic — kept
+      ("", false))
+    val got = crafted.map(_._1).toDF("l")
+      .select(col("l"), WC.lineKeep(col("l")).as("k"))
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    crafted.foreach { case (l, want) =>
+      assert(replayKeep(l) === want, s"replay disagrees on '$l'")
+      assert(got(l) === want, s"engine disagrees on '$l'")
+    }
+  }
+
+  test("q211 per-source report equals a full plain-Scala replay; cleaning is idempotent and binding") {
+    val rows = WC.q211LineClean(spark, sf).collect()
+      .map(r => r.getString(0) -> (1 to 6).map(r.getLong)).toMap
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val expect = docs.groupBy(_._2).map { case (src, ds) =>
+      val pages = ds.map { case (id, _, text) => replayLanes(id, text) }
+      val stats = pages.map { p =>
+        val ll = p.split("\n", -1).toSeq
+        val kept = ll.filter(replayKeep)
+        (ll.size.toLong, kept.size.toLong, p.length.toLong,
+          kept.mkString("\n").length.toLong)
+      }
+      src -> Seq(ds.length.toLong,
+        stats.count(s => s._2 < s._1).toLong,
+        stats.map(_._1).sum, stats.map(_._2).sum,
+        stats.map(_._3).sum, stats.map(_._4).sum)
+    }
+    assert(rows.keySet === expect.keySet)
+    expect.foreach { case (src, want) =>
+      assert(rows(src) === want, s"source $src diverged from the replay")
+    }
+    // idempotence: cleaning a cleaned page never drops another line
+    // (every kept line still passes the predicate) — engine-level pin
+    val twice = Tables.documents(spark, sf)
+      .select(WC.cleanedPage(WC.noisyPageCol).as("c1"))
+      .select(col("c1"), WC.cleanedPage(col("c1")).as("c2"))
+      .filter(col("c1") =!= col("c2")).count()
+    assert(twice === 0L, "cleaning is not idempotent")
+    // the transform binds: something dropped, plenty survived
+    val (li, lk) = (expect.values.map(_(2)).sum, expect.values.map(_(3)).sum)
+    val (ci, ck) = (expect.values.map(_(4)).sum, expect.values.map(_(5)).sum)
+    assert(lk < li && lk > 0L, s"line filter vacuous: $lk of $li")
+    assert(ck < ci && ck > 0L, s"char report vacuous: $ck of $ci")
+    assert(expect.values.map(_(1)).sum > 0L, "no document ever changed")
+  }
 }

@@ -143,8 +143,24 @@ object ModelCuration {
     */
   private[graft] def qfTrain(s: SparkSession, dir: String,
       withHistory: Boolean = false): QfModel = {
-    val feats = qfFeatures(s, dir).localCheckpoint(true)
-    val labels = qfLabels(s, dir).localCheckpoint(true)
+    // Both frames are pre-partitioned by doc_id BEFORE the eager
+    // checkpoint (LogicalRDD preserves outputPartitioning), so each GD
+    // round's chain — margins groupBy(doc_id), the labels join, and the
+    // gradient's feats-join — reuses the one established exchange and
+    // the round's only NEW shuffle is the QfDim-row groupBy(b). Before
+    // this (r19-opt) every round paid ~4 exchanges; at sf0.1 the 10
+    // rounds dominated the qf_margins memo build (9.3 s), and at
+    // cluster scale re-shuffling the feature frame twice per round is
+    // pure waste. Integer-grid arithmetic everywhere → results are
+    // partitioning-invariant by construction.
+    // Explicit partition COUNT (the session's shuffle parallelism, so it
+    // scales with the conf, not the fixture): a bare repartition(col) is
+    // AQE-coalescible per-frame, and two frames coalesced to DIFFERENT
+    // counts are no longer co-partitioned — the joins would re-insert
+    // the very exchanges this removes.
+    val np = s.conf.get("spark.sql.shuffle.partitions").toInt
+    val feats = qfFeatures(s, dir).repartition(np, col("doc_id")).localCheckpoint(true)
+    val labels = qfLabels(s, dir).repartition(np, col("doc_id")).localCheckpoint(true)
     val n = labels.count()
     val k = new Array[Long](QfDim)
     val history = Seq.newBuilder[(Double, Double)]

@@ -77,6 +77,23 @@ object Retrieval {
     docs.select(col("doc_id"), explode(words(col("text"))).as("term"))
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
 
+  /** Memoized full-corpus postings, one build per (session, dir) — the
+    * r19-opt change: q164 and every [[hybridParts]] consumer (q170, q171,
+    * q172, q185, q196) previously rebuilt the identical tokenize +
+    * aggregate + eager checkpoint PER QUERY (six corpus passes per bench
+    * session where one suffices). Same immutable-snapshot contract and
+    * bench accounting as every other [[Dedup.registerMemo]] surface;
+    * results are unchanged — consumers read the same frame they built
+    * privately before. (q168's STORED base index is deliberately not
+    * this: its substrate is the durable bucketed parquet table.)
+    */
+  private val postingsMemo = Dedup.registerMemo("bm25_postings_full")
+
+  private def postingsCached(s: SparkSession, dir: String): DataFrame =
+    Dedup.memoized(postingsMemo, s, dir)(
+      postings(resplit(documents(s, dir).select(col("doc_id"), col("text"))))
+        .localCheckpoint())
+
   /** Corpus stats `(n_total, avgdl)` (1 row) from a lengths frame. */
   private def corpusStats(dl: DataFrame): DataFrame =
     dl.agg(count(lit(1)).as("n_total"),
@@ -152,13 +169,13 @@ object Retrieval {
     * corpus-sized frame ever crosses an exchange un-aggregated.
     */
   def q164Bm25(s: SparkSession, dir: String): DataFrame = {
-    val d = resplit(documents(s, dir).select(col("doc_id"), col("text")))
-    // The postings frame IS the index: materialize it once (eager local
-    // checkpoint, the repo's memo idiom) so term selection, document
-    // frequencies, document lengths, and the postings probe all read the
-    // materialized aggregate instead of re-scanning + re-tokenizing the
-    // corpus — without this the plan paid FOUR full corpus scans.
-    val wc = postings(d).localCheckpoint()
+    // The postings frame IS the index: materialized once per session
+    // ([[postingsCached]]) so term selection, document frequencies,
+    // document lengths, and the postings probe all read the materialized
+    // aggregate instead of re-scanning + re-tokenizing the corpus —
+    // without the checkpoint the plan paid FOUR full corpus scans, and
+    // without the memo each retrieval query paid its own build.
+    val wc = postingsCached(s, dir)
     val dfreq = wc.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val dl = wc.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
     rankTop(bm25PerDoc(wc, dl, corpusStats(dl), selectQueryTerms(dfreq)), BmTopK)
@@ -365,9 +382,8 @@ object Retrieval {
     */
   private[graft] def hybridParts(s: SparkSession, dir: String,
       queryIds: DataFrame): (DataFrame, DataFrame) = {
-    // lexical leg — q164's index components
-    val wc = postings(resplit(documents(s, dir).select(col("doc_id"), col("text"))))
-      .localCheckpoint()
+    // lexical leg — q164's index components (shared memoized postings)
+    val wc = postingsCached(s, dir)
     val dfreq = wc.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val dl = wc.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
     val wTerm = Window.partitionBy(col("query_id"))
@@ -656,7 +672,14 @@ object Retrieval {
     */
   private def retrievalMetricsFor(s: SparkSession, dir: String,
       queryIds: DataFrame): DataFrame = {
-    val (lex, sem) = hybridParts(s, dir, queryIds)
+    // Each leg feeds BOTH the fusion and its own top-k list below; Spark
+    // does not CSE across the two consumers, so without materialization
+    // the BM25 scoring tree and the cosine scan each ran twice per
+    // metrics query (q172's plan was 76 KB of duplicated subtree
+    // against q170's 31 KB). Bounded frames: ≤ depth·|Q| rows each.
+    val (lex0, sem0) = hybridParts(s, dir, queryIds)
+    val lex = lex0.localCheckpoint(true)
+    val sem = sem0.localCheckpoint(true)
     val fused = fuseRrf(lex, sem)
     val lists = lex.filter(col("rnk") <= MetricK)
       .select(col("query_id"), col("doc_id"), col("rnk"), lit("lex").as("method"))

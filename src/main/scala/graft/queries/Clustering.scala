@@ -53,12 +53,16 @@ object Clustering {
     */
   private def dbscanPairs(s: SparkSession, dir: String): DataFrame = {
     val n = embeddings(s, dir).count()
+    // ordered = false: every consumer is graph algebra (degrees,
+    // components, sweeps) that re-aggregates immediately — the global
+    // sort the registered pair queries need was pure overhead here
     if (n <= DbscanCrossover)
-      Similarity.bruteNearDupBlocked(Similarity.vecs(s, dir), n, DbscanEps)
+      Similarity.bruteNearDupBlocked(Similarity.vecs(s, dir), n, DbscanEps,
+        ordered = false)
     else {
       val rung = Similarity.ndPlanesFor(n)
       Similarity.nearDupBandedFrame(Similarity.vecs(s, dir), rung,
-        Similarity.ndBandsForAt(rung, DbscanEps), DbscanEps)
+        Similarity.ndBandsForAt(rung, DbscanEps), DbscanEps, ordered = false)
     }
   }
 
@@ -574,7 +578,8 @@ object Clustering {
     Dedup.memoized(dbscanPairsMemo, s, dir)(
       Layout.materializeBucketed(s, dir, "dbscan_pairs", "keep_id") {
         val base = Similarity.vecs(s, dir).filter(!isDeltaVec)
-        Similarity.bruteNearDupBlocked(base, base.count(), DbscanEps)
+        Similarity.bruteNearDupBlocked(base, base.count(), DbscanEps,
+            ordered = false) // bucketed write re-shuffles by key anyway
           .select(col("keep_id"), col("drop_id"))
       })
 

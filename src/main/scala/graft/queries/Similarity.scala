@@ -316,8 +316,16 @@ object Similarity {
     * core. Output is row-identical to [[q40EmbeddingNearDup]] (same
     * pairs, same 6dp cosines, same order) — pinned by spec.
     */
+  /** `ordered = false` (r19-opt) skips the final global sort: the
+    * registered pair QUERIES (q40/q67/q161) need the (keep_id, drop_id)
+    * output order — their oracle compare is row-order-exact — but the
+    * GRAPH consumers (DBSCAN's ε-edge lists, the sweep's raw-pair memo)
+    * immediately re-aggregate, so the range-partitioning sample job +
+    * sort exchange were pure overhead there. Pair SET and sims are
+    * identical either way.
+    */
   private[graft] def bruteNearDupBlocked(e: DataFrame, n: Long,
-      threshold: Double): DataFrame = {
+      threshold: Double, ordered: Boolean = true): DataFrame = {
     val nBlocks = math.max(NdBruteMinBlocks,
       math.ceil(n.toDouble / NdBruteBlockTarget.toDouble).toInt)
     val g = pmod(col("vec_id"), lit(nBlocks.toLong)).cast("int")
@@ -325,7 +333,7 @@ object Similarity {
       explode(sequence(g, lit(nBlocks - 1))).as("k2"))
     val right = e.select(col("vec_id"), col("v"), col("norm"),
       explode(sequence(lit(0), g)).as("k1"), g.as("k2"))
-    left.as("a").hint("merge").join(right.as("b"),
+    val scored = left.as("a").hint("merge").join(right.as("b"),
         col("a.k1") === col("b.k1") && col("a.k2") === col("b.k2") &&
           (col("a.k1") =!= col("a.k2") || col("a.vec_id") < col("b.vec_id")))
       .select(
@@ -335,7 +343,7 @@ object Similarity {
       // unrounded threshold, matching q40 (rounding is presentation only)
       .filter(col("sim_raw") >= threshold)
       .select(col("keep_id"), col("drop_id"), round(col("sim_raw"), 6).as("sim"))
-      .orderBy(col("keep_id"), col("drop_id"))
+    if (ordered) scored.orderBy(col("keep_id"), col("drop_id")) else scored
   }
 
   /** Banded-LSH geometry for q67: OR over bands, each an AND of p random
@@ -459,8 +467,10 @@ object Similarity {
     * mode, q161's production-threshold sweep, and the rung-forced recall
     * specs, so no consumer can drift on band semantics.
     */
+  /** `ordered` as on [[bruteNearDupBlocked]]: graph consumers skip the
+    * final global sort. */
   private[graft] def nearDupBandedFrame(e: DataFrame, rung: Int, nBands: Int,
-      threshold: Double): DataFrame = {
+      threshold: Double, ordered: Boolean = true): DataFrame = {
     // ONE nested-array Literal (typedlit), not bands×planes×dims lit()
     // nodes: at the finer rungs the coefficient tensor holds tens of
     // thousands of values, and an expression TREE that size blows the
@@ -477,8 +487,8 @@ object Similarity {
       .select(col("a.vec_id").as("keep_id"), col("b.vec_id").as("drop_id"))
       .distinct()
       .localCheckpoint(true))
-    verifyCandidates(cand, e, threshold)
-      .orderBy(col("keep_id"), col("drop_id"))
+    val verified = verifyCandidates(cand, e, threshold)
+    if (ordered) verified.orderBy(col("keep_id"), col("drop_id")) else verified
   }
 
   /** Banded random-hyperplane signatures over a prepared (vec_id, v)

@@ -725,6 +725,37 @@ object CorpusStats {
     * so the smoothed counts are exact in IEEE doubles). */
   val BigramAddK: Double = 0.5
 
+  /** Memoized per-document bigram counts (doc_id, l, r, k) — the shared
+    * substrate of BOTH bigram language models (q115 add-k, q191
+    * Kneser–Ney), built once per (session, dir) (r19-opt). Without the
+    * materialization each query's plan held ~5 replicas of the
+    * tokenize+explode+aggregate subtree (10 corpus scans each — Spark
+    * does not CSE across consumers), and the two queries built it twice
+    * over. Counts are exact integers; sharing cannot change results.
+    */
+  private val docBigramsMemo = Dedup.registerMemo("doc_bigrams")
+
+  private def docBigrams(s: SparkSession, dir: String): DataFrame =
+    Dedup.memoized(docBigramsMemo, s, dir)(
+      resplit(documents(s, dir).select(col("doc_id"), col("text")))
+        .select(col("doc_id"), words(col("text")).as("ww"))
+        .filter(size(col("ww")) >= 2)
+        .select(col("doc_id"), explode(transform(sequence(lit(1), size(col("ww")) - 1),
+          i => struct(element_at(col("ww"), i).as("l"),
+            element_at(col("ww"), i + 1).as("r")))).as("b"))
+        .groupBy(col("doc_id"), col("b.l").as("l"), col("b.r").as("r"))
+        .agg(count(lit(1)).as("k"))
+        .localCheckpoint(true))
+
+  /** Memoized corpus bigram table (l, r, c_lr) over [[docBigrams]] —
+    * vocabulary-sized, read by 4–5 model aggregates in each consumer. */
+  private val bigramTableMemo = Dedup.registerMemo("bigram_table")
+
+  private def bigramTable(s: SparkSession, dir: String): DataFrame =
+    Dedup.memoized(bigramTableMemo, s, dir)(
+      docBigrams(s, dir).groupBy(col("l"), col("r")).agg(sum(col("k")).as("c_lr"))
+        .localCheckpoint(true))
+
   /** q115: bigram-LM document perplexity — score every document by its
     * average negative log-likelihood under an add-k-smoothed bigram
     * language model trained on the corpus itself: p(r|l) = (c(l,r)+k) /
@@ -747,15 +778,8 @@ object CorpusStats {
     * engines — both ~1e-12, absorbed by the 4dp round (q84's rule).
     */
   def q115BigramPerplexity(s: SparkSession, dir: String): DataFrame = {
-    val docBi = resplit(documents(s, dir).select(col("doc_id"), col("text")))
-      .select(col("doc_id"), words(col("text")).as("ww"))
-      .filter(size(col("ww")) >= 2)
-      .select(col("doc_id"), explode(transform(sequence(lit(1), size(col("ww")) - 1),
-        i => struct(element_at(col("ww"), i).as("l"),
-          element_at(col("ww"), i + 1).as("r")))).as("b"))
-      .groupBy(col("doc_id"), col("b.l").as("l"), col("b.r").as("r"))
-      .agg(count(lit(1)).as("k"))
-    val big = docBi.groupBy(col("l"), col("r")).agg(sum(col("k")).as("c_lr"))
+    val docBi = docBigrams(s, dir)
+    val big = bigramTable(s, dir)
     val pre = big.groupBy(col("l")).agg(sum(col("c_lr")).as("c_l"))
     val vocabF = big.select(col("l").as("w")).union(big.select(col("r").as("w")))
       .distinct().agg(count(lit(1)).as("v"))
@@ -1492,15 +1516,9 @@ object CorpusStats {
     */
   def q191KneserNey(s: SparkSession, dir: String): DataFrame = {
     val d = lit(KnDiscount)
-    val docBi = resplit(documents(s, dir).select(col("doc_id"), col("text")))
-      .select(col("doc_id"), words(col("text")).as("ww"))
-      .filter(size(col("ww")) >= 2)
-      .select(col("doc_id"), explode(transform(sequence(lit(1), size(col("ww")) - 1),
-        i => struct(element_at(col("ww"), i).as("l"),
-          element_at(col("ww"), i + 1).as("r")))).as("b"))
-      .groupBy(col("doc_id"), col("b.l").as("l"), col("b.r").as("r"))
-      .agg(count(lit(1)).as("k"))
-    val big = docBi.groupBy(col("l"), col("r")).agg(sum(col("k")).as("c_lr"))
+    // shared memoized substrate with q115 — identical construction
+    val docBi = docBigrams(s, dir)
+    val big = bigramTable(s, dir)
     // prefix marginal AND distinct-continuation count ride one aggregate
     // (big is distinct (l, r) by construction, so count(*) = N₁₊(l·))
     val pre = big.groupBy(col("l"))

@@ -738,6 +738,10 @@ object Dedup {
       .agg(bitSums.head, bitSums.tail: _*)
       .withColumn("sig", sig)
       .select(col("doc_id"), col("sig"))
+      // materialized once (r19-opt): the band join self-joins this frame
+      // and Spark does not CSE across the branches — un-checkpointed, the
+      // tokenize + 48-column signature aggregate ran twice per query
+      .localCheckpoint(true)
     hammingBandPairs(base, blocks)
       .select(col("doc_a"), col("doc_b"),
         col("sig_a").as("sim_a"), col("sig_b").as("sim_b"), col("hamming"))

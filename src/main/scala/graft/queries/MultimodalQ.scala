@@ -271,26 +271,39 @@ object MultimodalQ {
     * proves decode ∘ encode = id on the hash-relevant pixels AND the
     * band join's losslessness at hamming ≤ 3.
     */
-  def q197ImageNearDup(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    import PerceptualHash._
-    val nDocs = requireSeedLane(s, dir)
-    val sigs = documents(s, dir).select(col("doc_id")).as[Long]
-      .mapPartitions(_.map { docId =>
-        val twin = docId % ImgTwinMod == ImgTwinOff
-        val seed = if (twin) docId - ImgTwinOff else docId
-        val bytes = BmpCodec.encode(ImgW, ImgH, (x, y) => {
-          var v = grayAt(seed, x, y)
-          if (twin && x == PerturbX && y == PerturbY) v = (v + 128) % 256
-          (v, v, v)
-        })
-        (docId, dHash(BmpCodec.decodePixels(bytes)))
-      }).toDF("doc_id", "sig")
-    Dedup.hammingBandPairs(sigs, simHashBlocks(nDocs))
-      .select(col("doc_a"), col("doc_b"),
-        col("sig_a").as("hash_a"), col("sig_b").as("hash_b"), col("hamming"))
-      .orderBy(col("doc_a"), col("doc_b"))
-  }
+  /** Memoized verified image pair set (r19-opt): q197 orders it for its
+    * output contract, q205's funnel derives its drop set from the same
+    * frame — previously the funnel re-ran the whole decode+hash+band
+    * pipeline. The builder also eager-checkpoints the signature frame:
+    * the band join self-joins it, and un-materialized the decode kernel
+    * ran on BOTH branches.
+    */
+  private val imgPairsMemo = Dedup.registerMemo("img_pairs")
+
+  private[graft] def imagePairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.memoized(imgPairsMemo, s, dir) {
+      import s.implicits._
+      import PerceptualHash._
+      val nDocs = requireSeedLane(s, dir)
+      val sigs = documents(s, dir).select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { docId =>
+          val twin = docId % ImgTwinMod == ImgTwinOff
+          val seed = if (twin) docId - ImgTwinOff else docId
+          val bytes = BmpCodec.encode(ImgW, ImgH, (x, y) => {
+            var v = grayAt(seed, x, y)
+            if (twin && x == PerturbX && y == PerturbY) v = (v + 128) % 256
+            (v, v, v)
+          })
+          (docId, dHash(BmpCodec.decodePixels(bytes)))
+        }).toDF("doc_id", "sig").localCheckpoint(true)
+      Dedup.hammingBandPairs(sigs, simHashBlocks(nDocs))
+        .select(col("doc_a"), col("doc_b"),
+          col("sig_a").as("hash_a"), col("sig_b").as("hash_b"), col("hamming"))
+        .localCheckpoint(true)
+    }
+
+  def q197ImageNearDup(s: SparkSession, dir: String): DataFrame =
+    imagePairs(s, dir).orderBy(col("doc_a"), col("doc_b"))
 
   /** q197's oracle: per doc, evaluate the synthesis formula at exactly
     * the [[PerceptualHash.GridCols]]×[[PerceptualHash.GridRows]] pixels
@@ -359,26 +372,33 @@ object MultimodalQ {
     * synthesis formula (exact integer Σs²), so the compare proves the
     * PCM round-trip AND the banding end-to-end.
     */
-  def q198AudioNearDup(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    import PerceptualHash._
-    val nDocs = requireSeedLane(s, dir)
-    val sigs = documents(s, dir).select(col("doc_id")).as[Long]
-      .mapPartitions(_.map { docId =>
-        val twin = docId % WavTwinMod == WavTwinOff
-        val seed = if (twin) docId - WavTwinOff else docId
-        val samples = new Array[Short](FpSamples)
-        var k = 0
-        while (k < FpSamples) { samples(k) = sampleAt(seed, k).toShort; k += 1 }
-        if (twin) samples(PerturbK) = (samples(PerturbK) + 1).toShort
-        val bytes = WavCodec.encode(8000, 1, samples)
-        (docId, audioFp(WavCodec.decodeSamples(bytes)))
-      }).toDF("doc_id", "sig")
-    Dedup.hammingBandPairs(sigs, simHashBlocks(nDocs))
-      .select(col("doc_a"), col("doc_b"),
-        col("sig_a").as("fp_a"), col("sig_b").as("fp_b"), col("hamming"))
-      .orderBy(col("doc_a"), col("doc_b"))
-  }
+  /** Memoized verified audio pair set — see [[imagePairs]]. */
+  private val audPairsMemo = Dedup.registerMemo("aud_pairs")
+
+  private[graft] def audioPairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.memoized(audPairsMemo, s, dir) {
+      import s.implicits._
+      import PerceptualHash._
+      val nDocs = requireSeedLane(s, dir)
+      val sigs = documents(s, dir).select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { docId =>
+          val twin = docId % WavTwinMod == WavTwinOff
+          val seed = if (twin) docId - WavTwinOff else docId
+          val samples = new Array[Short](FpSamples)
+          var k = 0
+          while (k < FpSamples) { samples(k) = sampleAt(seed, k).toShort; k += 1 }
+          if (twin) samples(PerturbK) = (samples(PerturbK) + 1).toShort
+          val bytes = WavCodec.encode(8000, 1, samples)
+          (docId, audioFp(WavCodec.decodeSamples(bytes)))
+        }).toDF("doc_id", "sig").localCheckpoint(true)
+      Dedup.hammingBandPairs(sigs, simHashBlocks(nDocs))
+        .select(col("doc_a"), col("doc_b"),
+          col("sig_a").as("fp_a"), col("sig_b").as("fp_b"), col("hamming"))
+        .localCheckpoint(true)
+    }
+
+  def q198AudioNearDup(s: SparkSession, dir: String): DataFrame =
+    audioPairs(s, dir).orderBy(col("doc_a"), col("doc_b"))
 
   /** q198's oracle: window energies as exact integer Σs² over the
     * synthesis formula, 48 comparison bits, fixed 4×12-bit band join
@@ -442,33 +462,40 @@ object MultimodalQ {
     * after the verified frame pairs. Everything stays the near-linear
     * banded shape — frame count only multiplies the map side.
     */
-  def q200VideoNearDup(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    import PerceptualHash._
-    val nDocs = requireSeedLane(s, dir)
-    val sigs = documents(s, dir).select(col("doc_id")).as[Long]
-      .mapPartitions(_.flatMap { docId =>
-        val twin = docId % VidTwinMod == VidTwinOff
-        val seed = if (twin) docId - VidTwinOff else docId
-        (0 until VidFrames).iterator.map { f =>
-          val bytes = BmpCodec.encode(FrameW, FrameH, (x, y) => {
-            var v = vidGrayAt(seed, f, x, y)
-            if (twin && f == VidPerturbF && x == VidPerturbX && y == VidPerturbY)
-              v = (v + 128) % 256
-            (v, v, v)
-          })
-          (docId * VidFrames + f, f, dHash(BmpCodec.decodePixels(bytes)))
-        }
-      }).toDF("doc_id", "f", "sig")
-    Dedup.hammingBandPairs(sigs, simHashBlocks(nDocs * VidFrames), Seq("f"))
-      .select(expr(s"doc_a div $VidFrames").as("da"),
-        expr(s"doc_b div $VidFrames").as("db"), col("hamming"))
-      .groupBy(col("da").as("doc_a"), col("db").as("doc_b"))
-      .agg(count(lit(1)).as("frames_matched"),
-        sum(col("hamming")).as("total_hamming"))
-      .filter(col("frames_matched") >= VidMinFrames)
-      .orderBy(col("doc_a"), col("doc_b"))
-  }
+  /** Memoized verified video pair votes — see [[imagePairs]]. */
+  private val vidPairsMemo = Dedup.registerMemo("vid_pairs")
+
+  private[graft] def videoPairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.memoized(vidPairsMemo, s, dir) {
+      import s.implicits._
+      import PerceptualHash._
+      val nDocs = requireSeedLane(s, dir)
+      val sigs = documents(s, dir).select(col("doc_id")).as[Long]
+        .mapPartitions(_.flatMap { docId =>
+          val twin = docId % VidTwinMod == VidTwinOff
+          val seed = if (twin) docId - VidTwinOff else docId
+          (0 until VidFrames).iterator.map { f =>
+            val bytes = BmpCodec.encode(FrameW, FrameH, (x, y) => {
+              var v = vidGrayAt(seed, f, x, y)
+              if (twin && f == VidPerturbF && x == VidPerturbX && y == VidPerturbY)
+                v = (v + 128) % 256
+              (v, v, v)
+            })
+            (docId * VidFrames + f, f, dHash(BmpCodec.decodePixels(bytes)))
+          }
+        }).toDF("doc_id", "f", "sig").localCheckpoint(true)
+      Dedup.hammingBandPairs(sigs, simHashBlocks(nDocs * VidFrames), Seq("f"))
+        .select(expr(s"doc_a div $VidFrames").as("da"),
+          expr(s"doc_b div $VidFrames").as("db"), col("hamming"))
+        .groupBy(col("da").as("doc_a"), col("db").as("doc_b"))
+        .agg(count(lit(1)).as("frames_matched"),
+          sum(col("hamming")).as("total_hamming"))
+        .filter(col("frames_matched") >= VidMinFrames)
+        .localCheckpoint(true)
+    }
+
+  def q200VideoNearDup(s: SparkSession, dir: String): DataFrame =
+    videoPairs(s, dir).orderBy(col("doc_a"), col("doc_b"))
 
   /** q200's oracle: per (doc, frame) the dHash from the synthesis
     * formula at the sampled cells (frame index folded into the seed

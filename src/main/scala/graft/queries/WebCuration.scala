@@ -304,9 +304,11 @@ object WebCuration {
       .select(col("doc").as("l_doc"), col("comp"))
     def drops(pairs: DataFrame, name: String): DataFrame =
       pairs.select(col("doc_b").as(name)).distinct()
-    val imgDrop = drops(MultimodalQ.q197ImageNearDup(s, dir), "img_doc")
-    val audDrop = drops(MultimodalQ.q198AudioNearDup(s, dir), "aud_doc")
-    val vidDrop = drops(MultimodalQ.q200VideoNearDup(s, dir), "vid_doc")
+    // the memoized pair frames directly (r19-opt): same verified pair
+    // sets the registered queries order — the funnel needs no sort
+    val imgDrop = drops(MultimodalQ.imagePairs(s, dir), "img_doc")
+    val audDrop = drops(MultimodalQ.audioPairs(s, dir), "aud_doc")
+    val vidDrop = drops(MultimodalQ.videoPairs(s, dir), "vid_doc")
     val piiHits = regexp_count(col("t"), lit(Curation.PiiEmailRe)) +
       regexp_count(col("t"), lit(Curation.PiiPhoneRe)) +
       regexp_count(col("t"), lit(Curation.PiiIdRe))

@@ -90,20 +90,26 @@ object Curation {
     */
   def q70BloomDecontam(s: SparkSession, dir: String): DataFrame = {
     val d = documents(s, dir)
-    def grams(df: DataFrame): DataFrame =
-      resplit(df.select(col("doc_id"), col("text")))
-        .select(col("doc_id"), explode(shingles(words(col("text")), BloomN)).as("g"))
-        .distinct()
+    // ONE tokenize + shingle + distinct pass over the whole corpus
+    // (r19-opt): the eval and train splits are disjoint doc_id slices, so
+    // distinct-then-filter ≡ filter-then-distinct and both sides can read
+    // the same materialized gram frame — before this the map-side shingle
+    // work ran twice (once per split). At 100 TB that is a second full
+    // corpus pass for zero information.
+    val g = resplit(d.select(col("doc_id"), col("text")))
+      .select(col("doc_id"), explode(shingles(words(col("text")), BloomN)).as("g"))
+      .distinct()
+      .localCheckpoint()
     // Eval side: small by construction (held-out benchmarks), reused for
     // the Bloom build and the verify join — checkpoint so it computes once.
-    val ev = grams(d.filter(col("doc_id") % 10 === 0))
+    val ev = g.filter(col("doc_id") % 10 === 0)
       .select(col("g").as("eval_g")).distinct()
       .localCheckpoint()
     val bloom = ev.stat.bloomFilter("eval_g", math.max(ev.count(), 1L), 0.01)
     val bbc = s.sparkContext.broadcast(bloom)
     val mightContain = udf((g: String) => bbc.value.mightContain(g))
 
-    val tg = grams(d.filter(col("doc_id") % 10 =!= 0)).localCheckpoint()
+    val tg = g.filter(col("doc_id") % 10 =!= 0)
     // Anchor the report on the DOCUMENTS table, not on the gram surface: a
     // training doc shorter than BloomN words yields zero shingles and
     // would otherwise vanish from the keep/drop report entirely (neither

@@ -370,7 +370,7 @@ object Dedup {
     // does not CSE across self-join branches. Band rows carry ONLY
     // (doc_id, band, band_sig) — shingle arrays never ride the band
     // fan-out (cf. q67); state is re-fetched by id in the verify joins.
-    val base = minhashState(s, dir)
+    val base = minhashStateCached(s, dir)
     val bands = bandRows(base)
     // checkpoint THEN resplit before the verify (cf. q22): candidate
     // verification is CPU-bound set intersection, and AQE's size-based
@@ -904,6 +904,18 @@ object Dedup {
       .select((passthrough :+ "band" :+ "band_sig").map(col).toSeq: _*)
   }
 
+  /** Memoized [[minhashState]] per (session, sfDir) — r19-opt: q23 and
+    * q108 each paid their OWN build of the identical corpus-wide
+    * shingle + K-hash-min aggregate (two full tokenize+aggregate passes
+    * per session where one suffices). Same immutable-snapshot contract
+    * and bench accounting as [[q22Memo]]; consumers read the same frame
+    * they built privately before, so results are unchanged.
+    */
+  private val minhashMemo = registerMemo("minhash_state")
+
+  private def minhashStateCached(s: SparkSession, dir: String): DataFrame =
+    memoized(minhashMemo, s, dir)(minhashState(s, dir))
+
   /** Per-doc MinHash state (doc_id, sig, n, sh) for every document —
     * q108's index substrate, eagerly checkpointed (band explode, probe,
     * and both verify sides all read it).
@@ -964,7 +976,7 @@ object Dedup {
   }
 
   def q108IncrementalDedup(s: SparkSession, dir: String): DataFrame = {
-    val state = minhashState(s, dir)
+    val state = minhashStateCached(s, dir)
     val bands = bandRows(state)
     val isDelta = col("doc_id") % 10 === 3
     probeVerdicts(state, bands.filter(!isDelta), bands.filter(isDelta),
@@ -1716,18 +1728,34 @@ object Dedup {
         when(col("doc") === col("comp"), lit(0L))
           .otherwise(lit(null).cast("long")).as("dist"))
       .localCheckpoint(true)
-    for (_ <- 1 to DupDepthRounds) {
+    // Early exit at the FIXED POINT (r19-opt): if a round improves no
+    // distance, every later round sees the identical `dist` input and
+    // recomputes the identical no-op — so stopping there returns exactly
+    // the round-[[DupDepthRounds]] frame (the -1 cap semantics are
+    // untouched: a node deeper than the cap only ever gets a distance if
+    // some round ≤ cap improves it, and a depth->cap graph changes
+    // something every round so all rounds still run). The corpus
+    // fixtures' chains converge in 1–2 hops, so this skips most of the
+    // 8 contract rounds' join+aggregate+checkpoint jobs; the convergence
+    // probe is one take(1) on the already-checkpointed frame per round.
+    var converged = false
+    for (_ <- 1 to DupDepthRounds if !converged) {
       val nd = edges
         .join(dist.filter(col("dist").isNotNull)
           .select(col("doc").as("doc_a"), col("dist")), Seq("doc_a"))
         .groupBy(col("doc_b").as("doc")).agg(min(col("dist") + 1).as("nd"))
-      dist = dist.join(nd, Seq("doc"), "left")
+      val merged = dist.join(nd, Seq("doc"), "left")
         .select(col("doc"), col("comp"),
           when(col("dist").isNull, col("nd"))
             .when(col("nd").isNull, col("dist"))
             .when(col("nd") < col("dist"), col("nd"))
-            .otherwise(col("dist")).as("dist"))
+            .otherwise(col("dist")).as("dist"),
+          // improvement flag: new distance where there was none, or smaller
+          (col("dist").isNull && col("nd").isNotNull ||
+            col("nd") < col("dist")).as("chg"))
         .localCheckpoint(true)
+      converged = merged.filter(col("chg")).isEmpty
+      dist = merged.drop("chg")
     }
     dist.select(col("doc"), col("comp"), coalesce(col("dist"), lit(-1L)).as("hops"))
   }

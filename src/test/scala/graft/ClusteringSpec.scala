@@ -345,6 +345,22 @@ class ClusteringSpec extends SparkTestBase {
     assert(got.values.toSet.contains(-1L))
   }
 
+  test("q181 BFS core: early exit at the fixed point returns the full-round result") {
+    import spark.implicits._
+    import graft.queries.Dedup
+    // converges at round 3 (max depth 3) — the r19-opt early exit fires
+    // well before the 8-round cap; depths must equal the uncapped BFS,
+    // including the isolated second component's depth-1 leaf.
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+      .toDF("doc_a", "doc_b")
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L),
+      (10L, 10L), (11L, 10L)).toDF("doc", "comp")
+    val got = Dedup.chainDepths(pairs, labels).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(got === Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L,
+      10L -> 0L, 11L -> 1L))
+  }
+
   test("q175 ≡ plain-Scala greedy MMR, and the picks genuinely diversify") {
     val qids = vecs.keys.toSeq.sorted.take(Similarity.PqQueries)
     val ids = vecs.keys.toSeq.sorted

@@ -254,10 +254,16 @@ object Curation {
     val withWs = resplit(documents(s, dir).select(col("doc_id"), col("text")))
       .select(col("doc_id"), words(col("text")).as("ww"))
     val nBlocks = ceil(size(col("ww")).cast("double") / BlockW).cast("long")
+    // Materialized (r19-opt): blocks feeds BOTH the first-occurrence
+    // aggregate and the keep join below, and Spark does not CSE across
+    // the two consumers — the tokenize + block-slice explode ran twice
+    // per query. The frame is n/W rows per document (the text itself,
+    // re-chunked), the standard multi-consumer checkpoint tradeoff.
     val blocks = withWs.select(col("doc_id"),
       posexplode(transform(sequence(lit(0L), nBlocks - 1),
         i => array_join(slice(col("ww"), (i * BlockW + 1).cast("int"), lit(BlockW)), " ")))
         .as(Seq("pos", "blk")))
+      .localCheckpoint(true)
     val firsts = blocks.groupBy(col("blk"))
       .agg(min(struct(col("doc_id"), col("pos"))).as("first"))
       .select(col("blk").as("f_blk"),

@@ -347,9 +347,14 @@ object ModelCuration {
     // the groups are unchanged) — the target model is then a FILTER of
     // this frame, never a join against a target-id set that at corpus
     // scale is half the ids and unbroadcastable
+    // Materialized (r19-opt): x feeds THREE consumers (raw model, target
+    // model, per-doc weight sum) and Spark does not CSE across them — the
+    // corpus explode + aggregate ran three times per query. Bounded frame:
+    // ≤ DsBuckets rows per document.
     val x = d.select(col("doc_id"), col("lang"), explode(words(col("text"))).as("w"))
       .groupBy(col("doc_id"), col("lang"), (hash32(col("w")) % DsBuckets).as("b"))
       .agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
     val raw = x.groupBy(col("b")).agg(sum(col("c")).as("cr"))
     val tgt = x.filter(col("lang") === DsTargetLang)
       .groupBy(col("b")).agg(sum(col("c")).as("ct"))
@@ -360,11 +365,16 @@ object ModelCuration {
         (log((coalesce(col("ct"), lit(0L)) + lit(1L)).cast("double") / (col("nt") + lit(DsBuckets.toDouble)))
           - log((col("cr") + lit(1L)).cast("double") / (col("nr") + lit(DsBuckets.toDouble)))).as("lam"))
     val u = TrainingData.uhash(col("doc_id"), "q202")
+    // lang and n_tokens come from x itself (r19-opt): doc_id determines
+    // lang so grouping by both leaves the groups unchanged, and every
+    // token lands in exactly one bucket so Σc per doc IS size(words(text))
+    // — the second corpus scan + re-tokenize the n_tokens join paid is
+    // gone. Zero-token docs are absent either way (no x rows before, no
+    // logw row to inner-join after).
     x.join(broadcast(model), Seq("b"))
-      .groupBy(col("doc_id"))
-      .agg(sum(col("c").cast("double") * col("lam")).as("logw"))
-      .join(d.select(col("doc_id"), col("lang"),
-        size(words(col("text"))).cast("long").as("n_tokens")), Seq("doc_id"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(sum(col("c").cast("double") * col("lam")).as("logw"),
+        sum(col("c")).as("n_tokens"))
       .withColumn("gkey", col("logw") - log(-log(u)))
       .orderBy(col("gkey").desc, col("doc_id"))
       .limit(DsK)

@@ -490,7 +490,13 @@ object Similarity {
     // 64KB codegen method limit — as a single constant it's a reference
     // lookup, and the signature loop is an expression-level fold whose
     // tree size is geometry-independent (q26's planesLit pattern)
-    val bands = bandSigs(e, rung, nBands)
+    // Eager checkpoint (r19-opt): the band self-join consumes the
+    // signature frame on BOTH branches and Spark does not CSE across
+    // them — un-materialized, the nBands×rung hyperplane-dot signature
+    // kernel ran twice per consumer (the q24 simhash fix, applied to the
+    // embedding-space kernel). Tiny frame: (vec_id, band, band_sig) = 3
+    // longs × nBands rows per vector.
+    val bands = bandSigs(e, rung, nBands).localCheckpoint(true)
     // checkpoint + resplit (cf. q22's verify): scoring the candidates is
     // CPU-bound (one 64-dim dot per pair), and AQE's size-based coalescing
     // would pack the small-by-bytes id-pair list onto a couple of cores
@@ -784,8 +790,12 @@ object Similarity {
   def q161NearDupProd(s: SparkSession, dir: String): DataFrame = {
     val (shift, total) = prodStats(s, dir)
     val rung = math.max(ndPlanesFor(total), NdProdMinPlanes)
-    nearDupBandedFrame(prodCorpus(s, dir, shift), rung, prodBandsFor(rung),
-      ProdNearDupThreshold)
+    // Eager checkpoint (r19-opt, the q183 idiom at :956): the kernel
+    // consumes the frame in the signature pass AND on both exact-verify
+    // join sides — un-materialized, the jitter construction ran three
+    // times per query.
+    nearDupBandedFrame(prodCorpus(s, dir, shift).localCheckpoint(true),
+      rung, prodBandsFor(rung), ProdNearDupThreshold)
   }
 
   /** q161's band-aware oracle — the q67Sql pattern over the dup-injected
